@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + table access for the graft engine.
+  *
+  * Design notes (100 TB posture): local[32] is the test harness; every
+  * conf here is also what we'd set on a real cluster except the master
+  * and the shuffle-partition count (which would scale with cores).
+  */
+object Graft {
+
+  /** Build the standard session. AQE on (skew joins / partition
+    * coalescing), UTC timezone to match the DuckDB oracle, nanos-as-long
+    * so the `events` table (parquet TIMESTAMP(NANOS)) is readable.
+    */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Ensure an existing session (e.g. the driver-provided one in Verify)
+    * carries the runtime-settable confs our queries rely on.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Read one testdata table: `$dir/$name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // ts arrives as long nanos (legacy.parquet.nanosAsLong); convert to
+      // a microsecond timestamp — identical to DuckDB's ns→us truncation.
+      // `div` (integral division) — `/` would go through double and lose
+      // precision above 2^53 (epoch-nanos is ~1.7e18). Surface as
+      // TIMESTAMP_NTZ (naive, like every other testdata timestamp) so
+      // outputs compare tz-free against the oracle.
+      df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
+}

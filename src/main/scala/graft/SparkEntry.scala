@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Core, EventSuite, TextSuite, VectorSuite, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is assembled from the per-domain suites:
+  *   - Core      — relational surface (SURVEY §2.3–§2.10) on the star schema
+  *   - TextSuite — text analysis + dedup on `documents`
+  *   - VectorSuite — similarity search on `embeddings`
+  *   - EventSuite  — timestamps/JSON/windows on `events`
+  */
 object SparkEntry {
+
+  val all: Map[String, Q] =
+    Core.queries ++ TextSuite.queries ++ VectorSuite.queries ++ EventSuite.queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("a1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, q) => name -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash/SimHash/LSH) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }
 }

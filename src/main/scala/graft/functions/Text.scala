@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline surface:
+  * tokenization, n-grams/shingles, quality scoring, language ID,
+  * fingerprinting, MinHash and SimHash signatures.
+  *
+  * Everything is a pure Catalyst expression (higher-order array functions
+  * + xxhash64/md5) — no UDFs, so whole-stage codegen and column pruning
+  * survive, and the operators scale linearly with input at 100 TB.
+  */
+object Text {
+
+  /** Whitespace tokenization of trimmed text. Empty text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Character n-grams (positions 1..len-n+1). */
+  def charNgrams(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
+      i => c.substr(i, lit(n)))
+
+  /** Word shingles: k consecutive tokens joined by a single space. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val ts = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(ts) - lit(k - 1), lit(0))),
+      i => array_join(slice(ts, i, lit(k)), " "))
+  }
+
+  /** Default English-ish stopword list used by the quality/lang heuristics. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from")
+
+  def stopwordCount(c: Column, words: Seq[String] = stopwords): Column =
+    size(filter(tokens(c), t => t.isInCollection(words))).cast("long")
+
+  /** Quality signals: length, token count, mean token length, stopword
+    * ratio, punctuation ratio, uppercase ratio. Ratios are single double
+    * divisions of exact longs — deterministic across engines.
+    */
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("long")
+
+  def upperCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[A-Z]", ""))).cast("long")
+
+  /** Composite [0,1] quality score: penalize very short docs, high
+    * punctuation density and missing stopwords. Deterministic arithmetic.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val lenScore = least(nTok.cast("double") / lit(20.0), lit(1.0))
+    val stopScore = least(stopwordCount(c).cast("double") * lit(4.0) /
+      greatest(nTok, lit(1L)).cast("double"), lit(1.0))
+    val punctPenalty = least(punctCount(c).cast("double") /
+      greatest(length(c), lit(1)).cast("double") * lit(4.0), lit(1.0))
+    (lenScore * lit(0.5) + stopScore * lit(0.5)) * (lit(1.0) - punctPenalty)
+  }
+
+  /** n-gram-heuristic language ID: score each language by occurrences of
+    * its marker words, pick the argmax (ties → lexicographically first
+    * language, deterministic). Markers are surface-level heuristics — the
+    * real discriminative power comes from corpus-specific marker tables.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers))).cast("long")
+
+  /** Predicted language = argmax over marker scores; 'und' when all zero.
+    * Ties → first language in sorted key order (strictly-greater fold).
+    *
+    * `toks` should be a plain column reference (precompute with
+    * `.withColumn`) so tokenization happens once per row. The fold runs
+    * through aggregate() — a linear single pass, NOT nested when-chains
+    * (those duplicate the accumulator subtree exponentially).
+    */
+  def langIdFromTokens(toks: Column,
+      markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val sorted = markers.toSeq.sortBy(_._1)
+    val scores = array(sorted.map { case (lang, ws) =>
+      struct(size(filter(toks, t => t.isInCollection(ws))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val init = struct(lit(-1L).as("score"), lit("und").as("lang"))
+    val best = aggregate(scores, init,
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s).otherwise(acc))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  def langId(c: Column, markers: Map[String, Seq[String]] = langMarkers): Column =
+    langIdFromTokens(tokens(c), markers)
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text.
+    * Stable across engines (DuckDB md5 matches) — the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit content hash (xxhash64) — cheap Spark-side fingerprint. */
+  def fingerprint64(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  // ---------------------------------------------------------------------
+  // MinHash — k independent permutations approximated by seeded xxhash64;
+  // signature = elementwise min over the shingle set. Banding for LSH is
+  // done by slicing the signature (operators.Dedup).
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature (array<long>, length k) over `shingles`.
+    *
+    * Each shingle is string-hashed ONCE (xxhash64); the k "permutations"
+    * re-hash that 8-byte long with the permutation index as a second
+    * input — k× cheaper than k string hashes (long-hashing is constant
+    * work), identical collision behavior, and no ANSI overflow (unlike
+    * affine a*h+b wrap-around permutations).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, sh => xxhash64(sh))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))
+    }: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash — 64-bit: sum token-hash bit vectors, take sign per bit,
+  // pack. aggregate() keeps it a single pass over the token array.
+  // ---------------------------------------------------------------------
+
+  def simhash64(c: Column): Column = {
+    val ts = tokens(c)
+    val counts = aggregate(
+      ts,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int"))
+            .bitwiseAND(1L) === 1L, 1L).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, bit) => when(cnt > 0,
+          call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions (array<float>/array<double>).
+  *
+  * Dot products and norms are computed with exact DECIMAL accumulation so
+  * results are association-order independent — bit-identical between
+  * Spark partial aggregation and the DuckDB oracle — then surfaced as
+  * doubles. For pure-Spark hot paths (`dotFast`) a double accumulator is
+  * provided (faster; deterministic per-row since aggregate() folds
+  * left-to-right within the array).
+  */
+object Vectors {
+
+  private val DEC = "decimal(18,7)"
+
+  // Accumulation types are sized so decimal ADDITION never reaches the
+  // precision cap of 38 — at the cap Spark silently drops scale 14→13
+  // per fold step (≈1e-13 error/term), breaking bit-parity with the
+  // oracle. (24,14)+(20,14) → (25,14): exact. Bounds: |component| < 1e5,
+  // |product| < 1e6, |dot| < 1e9 — ample for embedding vectors.
+  private val DECPROD = "decimal(20,14)"
+  private val DECACC = "decimal(24,14)"
+
+  /** Exact dot product via decimal accumulation, as double. The merge
+    * result is cast back to the accumulator type (Spark's aggregate()
+    * requires a type-stable fold).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      // float → double first (exact in every engine), THEN double →
+      // decimal: a direct float→decimal cast rounds from the float's
+      // shortest decimal repr in Spark and disagrees with DuckDB.
+      zip_with(a, b, (x, y) =>
+        (x.cast("double").cast(DEC) * y.cast("double").cast(DEC)).cast(DECPROD)),
+      lit(0).cast(DECACC),
+      (acc, v) => (acc + v).cast(DECACC)).cast("double")
+
+  /** L2 norm via exact decimal sum of squares, as double. */
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, exact-decimal inner sums, double end arithmetic. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Fast double-accumulator dot product (Spark-only hot path). */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
+
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (norm2Fast(a) * norm2Fast(b))
+
+  /** Signed random-hyperplane LSH signature of length `bits`: bit i is
+    * the sign of <v, h_i> where h_i is a deterministic pseudo-random
+    * hyperplane derived from xxhash64(dim, i, seed). Returns a long
+    * bucket id — vectors with equal buckets are ANN candidates.
+    *
+    * The hyperplane component for (dim d, bit i) is a value in [-1, 1)
+    * derived from a 64-bit hash — deterministic, no Math.random.
+    */
+  def hyperplaneBucket(v: Column, bits: Int, seed: Int): Column = {
+    val dims = sequence(lit(0), size(v) - 1)
+    val bitVals = transform(sequence(lit(0), lit(bits - 1)), i => {
+      val proj = aggregate(
+        zip_with(v, dims, (x, d) => {
+          val h = xxhash64(d, i, lit(seed))
+          // map hash to [-1,1): h / 2^63 as double
+          x.cast("double") * (h.cast("double") / lit(9.223372036854776e18))
+        }),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj >= 0, call_function("shiftleft", lit(1L), i.cast("int")))
+        .otherwise(lit(0L))
+    })
+    aggregate(bitVals, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+}

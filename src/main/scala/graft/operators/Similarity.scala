@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Shapes:
+  *   - brute-force: broadcast the (small) query set against the candidate
+  *     corpus — a map-only pass, no shuffle of candidates; exact top-k via
+  *     per-query window. The right baseline at any corpus size as long as
+  *     the query set fits in a broadcast.
+  *   - LSH-bucketed: both sides get random-hyperplane bucket ids;
+  *     equi-join on bucket prunes the search space (shuffle on bucket id
+  *     only). Probing multiple independent tables recovers recall.
+  *   - IVF-style: k coarse centroid buckets by hyperplane prefix —
+  *     emulated here by using fewer LSH bits, giving the same
+  *     partition-pruning behavior at scale.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k. `queries`/`candidates` both need
+    * (`idCol`, `vecCol`). Queries are broadcast. Output:
+    * qid, vec_id, sim — deterministic (exact-decimal cosine; tiebreak on
+    * candidate id).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      exact: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val cos = if (exact) Vectors.cosine(col("qvec"), col("cvec"))
+      else Vectors.cosineFast(col("qvec"), col("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cos.as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** LSH-bucketed ANN top-k: candidates considered only when they share a
+    * hyperplane bucket with the query in at least one of `tables` probe
+    * tables. Recall < 1, cost ~ corpus/2^bits per table.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    // Bucket per probe table: vary the hyperplane seed by table id.
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val qb = (0 until tables).map { t =>
+      q.select(col("qid"), col("qvec"), lit(t).as("table"),
+        Vectors.hyperplaneBucket(col("qvec"), bits, t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cb = (0 until tables).map { t =>
+      c.select(col("vec_id"), col("cvec"), lit(t).as("table"),
+        Vectors.hyperplaneBucket(col("cvec"), bits, t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val pairs = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"))
+      .distinct()
+    val scored = pairs.select(col("qid"), col("vec_id"),
+      Vectors.cosineFast(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` within the
+    * corpus, LSH-bucketed (used for embedding near-dedup).
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val c = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = (0 until tables).map { t =>
+      c.select(col("id"), col("vec"), lit(t).as("table"),
+        Vectors.hyperplaneBucket(col("vec"), bits, t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.table") === col("r.table") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.vec").as("v1"), col("r.vec").as("v2"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        Vectors.cosineFast(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

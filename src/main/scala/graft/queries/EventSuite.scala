@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+
+/** Batch queries over the `events` table (timestamps, JSON props,
+  * sessionization-style windows). The same aggregations are reused by
+  * the Structured Streaming surface in graft.streaming.EventStream.
+  */
+object EventSuite {
+
+  val queries: Map[String, Q] = Map(
+
+    // --- tumbling-window (hourly) aggregation -------------------------
+    "e1_hourly_rollup" -> Q(
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      "Tumbling hourly rollup — batch twin of the streaming window agg"),
+
+    // --- JSON prop extraction (§2.11 surface) -------------------------
+    "e2_json_props" -> Q(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(pmod(col("k"), lit(10L)).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin),
+      "§2.11 JSON path extraction (get_json_object) + modular bucketing"),
+
+    // --- per-user session-ish stats (event sequences) -----------------
+    "e3_user_activity" -> Q(
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"))
+          .withColumn("span_minutes",
+            ((graft.functions.Clean.epochMillis(col("last_ts")) -
+              graft.functions.Clean.epochMillis(col("first_ts"))) / lit(60000.0)))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  (epoch_ms(MAX(CAST(ts AS TIMESTAMP))) - epoch_ms(MIN(CAST(ts AS TIMESTAMP)))) / 60000.0 AS span_minutes
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "Per-user activity span: min/max timestamps + distinct event types")
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Text-analysis + dedup queries over the `documents` table.
+  * Oracle SQL mirrors the Spark logic exactly (same regexes, same marker
+  * words, same integer arithmetic) so results hash-match in DuckDB.
+  */
+object TextSuite {
+
+  // DuckDB fragment: whitespace tokens of trimmed text.
+  private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val queries: Map[String, Q] = Map(
+
+    // --- token counting -----------------------------------------------
+    "x1_token_stats" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text"))).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            max(Text.tokenCount(col("text"))).as("max_tokens"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len($sqlTokens)) AS total_tokens,
+        |  SUM(n_chars) AS total_chars,
+        |  MAX(len($sqlTokens)) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "Token counting (whitespace tokenizer) per language"),
+
+    // --- quality scoring ----------------------------------------------
+    "x2_quality_signals" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).as("n_tokens"),
+            Text.stopwordCount(col("text")).as("n_stopwords"),
+            Text.punctCount(col("text")).as("n_punct"),
+            (Text.stopwordCount(col("text")).cast("double") /
+              greatest(Text.tokenCount(col("text")), lit(1L)).cast("double"))
+              .as("stopword_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        |  len($sqlTokens) AS n_tokens,
+        |  ${sqlCountIn(Text.stopwords)} AS n_stopwords,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(${sqlCountIn(Text.stopwords)} AS DOUBLE) /
+        |    CAST(greatest(len($sqlTokens), 1) AS DOUBLE) AS stopword_ratio
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+      "Quality scoring signals: token/stopword/punctuation counts + ratio"),
+
+    // --- language ID heuristic ----------------------------------------
+    "x3_langid_confusion" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("lang"), Text.langIdFromTokens(col("toks")).as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted"),
+      Some {
+        // exact mirror of Text.langId: fold in sorted-language order,
+        // strictly-greater wins, score<=0 → 'und'
+        val sorted = Text.langMarkers.toSeq.sortBy(_._1)
+        val folded = sorted.foldLeft("STRUCT_PACK(score := CAST(-1 AS BIGINT), lang := 'und')") {
+          case (acc, (l, ws)) =>
+            val sc = sqlCountIn(ws)
+            s"(CASE WHEN CAST($sc AS BIGINT) > ($acc).score THEN STRUCT_PACK(score := CAST($sc AS BIGINT), lang := '$l') ELSE $acc END)"
+        }
+        s"""WITH pred AS (
+          |  SELECT lang,
+          |    (CASE WHEN ($folded).score <= 0 THEN 'und' ELSE ($folded).lang END) AS predicted
+          |  FROM documents)
+          |SELECT lang, predicted, COUNT(*) AS n FROM pred
+          |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      },
+      "Language-ID marker-word heuristic; confusion matrix vs labeled lang"),
+
+    // --- fingerprinting + exact dedup ---------------------------------
+    "x4_fingerprint_buckets" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(substring(Text.fingerprint(col("text")), 1, 2).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS bucket,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "Document fingerprinting (md5 of normalized text), bucket histogram"),
+
+    "x5_exact_dedup" -> Q(
+      (s, dir) => {
+        val d = Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        d.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+          .orderBy("lang")
+      },
+      Some("""WITH ranked AS (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_unique FROM ranked WHERE rn = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Exact dedup: keep min doc_id per normalized-text fingerprint"),
+
+    // --- n-gram Jaccard (explode/equi-join shape) ---------------------
+    "x6_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
+            threshold = 0.05)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH sets AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+        |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')))) AS sh
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
+        |common AS (
+        |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
+        |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
+        |  GROUP BY l.id, r.id)
+        |SELECT id1, id2,
+        |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes s1 ON s1.id = id1
+        |JOIN sizes s2 ON s2.id = id2
+        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.05
+        |ORDER BY id1, id2""".stripMargin),
+      "n-gram Jaccard similarity via scalable explode+equi-join (no O(n^2) text moves)"),
+
+    // --- MinHash / SimHash (no SQL oracle — rows-only check) ----------
+    "x7_minhash_neardups" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+            k = 32, bands = 16, shingleSize = 2, threshold = 0.2)
+          .orderBy("id1", "id2")
+      },
+      None,
+      "MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→Jaccard verify"),
+
+    "x8_simhash_neardups" -> Q(
+      (s, dir) =>
+        Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 16)
+          .orderBy("id1", "id2"),
+      None,
+      "SimHash 64-bit near-dup candidates via 16-bit band pigeonhole"),
+
+    // --- word shingles histogram (drives minhash correctness) ---------
+    "x9_shingles" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            explode(Text.wordShingles(col("text"), 3)).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+          .orderBy(col("n").desc, col("shingle").asc),
+      Some("""SELECT shingle, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+        |    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))) AS shingle
+        |  FROM documents WHERE doc_id < 40) t
+        |GROUP BY shingle HAVING COUNT(*) >= 3
+        |ORDER BY n DESC, shingle ASC""".stripMargin),
+      "3-token shingle extraction (the MinHash feature space)")
+  )
+}
