@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Behavior tests for the text-analysis and dedup/similarity operators. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different content about database query engines and optimizers"),
+    (5L, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank today")) // case/ws dup of 1
+    .toDF("doc_id", "text")
+
+  test("tokens / shingles / counts") {
+    val r = Seq("  a b  c ").toDF("t")
+      .select(Text.tokenCount(col("t")).as("n"),
+        Text.wordShingles(col("t"), 2).as("sh")).collect()(0)
+    assert(r.getLong(0) == 3)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    val empty = Seq("").toDF("t")
+      .select(Text.tokenCount(col("t"))).collect()(0).getLong(0)
+    assert(empty == 0)
+  }
+
+  test("charNgrams") {
+    val r = Seq("abcd").toDF("t")
+      .select(Text.charNgrams(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(r == Seq("abc", "bcd"))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val fps = corpus.select(Text.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) == fps(4)) // case/whitespace-insensitive
+    assert(fps(0) != fps(2))
+  }
+
+  test("exact dedup keeps min id per fingerprint") {
+    val kept = Dedup.exact(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L)) // 2 (exact dup) and 5 (case/ws dup) dropped
+  }
+
+  test("minhash signature: identical texts → identical signatures") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 16,
+      shingleSize = 2).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L)) // different content → different signature
+    // near-dup shares most minhash components
+    // 1 vs 3 jaccard = 11/15 ≈ 0.73 → E[shared] ≈ 11.7/16, loose bound
+    // for the k=16 variance
+    val shared = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared >= 6, s"only $shared/16 minhash components shared")
+  }
+
+  test("minhash near-dups finds the near-dup pair") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", k = 16,
+      bands = 8, shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
+  }
+
+  test("simhash: identical → hamming 0; near dup → small hamming") {
+    val sigs = corpus.select(col("doc_id"), Text.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("ngram jaccard: exact value for known pair") {
+    val pairs = Dedup.ngramJaccardPairs(corpus.filter(col("doc_id") <= 3),
+      "doc_id", "text", shingleSize = 2, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical
+    // docs 1 vs 3: 14 tokens → 13 distinct bigrams each; one word differs
+    // ("bank"→"bend") → 2 bigrams differ: inter=11, union=15
+    assert(math.abs(pairs((1L, 3L)) - 11.0 / 15.0) < 1e-12)
+  }
+
+  test("brute-force cosine top-k: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head._1 == 1L) // most similar to [1,0,0] is [0.9,0.1,0]
+  }
+
+  test("langid picks argmax marker language deterministically") {
+    val df = Seq("der die das und der", "le les des est", "xyzzy").toDF("text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(Text.langIdFromTokens(col("toks")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("de", "fr", "und"))
+  }
+}
