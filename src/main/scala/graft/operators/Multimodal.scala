@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side shape is the real part — schema, partition-preserving
+  * batched iteration (`mapPartitions` over a typed Dataset), stable UDF
+  * signatures — while the actual codec call is a STUB: this container
+  * has no image/audio libraries, so `decodeStub` derives deterministic
+  * fake metadata/features from the bytes. In production the stub body is
+  * replaced by the native decoder (e.g. libjpeg/ffmpeg via JNI) without
+  * touching any of the distributed plumbing; partitions arrive as
+  * iterators, so a per-partition codec context amortizes initialization
+  * exactly like a Pandas-UDF batch would.
+  */
+object Multimodal {
+
+  case class Asset(asset_id: Long, media_type: String, media: Array[Byte])
+  case class DecodedAsset(asset_id: Long, media_type: String, byte_size: Long,
+      width: Int, height: Int, duration_ms: Long, checksum: Long)
+  case class AssetFeatures(asset_id: Long, features: Array[Float])
+  case class Frame(asset_id: Long, frame_index: Int, offset_ms: Long,
+      frame: Array[Byte])
+
+  /** ======= STUB ======= deterministic fake "decode" of a media header:
+    * real implementation parses the container format. Everything derived
+    * purely from the bytes so tests are reproducible.
+    */
+  private def decodeStub(a: Asset): DecodedAsset = {
+    val sum = a.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+      width = 16 + (math.abs(sum) % 1920).toInt,
+      height = 16 + (math.abs(sum / 7) % 1080).toInt,
+      duration_ms = if (a.media_type == "image") 0L else math.abs(sum) % 600000L,
+      checksum = sum)
+  }
+
+  /** Decode metadata for every asset — batched per partition; the codec
+    * context would be allocated once per partition here.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition codec init goes here (STUB: none needed)
+      batch.map(decodeStub)
+    }
+  }
+
+  /** ======= STUB ======= fixed-width feature vector from media bytes
+    * (real implementation runs the vision/audio encoder on the decoded
+    * frames). Deterministic: dim i = hash of (checksum, i) scaled to
+    * [-1, 1).
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val sum = a.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+        val fs = Array.tabulate(dim) { i =>
+          val h = java.util.Objects.hash(java.lang.Long.valueOf(sum),
+            java.lang.Integer.valueOf(i)).toLong
+          ((h % 1000003L) / 1000003.0f) * 2f - 1f
+        }
+        AssetFeatures(a.asset_id, fs)
+      }
+    }
+  }
+
+  /** ======= STUB ======= sample up to `n` evenly-spaced frames from a
+    * video asset (real implementation seeks the container). Emitted rows
+    * carry slices of the source bytes as stand-in frame payloads.
+    */
+  def sampleFrames(assets: Dataset[Asset], n: Int = 4): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val len = a.media.length
+      val take = math.min(n, math.max(len, 1))
+      (0 until take).map { i =>
+        val off = (len.toLong * i) / take
+        Frame(a.asset_id, i, off * 40L,
+          a.media.slice(off.toInt, math.min(len, off.toInt + 16)))
+      }
+    }
+  }
+
+  /** Build an asset table from the documents corpus (text bytes stand in
+    * for media payloads; media_type assigned deterministically) — the
+    * plumbing input used by tests and benchmarks.
+    */
+  def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        to_binary(col("text"), lit("utf-8")).as("media"))
+      .as[Asset]
+  }
+}

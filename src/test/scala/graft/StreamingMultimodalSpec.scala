@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+
+/** Streaming (file source → watermark window agg → memory sink) and
+  * multimodal plumbing tests.
+  */
+class StreamingMultimodalSpec extends SparkSpec {
+
+  test("streaming hourly rollup matches the batch twin (e1)") {
+    val dir = "/root/testdata/sf0.001"
+    // file streams need a DIRECTORY; stage the single parquet file
+    val stage = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = EventStream.read(spark, stage.toString)
+    assert(stream.isStreaming)
+    val q = EventStream.hourlyRollup(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rollup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("rollup_out")
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    // append mode emits only windows past the watermark; the final
+    // (max-ts) window is withheld → strictly fewer events than total,
+    // but the bulk must be there
+    val total = Graft.table(spark, dir, "events").count()
+    assert(got > total / 2 && got <= total, s"got=$got total=$total")
+    // emitted windows agree exactly with the batch aggregation
+    val batch = Graft.table(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val joined = spark.table("rollup_out").as("s")
+      .join(batch.as("b"),
+        col("s.hour") === col("b.hour") && col("s.event_type") === col("b.event_type"))
+      .filter(col("s.n") =!= col("b.n")).count()
+    assert(joined == 0, "streamed window counts diverge from batch")
+  }
+
+  test("multimodal decode/features/frames plumbing") {
+    import spark.implicits._
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val assets = Multimodal.assetsFromDocuments(docs).cache()
+    assert(assets.count() == docs.count())
+
+    val decoded = Multimodal.decode(assets).cache()
+    assert(decoded.count() == assets.count())
+    val d0 = decoded.filter(_.asset_id == 0L).collect()(0)
+    assert(d0.byte_size > 0 && d0.width >= 16 && d0.height >= 16)
+    // deterministic: same input → same checksum on re-run
+    val again = Multimodal.decode(assets).filter(_.asset_id == 0L).collect()(0)
+    assert(again.checksum == d0.checksum)
+
+    val feats = Multimodal.extractFeatures(assets, dim = 16).cache()
+    assert(feats.count() == assets.count())
+    assert(feats.head().features.length == 16)
+
+    val frames = Multimodal.sampleFrames(assets, n = 4)
+    val perAsset = frames.groupByKey(_.asset_id).count().collect().toMap
+    assert(perAsset.nonEmpty && perAsset.values.forall(n => n > 0 && n <= 4))
+    // only video assets produce frames
+    val videoIds = assets.filter(_.media_type == "video")
+      .map(_.asset_id).collect().toSet
+    assert(perAsset.keySet.subsetOf(videoIds))
+  }
+
+  test("sessionize: session_window gap sessions, stream and batch agree") {
+    // batch path
+    val dir = "/root/testdata/sf0.001"
+    val batchSessions = EventStream.sessionize(
+      Graft.table(spark, dir, "events"), gap = "10 minutes").cache()
+    val nSessions = batchSessions.count()
+    val nEvents = Graft.table(spark, dir, "events").count()
+    assert(nSessions > 0 && nSessions <= nEvents)
+    assert(batchSessions.agg(sum(col("n_events"))).collect()(0).getLong(0) == nEvents)
+    // sessions respect the gap: start of next session > end of previous
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("start")
+    val overlaps = batchSessions
+      .withColumn("prev_end", lag(col("end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start") < col("prev_end"))
+      .count()
+    assert(overlaps == 0)
+
+    // streaming path over the same data emits closed sessions that all
+    // appear in the batch result
+    val stage = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = EventStream.sessionize(EventStream.read(spark, stage.toString),
+        gap = "10 minutes", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions_out")
+    assert(streamed.count() > 0)
+    val mismatched = streamed.as("s").join(batchSessions.as("b"),
+      Seq("user_id", "start", "end", "n_events"), "left_anti").count()
+    assert(mismatched == 0, "streamed session not present in batch result")
+  }
+}
