@@ -24,21 +24,30 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ICU case mapping (Spark 4 default) stalls ~2-3 min on first
+      // lower()/upper(): CollationAwareUTF8String.<clinit> warms up ICU
+      // breakiterators through the flat 400-jar classloader. ASCII data
+      // → JVM case mapping is value-identical and instant.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    tune(spark)
   }
 
   /** Ensure an existing session (e.g. the driver-provided one in Verify)
-    * carries the runtime-settable confs our queries rely on.
+    * carries the runtime-settable confs our queries rely on, and has the
+    * native vector expressions registered.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf on some builds
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.expressions.VectorExpressions.register(spark)
     spark
   }
 

@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature computation.
+  *
+  * The expression-library form (transform×transform over xxhash64) pays
+  * interpreted lambda dispatch per (shingle × permutation) — ~2300
+  * interpreted evals per row for k=32 over a ~70-shingle doc, which
+  * measured ~9 ms/row. This version runs ONE compiled loop: each shingle
+  * is XXH64-hashed once from its UTF8 bytes, then the k permutations are
+  * k cheap hashLong mixes; the row cost drops to microseconds.
+  */
+object MinHashImpl {
+
+  /** signature[j] = min over shingles of XXH64(XXH64(bytes, 42), seed=j).
+    * Empty input → Long.MaxValue components (callers filter empty docs).
+    */
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s: UTF8String = shingles.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < k) {
+          val v = XXH64.hashLong(h, j.toLong)
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Number of equal components between two equal-length signatures. */
+  def matchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** k-token shingles of whitespace-tokenized text, single compiled pass
+    * (the builtin transform/slice/array_join pipeline is interpreted and
+    * ~ms/row). Matches Text.wordShingles semantics: trim, split on \s+,
+    * join k consecutive tokens with single spaces; fewer than k tokens →
+    * empty array.
+    */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** word_shingles(text, k) → array<string> of k-token shingles. */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashImpl.wordShingles(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expressions.MinHashImpl.wordShingles($t, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** minhash_signature(shingles, k) → array<long> of length k. */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.foldable &&
+        right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, literal int), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashImpl.signature(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expressions.MinHashImpl.signature($a, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** minhash_match_count(sigA, sigB) → int (equal components). */
+case class MinHashMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "minhash_match_count"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> inputs")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashImpl.matchCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.MinHashImpl.matchCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}

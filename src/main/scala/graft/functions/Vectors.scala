@@ -44,15 +44,18 @@ object Vectors {
   /** Cosine similarity, exact-decimal inner sums, double end arithmetic. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
-  /** Fast double-accumulator dot product (Spark-only hot path). */
+  /** Fast dot/cosine: native codegen'd expressions (primitive loop in
+    * whole-stage codegen — see graft.expressions.VectorExpressions),
+    * registered by Graft.tune. The throughput path for LSH/ANN scoring;
+    * the decimal variants above remain the oracle-parity path.
+    */
   def dotFast(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("dot_product", a, b)
 
   def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 
   def cosineFast(a: Column, b: Column): Column =
-    dotFast(a, b) / (norm2Fast(a) * norm2Fast(b))
+    call_function("cosine_sim", a, b)
 
   /** Signed random-hyperplane LSH signature of length `bits`: bit i is
     * the sign of <v, h_i> where h_i is a deterministic pseudo-random

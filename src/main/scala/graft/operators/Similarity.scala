@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Vectors
 
@@ -30,13 +31,20 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       exact: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-    val cos = if (exact) Vectors.cosine(col("qvec"), col("cvec"))
-      else Vectors.cosineFast(col("qvec"), col("cvec"))
+    // norms are precomputed per side BEFORE the join — one dot per pair
+    // instead of three; value-identical (same scalar ops, just hoisted)
+    def norm(v: org.apache.spark.sql.Column) =
+      if (exact) Vectors.norm2(v) else Vectors.norm2Fast(v)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (exact) Vectors.dot(a, b) else Vectors.dotFast(a, b)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cos.as("sim"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -62,6 +70,7 @@ object Similarity {
       c.select(col("vec_id"), col("cvec"), lit(t).as("table"),
         Vectors.hyperplaneBucket(col("cvec"), bits, t).as("bucket"))
     }.reduce(_ unionAll _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"))
@@ -79,12 +88,16 @@ object Similarity {
     * corpus, LSH-bucketed (used for embedding near-dedup).
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, tables: Int = 4): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 4,
+      maxBucketSize: Int = 1024): DataFrame = {
     val c = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = (0 until tables).map { t =>
+    val banded0 = (0 until tables).map { t =>
       c.select(col("id"), col("vec"), lit(t).as("table"),
         Vectors.hyperplaneBucket(col("vec"), bits, t).as("bucket"))
     }.reduce(_ unionAll _)
+    val banded = Dedup.capBuckets(
+      banded0.persist(StorageLevel.MEMORY_AND_DISK),
+      Seq("table", "bucket"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.table") === col("r.table") &&
