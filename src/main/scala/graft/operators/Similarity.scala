@@ -84,6 +84,49 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** IVF (inverted-file) ANN top-k: a coarse quantizer of `nCells`
+    * centroid vectors partitions the corpus into cells; each query
+    * probes its `nProbe` nearest cells and scores only those members.
+    *
+    * The quantizer here takes deterministic sample vectors as centroids
+    * (lowest ids — at production scale this is where k-means/k-means||
+    * iterations slot in; the assignment/probe dataflow is identical).
+    * Everything is DataFrame ops: assignment is a broadcast cross join +
+    * per-vector argmax window; the probe is an equi-join on cell id —
+    * the same partition-pruning shape a 100 TB corpus needs, with the
+    * corpus shuffled once on cell id and reusable across query batches.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val centroids = broadcast(
+      c.orderBy(col("vec_id").asc).limit(nCells)
+        .select(monotonically_increasing_id().as("cell"), col("cvec").as("centroid")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      df.crossJoin(centroids)
+        .withColumn("__csim", Vectors.cosineFast(col(vec), col("centroid")))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= keep)
+        .drop("__csim", "__rank", "centroid")
+    }
+    val assigned = assign(c, "vec_id", "cvec", keep = 1)
+    val probes = assign(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", keep = nProbe)
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosineFast(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` within the
     * corpus, LSH-bucketed (used for embedding near-dedup).
     */

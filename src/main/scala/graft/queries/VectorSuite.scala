@@ -96,6 +96,17 @@ object VectorSuite {
       None,
       "Random-hyperplane LSH ANN: bucket equi-join prunes the scan; multi-probe recall"),
 
+    "v6_ivf_ann_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = 16, nProbe = 3)
+          .orderBy("qid", "rn")
+      },
+      None,
+      "IVF coarse-quantizer ANN: assign to cells, probe nProbe nearest cells"),
+
     "v5_cosine_neardups" -> Q(
       (s, dir) =>
         Similarity.cosineNearDups(table(s, dir, "embeddings"), "vec_id",

@@ -100,6 +100,19 @@ class TextDedupSpec extends SparkSpec {
     assert(top.head._1 == 1L) // most similar to [1,0,0] is [0.9,0.1,0]
   }
 
+  test("ivf top-k finds the brute-force nearest neighbor for most queries") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 1, exact = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 1,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == bf.keySet) // every query answered
+    val recall = bf.count { case (qid, nn) => ivf.get(qid).contains(nn) }
+    assert(recall >= 4, s"ivf top-1 recall $recall/10 too low")
+  }
+
   test("langid picks argmax marker language deterministically") {
     val df = Seq("der die das und der", "le les des est", "xyzzy").toDF("text")
       .withColumn("toks", Text.tokens(col("text")))
