@@ -20,11 +20,13 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s")
         // operators may persist() intermediates (LSH signatures); release
-        // them so later queries aren't starved into GC thrash.
-        // NON-blocking: catalog.clearCache() waits on every executor
-        // and can dwarf the queries themselves.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // them THROUGH THE CACHE MANAGER, not just the RDDs. Unpersisting
+        // only the RDDs leaks CacheManager plan entries, and every later
+        // query then pays canonicalized-plan comparison against dozens of
+        // huge cached plans at analysis time — measured as a 2.5s query
+        // degrading to 88s by the end of a 48-query pass. clearCache()
+        // unpersists non-blocking and empties the entry list.
+        spark.catalog.clearCache()
         name -> dt
       }.toMap
     val t0 = System.nanoTime()
@@ -40,8 +42,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - q0) / 1e9
         System.err.println(f"[bench2] $name%-28s $dt%8.2f s")
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         Some(name -> dt)
       }
     }.toMap

@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SimHash signature computation.
+  *
+  * Deliberately built on ENGINE-REPLICABLE integer arithmetic (two 31-bit
+  * polynomial rolling hashes + an LCG finalizer, all mod 2^31) rather than
+  * xxhash64: the identical signature is computable in ANSI-ish SQL
+  * (list_reduce over codepoints), so the DuckDB oracle can mirror the
+  * whole near-dup pipeline bit-for-bit. The previous expression-library
+  * form (aggregate×zip_with over 64-long arrays per token) was evaluated
+  * by the interpreted higher-order-function machinery at ~ms/row; this is
+  * one compiled loop, ~µs/row.
+  *
+  * Signature layout: 62 bits. Bit b (0-61) is 1 iff the sign-sum over
+  * tokens of (tokenhash bit b ? +1 : -1) is strictly positive, where bits
+  * 0-30 come from hash1 and bits 31-61 from hash2.
+  */
+object SimHashImpl {
+
+  private final val M31 = 0x7FFFFFFFL + 1L // 2^31
+
+  /** Two LCG mixing rounds mod 2^31 — shared by the SQL mirror. */
+  def mix31(x0: Long): Long = {
+    val x1 = (x0 * 2654435761L + 2654435769L) % M31
+    (x1 * 2654435761L + 40503L) % M31
+  }
+
+  /** Polynomial rolling hash of the token's codepoints, mod 2^31. */
+  private def polyHash(s: String, init: Long, mult: Long): Long = {
+    var h = init
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % M31
+      i += Character.charCount(cp)
+    }
+    mix31(h)
+  }
+
+  def simhash(text: UTF8String): Long = {
+    val t = text.toString.trim
+    if (t.isEmpty) return 0L
+    val toks = t.split("\\s+")
+    val counts = new Array[Int](62)
+    var i = 0
+    while (i < toks.length) {
+      val h1 = polyHash(toks(i), 0L, 31L)
+      val h2 = polyHash(toks(i), 7L, 37L)
+      var b = 0
+      while (b < 31) {
+        if (((h1 >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h2 >> b) & 1L) == 1L) counts(31 + b) += 1 else counts(31 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 62) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** simhash64(text) → long (62-bit signature; see SimHashImpl). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashImpl.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -138,29 +138,15 @@ object Text {
     call_function("minhash_match_count", sigA, sigB).cast("double") / lit(k.toDouble)
 
   // ---------------------------------------------------------------------
-  // SimHash — 64-bit: sum token-hash bit vectors, take sign per bit,
-  // pack. aggregate() keeps it a single pass over the token array.
+  // SimHash — 62-bit sign-sum signature over token hashes. Native
+  // expression (graft.expressions.SimHash64, registered by Graft.tune):
+  // one compiled loop per row, and the token hash is engine-replicable
+  // integer arithmetic so the DuckDB oracle mirrors it exactly.
   // ---------------------------------------------------------------------
 
-  def simhash64(c: Column): Column = {
-    val ts = tokens(c)
-    val counts = aggregate(
-      ts,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int"))
-            .bitwiseAND(1L) === 1L, 1L).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (cnt, bit) => when(cnt > 0,
-          call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash64(c: Column): Column = call_function("simhash64", c)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
-    bit_count(a.bitwiseXOR(b)).cast("int")
+    bit_count(a.bitwiseXOR(b)).cast("long")
 }

@@ -59,25 +59,12 @@ object Vectors {
 
   /** Signed random-hyperplane LSH signature of length `bits`: bit i is
     * the sign of <v, h_i> where h_i is a deterministic pseudo-random
-    * hyperplane derived from xxhash64(dim, i, seed). Returns a long
-    * bucket id — vectors with equal buckets are ANN candidates.
-    *
-    * The hyperplane component for (dim d, bit i) is a value in [-1, 1)
-    * derived from a 64-bit hash — deterministic, no Math.random.
+    * hyperplane derived from an engine-replicable 31-bit LCG (see
+    * graft.expressions.HyperplaneImpl — the DuckDB oracle regenerates the
+    * identical planes in SQL). Returns a long bucket id — vectors with
+    * equal buckets are ANN candidates. Native codegen'd expression,
+    * registered by Graft.tune.
     */
-  def hyperplaneBucket(v: Column, bits: Int, seed: Int): Column = {
-    val dims = sequence(lit(0), size(v) - 1)
-    val bitVals = transform(sequence(lit(0), lit(bits - 1)), i => {
-      val proj = aggregate(
-        zip_with(v, dims, (x, d) => {
-          val h = xxhash64(d, i, lit(seed))
-          // map hash to [-1,1): h / 2^63 as double
-          x.cast("double") * (h.cast("double") / lit(9.223372036854776e18))
-        }),
-        lit(0.0), (acc, p) => acc + p)
-      when(proj >= 0, call_function("shiftleft", lit(1L), i.cast("int")))
-        .otherwise(lit(0L))
-    })
-    aggregate(bitVals, lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  def hyperplaneBucket(v: Column, bits: Int, seed: Int): Column =
+    call_function("hyperplane_bucket", v, lit(bits), lit(seed))
 }

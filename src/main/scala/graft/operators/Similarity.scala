@@ -56,9 +56,12 @@ object Similarity {
     * hyperplane bucket with the query in at least one of `tables` probe
     * tables. Recall < 1, cost ~ corpus/2^bits per table.
     */
+  /** `exact=true` scores candidates with the exact-decimal cosine
+    * (oracle-parity); `false` uses the codegen'd double path.
+    */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
-      bits: Int = 8, tables: Int = 4): DataFrame = {
+      bits: Int = 8, tables: Int = 4, exact: Boolean = false): DataFrame = {
     // Bucket per probe table: vary the hyperplane seed by table id.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
@@ -76,7 +79,8 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"))
       .distinct()
     val scored = pairs.select(col("qid"), col("vec_id"),
-      Vectors.cosineFast(col("qvec"), col("cvec")).as("sim"))
+      (if (exact) Vectors.cosine(col("qvec"), col("cvec"))
+       else Vectors.cosineFast(col("qvec"), col("cvec"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -98,11 +102,15 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false): DataFrame = {
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    // Deterministic coarse quantizer: the nCells lowest-id vectors are the
+    // centroids and the cell label IS that centroid's id — replicable by
+    // the SQL oracle (at production scale k-means centroids slot in here;
+    // the assignment/probe dataflow is identical).
     val centroids = broadcast(
       c.orderBy(col("vec_id").asc).limit(nCells)
-        .select(monotonically_increasing_id().as("cell"), col("cvec").as("centroid")))
+        .select(col("vec_id").as("cell"), col("cvec").as("centroid")))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__csim").desc, col("cell").asc)
@@ -119,7 +127,8 @@ object Similarity {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        Vectors.cosineFast(col("qvec"), col("cvec")).as("sim"))
+        (if (exact) Vectors.cosine(col("qvec"), col("cvec"))
+         else Vectors.cosineFast(col("qvec"), col("cvec"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -127,10 +136,32 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold` within the
-    * corpus, LSH-bucketed (used for embedding near-dedup).
+  /** Exact embedding-cosine near-duplicate pairs above `threshold`.
+    *
+    * Pair generation is the blocked O(n²/2) self-join (each side moves
+    * once; Spark plans a broadcast-nested-loop when one side is small,
+    * partitioned block products otherwise); the FILTER runs on the
+    * codegen'd double cosine, and only the surviving pairs are re-scored
+    * with the exact-decimal cosine for oracle-parity output. This is the
+    * right shape when the threshold is too low for LSH recall (cosine
+    * ~0.4: random hyperplanes agree with p≈0.37/bit — no usable
+    * S-curve); for high thresholds use `cosineNearDupsLsh`.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, col("id1") < col("id2"))
+      .filter(Vectors.cosineFast(col("v1"), col("v2")) >= threshold)
+      .select(col("id1"), col("id2"),
+        Vectors.cosine(col("v1"), col("v2")).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` within the
+    * corpus, LSH-bucketed — the scale path for HIGH thresholds (≥ ~0.8),
+    * where band collisions have a sharp S-curve.
+    */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 8, tables: Int = 4,
       maxBucketSize: Int = 1024): DataFrame = {
     val c = df.select(col(idCol).as("id"), col(vecCol).as("vec"))

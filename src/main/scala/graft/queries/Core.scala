@@ -126,7 +126,7 @@ object Core {
             count(col("c_acctbal")).as("n_with_acctbal"),
             sum(when(col("c_mktsegment").isNotNull, 1L).otherwise(0L)).as("n_with_segment")),
       Some("""SELECT COUNT(*) AS n_total, COUNT(c_acctbal) AS n_with_acctbal,
-        |  SUM(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS n_with_segment
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_segment
         |FROM customer""".stripMargin),
       "P7 $exists → IS NOT NULL (README.md:1042) + P10 cursor count"),
 

@@ -37,7 +37,7 @@ object EventSuite {
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
           .orderBy("k_mod"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-        |  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin),
       "§2.11 JSON path extraction (get_json_object) + modular bucketing"),
 

@@ -31,8 +31,8 @@ object TextSuite {
             max(Text.tokenCount(col("text"))).as("max_tokens"))
           .orderBy("lang"),
       Some(s"""SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(len($sqlTokens)) AS total_tokens,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MAX(len($sqlTokens)) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "Token counting (whitespace tokenizer) per language"),
@@ -115,66 +115,127 @@ object TextSuite {
     // --- n-gram Jaccard (explode/equi-join shape) ---------------------
     "x6_ngram_jaccard" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+        val docs = table(s, dir, "documents")
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
-            threshold = 0.05)
+            threshold = 0.1)
           .orderBy("id1", "id2")
       },
-      Some("""WITH sets AS (
-        |  SELECT doc_id AS id, unnest(list_distinct(
-        |    list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
-        |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')))) AS sh
-        |  FROM documents WHERE doc_id < 60),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
-        |common AS (
-        |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
-        |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
-        |  GROUP BY l.id, r.id)
-        |SELECT id1, id2,
-        |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
-        |FROM common
-        |JOIN sizes s1 ON s1.id = id1
-        |JOIN sizes s2 ON s2.id = id2
-        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.05
-        |ORDER BY id1, id2""".stripMargin),
+      Some(sqlExactJaccardPairs(0.1)),
       "n-gram Jaccard similarity via scalable explode+equi-join (no O(n^2) text moves)"),
 
-    // --- MinHash / SimHash (no SQL oracle — rows-only check) ----------
+    // --- MinHash+LSH near-dedup --------------------------------------
+    // The LSH parameters are sized so candidate recall at j>=0.5 is
+    // 1 - (1-j^2)^16 ≈ 1 (loss < 1e-10 for the corpus' j≈0.9 dup pairs),
+    // and the exact-Jaccard verification stage makes the output EQUAL to
+    // the brute-force answer — so the same exact-pairs SQL is a true
+    // oracle for the whole approximate pipeline.
     "x7_minhash_neardups" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
         Dedup.minhashNearDups(docs, "doc_id", "text",
-            k = 32, bands = 16, shingleSize = 2, threshold = 0.2)
+            k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
           .orderBy("id1", "id2")
       },
-      None,
+      Some(sqlExactJaccardPairs(0.5)),
       "MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→Jaccard verify"),
 
+    // --- SimHash near-dups: full SQL mirror oracle --------------------
+    // The signature is engine-replicable integer arithmetic (two 31-bit
+    // polynomial rolling hashes + LCG finalizer — graft.expressions
+    // .SimHashImpl), so the oracle rebuilds the identical signatures,
+    // band buckets, bucket cap, and Hamming filter in DuckDB SQL.
     "x8_simhash_neardups" -> Q(
       (s, dir) =>
         Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
             maxHamming = 16)
           .orderBy("id1", "id2"),
-      None,
-      "SimHash 64-bit near-dup candidates via 16-bit band pigeonhole"),
+      Some(sqlSimhashMirror(maxHamming = 16, cap = 256)),
+      "SimHash 62-bit near-dup candidates via 16-bit band pigeonhole"),
 
     // --- word shingles histogram (drives minhash correctness) ---------
     "x9_shingles" -> Q(
       (s, dir) =>
         table(s, dir, "documents")
-          .filter(col("doc_id") < 40)
+          .filter(col("doc_id") < 100)
           .select(col("doc_id"),
             explode(Text.wordShingles(col("text"), 3)).as("shingle"))
           .groupBy("shingle").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 3)
+          .filter(col("n") >= 2)
           .orderBy(col("n").desc, col("shingle").asc),
       Some("""SELECT shingle, COUNT(*) AS n FROM (
         |  SELECT unnest(list_transform(
         |    generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
         |    i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))) AS shingle
-        |  FROM documents WHERE doc_id < 40) t
-        |GROUP BY shingle HAVING COUNT(*) >= 3
+        |  FROM documents WHERE doc_id < 100) t
+        |GROUP BY shingle HAVING COUNT(*) >= 2
         |ORDER BY n DESC, shingle ASC""".stripMargin),
       "3-token shingle extraction (the MinHash feature space)")
   )
+
+  /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
+    * documents table — the oracle for BOTH the explode/equi-join exact
+    * operator (x6) and the MinHash+LSH pipeline (x7), whose verification
+    * stage makes its output equal to the exact answer.
+    */
+  private def sqlExactJaccardPairs(threshold: Double): String =
+    s"""WITH sets AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))) AS sh
+      |  FROM documents),
+      |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
+      |common AS (
+      |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
+      |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
+      |  GROUP BY l.id, r.id)
+      |SELECT id1, id2,
+      |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+      |FROM common
+      |JOIN sizes s1 ON s1.id = id1
+      |JOIN sizes s2 ON s2.id = id2
+      |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= $threshold
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Full DuckDB mirror of the SimHash near-dup pipeline: identical
+    * 62-bit signatures (SimHashImpl's integer arithmetic in SQL), 4×16-bit
+    * band blocks, bucket cap, candidate self-join, Hamming verify.
+    */
+  private def sqlSimhashMirror(maxHamming: Int, cap: Int): String = {
+    val M = "2147483648"
+    def fin(x: String) =
+      s"((((($x) * 2654435761 + 2654435769) % $M) * 2654435761 + 40503) % $M)"
+    def poly(init: Int, mult: Int) = fin(
+      s"list_reduce(list_prepend(CAST($init AS BIGINT), " +
+        s"list_transform(range(1, length(t) + 1), j -> CAST(unicode(substr(t, j, 1)) AS BIGINT))), " +
+        s"(a, c) -> (a * $mult + c) % $M)")
+    // per-doc list of [h1, h2] token hash pairs
+    val hashed = s"list_transform(string_split_regex(trim(text), '\\s+'), " +
+      s"t -> [${poly(0, 31)}, ${poly(7, 37)}])"
+    def half(hIdx: Int, shift: Int) =
+      s"""list_sum(list_transform(range(0, 31), b ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN ((h[$hIdx] >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b + $shift AS INT) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    s"""WITH hashed AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS BIGINT[][])
+      |         ELSE $hashed END AS hs
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT id, CAST(COALESCE(${half(1, 0)}, 0) + COALESCE(${half(2, 31)}, 0) AS BIGINT) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT id, sig, band, (sig >> CAST(band * 16 AS INT)) & 65535 AS block
+      |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band, block) AS c FROM banded)
+      |  WHERE c <= $cap)
+      |SELECT DISTINCT l.id AS id1, r.id AS id2,
+      |  CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+      |FROM capped l JOIN capped r
+      |  ON l.band = r.band AND l.block = r.block AND l.id < r.id
+      |WHERE bit_count(xor(l.sig, r.sig)) <= $maxHamming
+      |ORDER BY id1, id2""".stripMargin
+  }
 }

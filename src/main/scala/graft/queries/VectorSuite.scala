@@ -20,6 +20,29 @@ object VectorSuite {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
+  // DuckDB: plain-double cosine — mirrors the codegen'd cosine_sim used
+  // for FILTERING/assignment (sign/threshold decisions only; outputs are
+  // re-scored with the exact-decimal form).
+  private def sqlDotD(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def sqlCosD(a: String, b: String): String =
+    s"(${sqlDotD(a, b)} / (sqrt(${sqlDotD(a, a)}) * sqrt(${sqlDotD(b, b)})))"
+
+  /** DuckDB mirror of graft.expressions.HyperplaneImpl.bucket: the
+    * hyperplane weights come from an exact-integer LCG mod 2^31 followed
+    * by a power-of-two division (exact in double), so the buckets are
+    * bit-identical across engines.
+    */
+  private def sqlBucket(v: String, tbl: String, bits: Int): String = {
+    val M = "2147483648"
+    val key = s"(($tbl) * 1000003 + i * 4096 + (d - 1))"
+    val mixed = s"((((($key % $M) * 2654435761 + 2654435769) % $M) * 2654435761 + 40503) % $M)"
+    s"""CAST(list_sum(list_transform(range(0, $bits), i ->
+      |  CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |      CAST($v[d] AS DOUBLE) * (CAST($mixed AS DOUBLE) / 2147483648.0 - 0.5))) >= 0
+      |    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- vector norms (sanity + exercises the decimal dot) ------------
@@ -84,35 +107,89 @@ object VectorSuite {
       },
       "Per-label centroid (IVF coarse-quantizer build step), exact decimal sums"),
 
-    // --- LSH-bucketed ANN (Spark-only, rows-only check) ---------------
+    // --- LSH-bucketed ANN: full SQL mirror oracle ---------------------
+    // The hyperplanes are engine-replicable (integer LCG — see
+    // HyperplaneImpl), so the oracle reproduces the exact same buckets,
+    // candidate sets, and rankings — the APPROXIMATION ITSELF is checked,
+    // not just row counts.
     "v4_lsh_ann_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
         Similarity.lshTopK(q, emb, "vec_id", "embedding", topK = 5,
-            bits = 6, tables = 4)
+            bits = 6, tables = 4, exact = true)
           .orderBy("qid", "rn")
       },
-      None,
+      Some {
+        val bq = sqlBucket("qvec", "tt.t", 6)
+        val bc = sqlBucket("e.embedding", "tt.t", 6)
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |qb AS (SELECT qid, qvec, tt.t AS tbl, $bq AS bucket
+          |       FROM q, (SELECT unnest(range(0, 4)) AS t) tt),
+          |cb AS (SELECT e.vec_id, e.embedding AS cvec, tt.t AS tbl, $bc AS bucket
+          |       FROM embeddings e, (SELECT unnest(range(0, 4)) AS t) tt),
+          |pairs AS (
+          |  SELECT DISTINCT qid, vec_id, qvec, cvec
+          |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+          |  WHERE qid <> vec_id),
+          |scored AS (SELECT qid, vec_id, ${sqlCos("qvec", "cvec")} AS sim FROM pairs),
+          |ranked AS (
+          |  SELECT qid, vec_id, sim, row_number() OVER (
+          |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+          |  FROM scored)
+          |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+          |ORDER BY qid, rn""".stripMargin
+      },
       "Random-hyperplane LSH ANN: bucket equi-join prunes the scan; multi-probe recall"),
 
+    // --- IVF ANN: full SQL mirror oracle ------------------------------
     "v6_ivf_ann_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = 16, nProbe = 3)
+            nCells = 16, nProbe = 3, exact = true)
           .orderBy("qid", "rn")
       },
-      None,
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cvec, cell FROM (
+        |    SELECT e.vec_id, e.embedding AS cvec, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
+        |      PARTITION BY qq.vec_id
+        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
       "IVF coarse-quantizer ANN: assign to cells, probe nProbe nearest cells"),
 
+    // --- exact cosine near-dups (threshold below LSH's useful range) --
     "v5_cosine_neardups" -> Q(
       (s, dir) =>
         Similarity.cosineNearDups(table(s, dir, "embeddings"), "vec_id",
-            "embedding", threshold = 0.6, bits = 4, tables = 2)
+            "embedding", threshold = 0.4)
           .orderBy("id1", "id2"),
-      None,
-      "Embedding-cosine near-duplicate detection via LSH buckets")
+      Some(s"""WITH pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    a.embedding AS v1, b.embedding AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, ${sqlCos("v1", "v2")} AS sim
+        |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
+        |ORDER BY id1, id2""".stripMargin),
+      "Embedding-cosine near-duplicate detection, exact blocked self-join")
   )
 }
