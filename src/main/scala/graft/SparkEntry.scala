@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, EventSuite, TextSuite, VectorSuite, Q}
+import graft.queries.{CleanSuite, Core, EventSuite, TextSuite, VectorSuite, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ import graft.queries.{Core, EventSuite, TextSuite, VectorSuite, Q}
 object SparkEntry {
 
   val all: Map[String, Q] =
-    Core.queries ++ TextSuite.queries ++ VectorSuite.queries ++ EventSuite.queries
+    Core.queries ++ TextSuite.queries ++ VectorSuite.queries ++
+      EventSuite.queries ++ CleanSuite.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
