@@ -4,21 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Graft.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.Graft.tune(spark)
+    Graft.tune(spark)
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // two passes, min per query: one transient environment stall (or a
     // cold codegen cache) can no longer poison a number
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
+        val t0 = System.nanoTime(); val g0 = gcMillis()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s  gc=${gcMillis() - g0}%5d ms")
         // operators may persist() intermediates (LSH signatures); release
         // them THROUGH THE CACHE MANAGER, not just the RDDs. Unpersisting
         // only the RDDs leaks CacheManager plan entries, and every later
@@ -31,22 +30,28 @@ object Bench {
       }.toMap
     val t0 = System.nanoTime()
     val p1 = pass()
-    // second pass only within budget: the JSON line MUST be emitted even
-    // on a slow machine, and a partial second pass still de-noises the
-    // queries it reaches
+    // Additional passes while within budget, min per query: the machine
+    // shows intermittent external ~15-60s stalls (zero GC, roaming
+    // queries, absent in many runs) — min-of-N absorbs them unless one
+    // hits the same query in every pass. The JSON line MUST be emitted
+    // even on a slow machine, so each extra pass checks the clock
+    // per-query and a partial pass still de-noises what it reached.
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "360").toLong
-    val p2 = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if ((System.nanoTime() - t0) / 1e9 > budget) None
-      else {
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - q0) / 1e9
-        System.err.println(f"[bench2] $name%-28s $dt%8.2f s")
-        spark.catalog.clearCache()
-        Some(name -> dt)
-      }
-    }.toMap
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    def extraPass(tag: String): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if ((System.nanoTime() - t0) / 1e9 > budget * 0.8) None
+        else {
+          val q0 = System.nanoTime(); val g0 = gcMillis()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - q0) / 1e9
+          System.err.println(f"[$tag] $name%-28s $dt%8.2f s  gc=${gcMillis() - g0}%5d ms")
+          spark.catalog.clearCache()
+          Some(name -> dt)
+        }
+      }.toMap
+    val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
+    val results = p1.map { case (k, v) =>
+      k -> (v +: extras.flatMap(_.get(k))).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -16,7 +16,19 @@ object Graft {
     * so the `events` table (parquet TIMESTAMP(NANOS)) is readable.
     */
   def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+
+  /** The fully-configured builder. Bench/Verify MUST build their sessions
+    * through this (not a bare SparkSession.builder()): some of these
+    * confs are static on this build — tune()'s runtime set silently
+    * no-ops for them, and a bare session then hits e.g. the ICU stall
+    * below at a random first lower()/upper() evaluation.
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
       .builder()
       .master(master)
       .appName("graft")
@@ -31,10 +43,6 @@ object Graft {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    tune(spark)
-  }
 
   /** Ensure an existing session (e.g. the driver-provided one in Verify)
     * carries the runtime-settable confs our queries rely on, and has the
