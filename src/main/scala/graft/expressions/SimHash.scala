@@ -43,15 +43,33 @@ object SimHashImpl {
     mix31(h)
   }
 
-  def simhash(text: UTF8String): Long = {
+  /** SimHash over `shingleSize`-token shingles (shingleSize=1 → plain
+    * tokens). Fewer tokens than shingleSize → signature 0.
+    */
+  def simhash(text: UTF8String, shingleSize: Int): Long = {
     val t = text.toString.trim
     if (t.isEmpty) return 0L
     val toks = t.split("\\s+")
+    val n = toks.length - shingleSize + 1
+    if (n <= 0) return 0L
     val counts = new Array[Int](62)
+    val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i < toks.length) {
-      val h1 = polyHash(toks(i), 0L, 31L)
-      val h2 = polyHash(toks(i), 7L, 37L)
+    while (i < n) {
+      val feature: String =
+        if (shingleSize == 1) toks(i)
+        else {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleSize) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          sb.toString
+        }
+      val h1 = polyHash(feature, 0L, 31L)
+      val h2 = polyHash(feature, 7L, 37L)
       var b = 0
       while (b < 31) {
         if (((h1 >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -70,25 +88,29 @@ object SimHashImpl {
   }
 }
 
-/** simhash64(text) → long (62-bit signature; see SimHashImpl). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** simhash64(text, shingleSize) → long (62-bit signature; see SimHashImpl). */
+case class SimHash64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string input, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int)")
+    }
 
-  override def nullSafeEval(input: Any): Any =
-    SimHashImpl.simhash(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any, k: Any): Any =
+    SimHashImpl.simhash(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashImpl.simhash($c)")
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expressions.SimHashImpl.simhash($t, $k);")
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
 }

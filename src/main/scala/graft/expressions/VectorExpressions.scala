@@ -140,7 +140,7 @@ object VectorExpressions {
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1))),
     "minhash_match_count" -> (es => MinHashMatchCount(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
-    "simhash64" -> (es => SimHash64(es(0))),
+    "simhash64" -> (es => SimHash64(es(0), es(1))),
     "hyperplane_bucket" -> (es => HyperplaneBucket(es(0), es(1), es(2))))
 
   /** Register the expressions in the session's function registry

@@ -138,13 +138,16 @@ object Text {
     call_function("minhash_match_count", sigA, sigB).cast("double") / lit(k.toDouble)
 
   // ---------------------------------------------------------------------
-  // SimHash — 62-bit sign-sum signature over token hashes. Native
+  // SimHash — 62-bit sign-sum signature over shingle hashes. Native
   // expression (graft.expressions.SimHash64, registered by Graft.tune):
-  // one compiled loop per row, and the token hash is engine-replicable
+  // one compiled loop per row, and the feature hash is engine-replicable
   // integer arithmetic so the DuckDB oracle mirrors it exactly.
+  // shingleSize=1 hashes plain tokens; 3 matches the MinHash feature
+  // space and discriminates short same-vocabulary docs far better.
   // ---------------------------------------------------------------------
 
-  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def simhash64(c: Column, shingleSize: Int = 1): Column =
+    call_function("simhash64", c, lit(shingleSize))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

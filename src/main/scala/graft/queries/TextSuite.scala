@@ -197,8 +197,9 @@ object TextSuite {
       |ORDER BY id1, id2""".stripMargin
 
   /** Full DuckDB mirror of the SimHash near-dup pipeline: identical
-    * 62-bit signatures (SimHashImpl's integer arithmetic in SQL), 4×16-bit
-    * band blocks, bucket cap, candidate self-join, Hamming verify.
+    * 62-bit signatures (SimHashImpl's integer arithmetic in SQL) over
+    * 3-token shingles, 4×16-bit band blocks, bucket cap, candidate
+    * self-join, Hamming verify.
     */
   private def sqlSimhashMirror(maxHamming: Int, cap: Int): String = {
     val M = "2147483648"
@@ -208,9 +209,11 @@ object TextSuite {
       s"list_reduce(list_prepend(CAST($init AS BIGINT), " +
         s"list_transform(range(1, length(t) + 1), j -> CAST(unicode(substr(t, j, 1)) AS BIGINT))), " +
         s"(a, c) -> (a * $mult + c) % $M)")
-    // per-doc list of [h1, h2] token hash pairs
-    val hashed = s"list_transform(string_split_regex(trim(text), '\\s+'), " +
-      s"t -> [${poly(0, 31)}, ${poly(7, 37)}])"
+    // per-doc list of [h1, h2] hash pairs over 3-token shingles
+    val shingles = "list_transform(" +
+      "generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)), " +
+      "i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' '))"
+    val hashed = s"list_transform($shingles, t -> [${poly(0, 31)}, ${poly(7, 37)}])"
     def half(hIdx: Int, shift: Int) =
       s"""list_sum(list_transform(range(0, 31), b ->
         |    CASE WHEN list_sum(list_transform(hs, h ->
