@@ -336,6 +336,39 @@ object CleanSuite {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin),
-      "§2.8 INTERSECT set op (capability beyond reference)")
+      "§2.8 INTERSECT set op (capability beyond reference)"),
+
+    // --- P6 on ARRAY fields: Mongo $in = array-intersects -------------
+    "c16_array_overlap" -> Q(
+      (s, dir) =>
+        table(s, dir, "part")
+          .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+          .filter(arrays_overlap(col("words"), array(lit("red"), lit("ring"))))
+          .select(col("p_partkey"), array_join(col("words"), " ").as("name"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name AS name FROM part
+        |WHERE list_has_any(string_split(p_name, ' '), ['red', 'ring'])
+        |ORDER BY p_partkey""".stripMargin),
+      "P6 $in on an array field = arrays_overlap (04/find_cars.py:16 semantics note)"),
+
+    // --- §2.5 extension: ROLLUP hierarchy totals ----------------------
+    "c17_rollup" -> Q(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .rollup(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+          .select(
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation"),
+            col("n"), col("bal"))
+          .orderBy("segment", "nation"),
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        |  COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nation,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY segment, nation""".stripMargin),
+      "§2.5 ROLLUP hierarchy aggregation (capability beyond reference)")
   )
 }
