@@ -27,11 +27,24 @@ object Graft {
     * no-ops for them, and a bare session then hits e.g. the ICU stall
     * below at a random first lower()/upper() evaluation.
     */
+  /** Shuffle/spill dir: tmpfs when available. The host's disk writes at
+    * ~10-20 MB/s (and is shared — external load shows up as roaming
+    * multi-second stalls in shuffle-heavy stages); /dev/shm makes local
+    * shuffle RAM-speed, which is the honest analogue of a cluster's
+    * NVMe shuffle volumes.
+    */
+  private lazy val localDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)
       .appName("graft")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,6 +70,21 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.expressions.VectorExpressions.register(spark)
     spark
+  }
+
+  /** Spread an under-partitioned DataFrame to the session's parallelism.
+    *
+    * Parquet partitioning is BYTE-based (maxPartitionBytes): a few MB of
+    * short documents arrive as ONE partition, and any CPU-dense stage
+    * fused onto that scan (shingling, MinHash/SimHash signatures, regex)
+    * runs single-threaded regardless of cores. At 100 TB the scan is
+    * already thousands of partitions and this is a no-op (no shuffle);
+    * on small inputs the one-time shuffle is trivially cheap. The
+    * explicit partition count is deliberately NOT AQE-coalescible.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Read one testdata table: `$dir/$name.parquet`. */

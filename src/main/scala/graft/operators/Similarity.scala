@@ -39,8 +39,11 @@ object Similarity {
       if (exact) Vectors.dot(a, b) else Vectors.dotFast(a, b)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"))
-    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cnorm"))
+    // candidate side spread to full parallelism: a few-MB embedding
+    // parquet arrives as ONE partition and would score single-threaded
+    val c = graft.Graft.ensureParallelism(candidates)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
@@ -64,7 +67,8 @@ object Similarity {
       bits: Int = 8, tables: Int = 4, exact: Boolean = false): DataFrame = {
     // Bucket per probe table: vary the hyperplane seed by table id.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val c = graft.Graft.ensureParallelism(candidates)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     val qb = (0 until tables).map { t =>
       q.select(col("qid"), col("qvec"), lit(t).as("table"),
         Vectors.hyperplaneBucket(col("qvec"), bits, t).as("bucket"))
@@ -103,7 +107,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false): DataFrame = {
-    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val c = graft.Graft.ensureParallelism(candidates)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     // Deterministic coarse quantizer: the nCells lowest-id vectors are the
     // centroids and the cell label IS that centroid's id — replicable by
     // the SQL oracle (at production scale k-means centroids slot in here;
@@ -149,8 +154,9 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val spread = graft.Graft.ensureParallelism(df)
+    val l = spread.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = spread.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, col("id1") < col("id2"))
       .filter(Vectors.cosineFast(col("v1"), col("v2")) >= threshold)
       .select(col("id1"), col("id2"),
@@ -169,9 +175,8 @@ object Similarity {
       c.select(col("id"), col("vec"), lit(t).as("table"),
         Vectors.hyperplaneBucket(col("vec"), bits, t).as("bucket"))
     }.reduce(_ unionAll _)
-    val banded = Dedup.capBuckets(
-      banded0.persist(StorageLevel.MEMORY_AND_DISK),
-      Seq("table", "bucket"), maxBucketSize)
+    // capBuckets is a single window pass; the self-join reuses its shuffle
+    val banded = Dedup.capBuckets(banded0, Seq("table", "bucket"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.table") === col("r.table") &&

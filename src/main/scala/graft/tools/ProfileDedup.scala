@@ -14,8 +14,23 @@ import graft.operators.Dedup
 object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 1
     val spark = Graft.session()
     import spark.implicits._
+
+    // stage-level ground truth: print every completed stage's wall time
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield (c - s) / 1000.0
+        if (dur.exists(_ > 2.0))
+          println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"${dur.getOrElse(0.0)}%7.1f s  ${si.name.takeWhile(_ != '\n').take(90)}")
+      }
+    })
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -24,7 +39,14 @@ object ProfileDedup {
       r
     }
 
-    val docs = Graft.table(spark, sfDir, "documents")
+    val docs =
+      if (mult == 1) Graft.table(spark, sfDir, "documents")
+      else {
+        val d = ScaleStress.corpus(spark, sfDir, mult)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d
+      }
 
     // ---- x7 minhash stages ----
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32, shingleSize = 3)

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.Dedup
+
+/** Scale-stress harness for the dedup operators: multiply the documents
+  * corpus by `m` deterministic copies whose token spaces are disjoint
+  * (every token gets a per-copy suffix), so the near-dup structure grows
+  * LINEARLY (each copy keeps its own dup pairs, no cross-copy
+  * similarity) — then measure whether operator wall-clock grows
+  * near-linearly too. A superlinear blowup here means a shape that dies
+  * at 100 TB (megabuckets, O(n²) candidate sets).
+  *
+  * Usage: runMain graft.tools.ScaleStress [sfDir] [copies...]
+  */
+object ScaleStress {
+
+  def corpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = Graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val copies = spark.range(0, m).select(col("id").as("copy"))
+    base.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        // per-copy token suffix → token spaces of different copies are
+        // disjoint; within-copy shingle structure (and dup pairs) intact
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_c"), col("copy").cast("string"))).as("text"))
+      // The broadcast crossJoin inherits the parquet side's partitioning
+      // (ONE ~5MB partition) — byte-cheap but CPU-dense text rows would
+      // then run every signature stage single-threaded. Same lesson at
+      // 100 TB: partition CPU-dense text stages by ROW COUNT (repartition
+      // after scan / lower maxPartitionBytes), not by bytes.
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val spark = Graft.session()
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    ms.foreach { m =>
+      // Materialize the synthetic corpus BEFORE timing: the regex-mutate
+      // generator would otherwise be re-executed by every plan branch
+      // that references the docs (sets side of the verify join, both
+      // sides of self-joins) and dominate the measurement.
+      val docs = corpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      println(s"\n=== m=$m  (${nDocs} docs) ===")
+      t(s"exact_dedup m=$m")(
+        Dedup.exactGroups(docs, "doc_id", "text").count())
+      t(s"minhash_neardups m=$m")(
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleSize = 3, threshold = 0.5).count())
+      t(s"simhash_neardups m=$m")(
+        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16).count())
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
