@@ -369,6 +369,26 @@ object CleanSuite {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
         |ORDER BY segment, nation""".stripMargin),
-      "§2.5 ROLLUP hierarchy aggregation (capability beyond reference)")
+      "§2.5 ROLLUP hierarchy aggregation (capability beyond reference)"),
+
+    // --- exact percentiles (interpolated) ------------------------------
+    // Both engines use the same definition (rank p·(n−1), linear
+    // interpolation); values are surfaced rounded to 4 decimals to wash
+    // out last-bit differences in the interpolation arithmetic.
+    "c18_percentiles" -> Q(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "Exact interpolated percentiles (median/p90) — §2.5 extension")
   )
 }

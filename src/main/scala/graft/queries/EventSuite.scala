@@ -60,6 +60,60 @@ object EventSuite {
         |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
         |  (epoch_ms(MAX(CAST(ts AS TIMESTAMP))) - epoch_ms(MIN(CAST(ts AS TIMESTAMP)))) / 60000.0 AS span_minutes
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "Per-user activity span: min/max timestamps + distinct event types")
+      "Per-user activity span: min/max timestamps + distinct event types"),
+
+    // --- batch sessionization (streaming session_window twin) ---------
+    // Spark side uses the REAL session_window aggregation (same operator
+    // the Structured Streaming surface uses); the oracle rebuilds the
+    // identical sessions with classic gaps-and-islands SQL. Break
+    // condition: gap >= 30 minutes (session end is exclusive).
+    "e4_sessionize" -> Q(
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, SUM(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      "Batch sessionization via session_window (30-min gap), gaps-and-islands oracle"),
+
+    // --- pivot: event_type counts as columns --------------------------
+    "e5_pivot" -> Q(
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        table(s, dir, "events")
+          .groupBy(pmod(col("user_id"), lit(10L)).as("cohort"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("cohort") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("cohort")
+      },
+      Some("""SELECT user_id % 10 AS cohort,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin),
+      "Pivot with explicit value list (deterministic columns) — §2.5 extension")
   )
 }
