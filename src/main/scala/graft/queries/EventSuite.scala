@@ -114,6 +114,62 @@ object EventSuite {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin),
-      "Pivot with explicit value list (deterministic columns) — §2.5 extension")
+      "Pivot with explicit value list (deterministic columns) — §2.5 extension"),
+
+    // --- as-of join (clicks ← latest prior purchase per user) ---------
+    "e6_asof_join" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        graft.operators.Joins.asOf(clicks, purchases, "user_id", "ts",
+            Seq("ts", "value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY event_id""".stripMargin),
+      "Backward as-of join (union + keyed window carry-forward) vs native ASOF oracle"),
+
+    // --- range join (events ↦ overlapping irregular windows) ----------
+    "e7_range_join" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        // 10 irregular 40-hour windows every 67 hours from 2024-01-01
+        val base = 1704067200L // 2024-01-01T00:00:00Z epoch seconds
+        val iv = s.range(0, 10).select(
+          col("id").as("window_id"),
+          timestamp_seconds(lit(base) + col("id") * (67L * 3600))
+            .cast("timestamp_ntz").as("ws"),
+          timestamp_seconds(lit(base) + col("id") * (67L * 3600) + 40L * 3600)
+            .cast("timestamp_ntz").as("we"))
+        graft.operators.Joins.rangeJoinByBucket(
+            ev.select("event_id", "ts", "value"), iv,
+            "ts", "ws", "we", bucketMs = 24L * 3600 * 1000)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy("window_id")
+      },
+      Some("""WITH iv AS (
+        |  SELECT t AS window_id,
+        |    epoch_ms((1704067200 + t * 67 * 3600) * 1000) AS ws,
+        |    epoch_ms((1704067200 + t * 67 * 3600 + 40 * 3600) * 1000) AS we
+        |  FROM (SELECT unnest(range(0, 10)) AS t))
+        |SELECT window_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM iv JOIN events e
+        |  ON CAST(e.ts AS TIMESTAMP) >= ws AND CAST(e.ts AS TIMESTAMP) < we
+        |GROUP BY window_id ORDER BY window_id""".stripMargin),
+      "Interval-containment join via time-bucket equi-join (scalable range-join shape)")
   )
 }
