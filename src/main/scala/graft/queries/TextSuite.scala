@@ -169,7 +169,29 @@ object TextSuite {
         |  FROM documents WHERE doc_id < 100) t
         |GROUP BY shingle HAVING COUNT(*) >= 2
         |ORDER BY n DESC, shingle ASC""".stripMargin),
-      "3-token shingle extraction (the MinHash feature space)")
+      "3-token shingle extraction (the MinHash feature space)"),
+
+    // --- deterministic stratified sampling ----------------------------
+    // Training-data pipelines need REPRODUCIBLE samples (rerun → same
+    // rows, any engine, any partitioning). Bernoulli sample() is
+    // engine-specific; this uses the engine-replicable LCG hash of the
+    // doc id: keep iff mix31(id) < rate·2^31, with per-language rates.
+    // en is downsampled to 25%, everything else kept at 75%.
+    "x10_deterministic_sample" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mixed = expr(
+          "((((doc_id % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648")
+        val rate = when(col("lang") === "en", lit(0.25)).otherwise(lit(0.75))
+        docs.filter(mixed < rate * lit(2147483648.0))
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+        |WHERE ((((doc_id % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648
+        |      < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END) * 2147483648.0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Reproducible stratified sampling via engine-replicable hash (training-data op)")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
