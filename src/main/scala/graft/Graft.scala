@@ -81,10 +81,19 @@ object Graft {
     * already thousands of partitions and this is a no-op (no shuffle);
     * on small inputs the one-time shuffle is trivially cheap. The
     * explicit partition count is deliberately NOT AQE-coalescible.
+    *
+    * Decided from PLAN METADATA only (optimizer size estimate vs the
+    * byte-splitter's partition size) — never `df.rdd`: compiling the RDD
+    * under AQE builds a separate physical plan and, for inputs containing
+    * shuffles, eagerly materializes query stages the subsequent
+    * repartition plan would NOT reuse (double execution).
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val perPartition =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(perPartition) * target) df.repartition(target) else df
   }
 
   /** Read one testdata table: `$dir/$name.parquet`. */

@@ -27,8 +27,11 @@ object SparkEntry {
     all.map { case (name, q) => name -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (MinHash/SimHash/LSH) → driver records a weaker rows-only check.
+    * the same parquet tables. (Every declared query currently ships a
+    * full SQL oracle — including MinHash/SimHash/LSH/IVF, whose hashes
+    * are engine-replicable integer arithmetic rebuilt in DuckDB SQL;
+    * a query omitted here would fall back to the driver's weaker
+    * rows-only check.)
     */
   def oracleSql: Map[String, String] =
     all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }

@@ -19,6 +19,14 @@ object HyperplaneImpl {
 
   private final val M31 = 0x7FFFFFFFL + 1L // 2^31
 
+  /** Max supported vector dimension: the weight key packs (seed, bit,
+    * dim) with a dim stride of 4096, so dim >= 4096 would alias
+    * (bit i, dim d) with (bit i+1, d-4096) and correlate adjacent plane
+    * bits. Enforced at eval (the stride is part of the frozen oracle
+    * mirror — widening it would silently change every bucket).
+    */
+  final val MaxDim = 4096
+
   /** Plane weight in [-0.5, 0.5): exact-integer LCG then /2^31 (exact). */
   def weight(seed: Int, bit: Int, dim: Int): Double = {
     val key = seed.toLong * 1000003L + bit.toLong * 4096L + dim.toLong
@@ -27,6 +35,9 @@ object HyperplaneImpl {
 
   def bucket(v: ArrayData, isFloat: Boolean, bits: Int, seed: Int): Long = {
     val n = v.numElements()
+    if (n >= MaxDim) throw new IllegalArgumentException(
+      s"hyperplane_bucket supports dim < $MaxDim (weight-key packing " +
+        s"stride); got $n")
     var out = 0L
     var i = 0
     while (i < bits) {

@@ -29,8 +29,10 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    val payloadType = StructType(
-      right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    // field order must follow payloadCols (not right.schema order): the
+    // populated struct below is built in payloadCols order, and unionByName
+    // needs both sides' struct types to agree field-for-field
+    val payloadType = StructType(payloadCols.map(n => right.schema(n)))
     val leftCols = left.columns
     val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
       lit(1).as("__side"),
@@ -70,9 +72,14 @@ object Joins {
       bucketMs: Long): DataFrame = {
     def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
     val p = points.withColumn("__b", floor(ms(col(tsCol)) / bucketMs))
-    val iv = intervals.withColumn("__b", explode(sequence(
-      floor(ms(col(startCol)) / bucketMs),
-      floor((ms(col(endCol)) - 1) / bucketMs))))
+    // guard: an invalid interval (end <= start) would make sequence()
+    // auto-step DOWNWARD — one corrupt row with end << start explodes
+    // into a huge bucket list. Such intervals contain no point ([s, e) is
+    // empty), so emit no buckets at all (explode drops the null).
+    val iv = intervals.withColumn("__b", explode(
+      when(col(endCol) > col(startCol), sequence(
+        floor(ms(col(startCol)) / bucketMs),
+        floor((ms(col(endCol)) - 1) / bucketMs)))))
     p.join(iv, Seq("__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__b")

@@ -112,16 +112,21 @@ object TextSuite {
         |GROUP BY lang ORDER BY lang""".stripMargin),
       "Exact dedup: keep min doc_id per normalized-text fingerprint"),
 
-    // --- n-gram Jaccard (explode/equi-join shape) ---------------------
+    // --- n-gram Jaccard (capped explode/equi-join shape) --------------
+    // The document-frequency cap (maxDocFreq=100) is ACTIVE here: it is
+    // what bounds the shingle equi-join at 100 TB (O(df²) per shingle,
+    // never O(c²) for a boilerplate shingle in c docs). The oracle
+    // mirrors the identical cut, and the verify stage still reports the
+    // exact Jaccard over the FULL shingle sets.
     "x6_ngram_jaccard" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
-            threshold = 0.1)
+            threshold = 0.1, maxDocFreq = 100)
           .orderBy("id1", "id2")
       },
-      Some(sqlExactJaccardPairs(0.1)),
-      "n-gram Jaccard similarity via scalable explode+equi-join (no O(n^2) text moves)"),
+      Some(sqlExactJaccardPairs(0.1, maxDocFreq = 100)),
+      "n-gram Jaccard via capped explode+equi-join (df-capped shingles, exact verify)"),
 
     // --- MinHash+LSH near-dedup --------------------------------------
     // The LSH parameters are sized so candidate recall at j>=0.5 is
@@ -129,6 +134,14 @@ object TextSuite {
     // and the exact-Jaccard verification stage makes the output EQUAL to
     // the brute-force answer — so the same exact-pairs SQL is a true
     // oracle for the whole approximate pipeline.
+    //
+    // CORPUS-DEPENDENT: equality is probabilistic for pairs near the
+    // threshold (a pair at j≈0.5 has ~1% chance of sharing no band and
+    // ~0.2% of failing the stage-1 estimate cut). It is exact here
+    // because the fixture corpus has NO pair with Jaccard in the
+    // marginal band [0.45, 0.65) — pinned by TextDedupSpec
+    // ("x7 oracle margin"), so regenerated testdata that violates it
+    // fails loudly there instead of as a mystery hash mismatch.
     "x7_minhash_neardups" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
@@ -144,13 +157,32 @@ object TextSuite {
     // polynomial rolling hashes + LCG finalizer — graft.expressions
     // .SimHashImpl), so the oracle rebuilds the identical signatures,
     // band buckets, bucket cap, and Hamming filter in DuckDB SQL.
+    //
+    // FLAGSHIP radius is 3: pigeonhole-EXACT for the 4×16-bit banding
+    // (hamming<=3 ⇒ at least one untouched block), and a fixed radius-3
+    // ball is small enough that birthday-effect noise pairs stay
+    // negligible at any corpus size. The radius-16 recall-heavy variant
+    // is declared separately below (x8b) with its scale caveat.
     "x8_simhash_neardups" -> Q(
+      (s, dir) =>
+        Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 3)
+          .orderBy("id1", "id2"),
+      Some(sqlSimhashMirror(maxHamming = 3, cap = 256)),
+      "SimHash 62-bit near-dups, radius 3 (pigeonhole-exact for the 4x16-bit bands)"),
+
+    // Recall-heavy variant: radius 16 catches lighter paraphrases but a
+    // 62-bit signature has P(hamming<=16) ≈ 1e-5 for UNRELATED docs —
+    // noise pairs grow ~n²·1e-5 (measured superlinear past ~100k docs in
+    // ScaleStress). Use on bounded scopes; tighten toward radius 3 (or
+    // widen the signature) as the corpus grows.
+    "x8b_simhash_radius16" -> Q(
       (s, dir) =>
         Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
             maxHamming = 16)
           .orderBy("id1", "id2"),
       Some(sqlSimhashMirror(maxHamming = 16, cap = 256)),
-      "SimHash 62-bit near-dup candidates via 16-bit band pigeonhole"),
+      "SimHash radius-16 recall-heavy variant (noise grows ~n^2*1e-5 — bounded scopes only)"),
 
     // --- word shingles histogram (drives minhash correctness) ---------
     "x9_shingles" -> Q(
@@ -195,28 +227,46 @@ object TextSuite {
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
-    * documents table — the oracle for BOTH the explode/equi-join exact
+    * documents table — the oracle for BOTH the capped explode/equi-join
     * operator (x6) and the MinHash+LSH pipeline (x7), whose verification
     * stage makes its output equal to the exact answer.
+    *
+    * With `maxDocFreq > 0` the candidate set is restricted to pairs
+    * sharing at least one shingle with document frequency <= maxDocFreq —
+    * the exact mirror of `Dedup.ngramJaccardPairs`' ubiquitous-shingle
+    * cap (Jaccard itself is still computed over the full sets).
     */
-  private def sqlExactJaccardPairs(threshold: Double): String =
+  private def sqlExactJaccardPairs(threshold: Double, maxDocFreq: Int = 0): String = {
+    val candCte = if (maxDocFreq > 0)
+      s"""|capped AS (
+        |  SELECT id, sh FROM (
+        |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sets)
+        |  WHERE df <= $maxDocFreq),
+        |cands AS (
+        |  SELECT DISTINCT l.id AS id1, r.id AS id2
+        |  FROM capped l JOIN capped r ON l.sh = r.sh AND l.id < r.id),
+        |""".stripMargin
+    else ""
+    val candJoin = if (maxDocFreq > 0)
+      "JOIN cands c ON c.id1 = common.id1 AND c.id2 = common.id2\n" else ""
     s"""WITH sets AS (
       |  SELECT doc_id AS id, unnest(list_distinct(
       |    list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)),
       |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))) AS sh
       |  FROM documents),
-      |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
+      |${candCte}sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
       |common AS (
       |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
       |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
       |  GROUP BY l.id, r.id)
-      |SELECT id1, id2,
+      |SELECT common.id1 AS id1, common.id2 AS id2,
       |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
       |FROM common
-      |JOIN sizes s1 ON s1.id = id1
-      |JOIN sizes s2 ON s2.id = id2
+      |${candJoin}JOIN sizes s1 ON s1.id = common.id1
+      |JOIN sizes s2 ON s2.id = common.id2
       |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= $threshold
-      |ORDER BY id1, id2""".stripMargin
+      |ORDER BY common.id1, common.id2""".stripMargin
+  }
 
   /** Full DuckDB mirror of the SimHash near-dup pipeline: identical
     * 62-bit signatures (SimHashImpl's integer arithmetic in SQL) over

@@ -64,6 +64,16 @@ object ScaleStress {
           k = 32, bands = 16, shingleSize = 3, threshold = 0.5).count())
       t(s"simhash_neardups m=$m")(
         Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16).count())
+      // Planted-stopword stress for the capped n-gram Jaccard: every doc
+      // gets the same 4-token boilerplate tail (shared across copies →
+      // its shingles have df = nDocs). With the cap those shingles are
+      // excluded from candidate generation, so pair counts stay LINEAR in
+      // m; uncapped this would be the O(n²) join the cap exists to kill.
+      val boiler = docs.select(col("doc_id"),
+        concat(col("text"), lit(" zzb0 zzb1 zzb2 zzb3")).as("text"))
+      t(s"ngram_jaccard_capped m=$m")(
+        Dedup.ngramJaccardPairs(boiler, "doc_id", "text", shingleSize = 3,
+          threshold = 0.5, maxDocFreq = 256).count())
       spark.catalog.clearCache()
     }
     spark.stop()
