@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.pipelines.{Arachnids, Autos, Cities, Feeds}
 import graft.queries.CityQueries
 import graft.sinks.Sinks
-import graft.sources.{DirtyCsv, Html, MultiDocXml}
+import graft.sources.{ArticleXml, DirtyCsv, Html, MultiDocXml}
 
 /** Infobox pipelines + remaining sources/sinks, on recreated fixtures
   * (SURVEY §5.1 golden shapes: processing.py:118-142, autos.py,
@@ -119,6 +119,23 @@ class PipelinesSpec extends SparkSpec {
     val first = flights.filter(col("month") === 1).collect()(0)
     assert(first.getString(0) == "XE" && first.getString(1) == "ATL")
     assert(first.getAs[Row]("flights").getAs[Long]("domestic") == 1234L)
+  }
+
+  test("F23 authors nested extraction (02/authors.py:18-49 goldens)") {
+    // golden values from the reference's own asserts (authors.py:35-49):
+    // 8 authors in document order, fnm/snm/email child texts, repeated
+    // insr/@iid attributes collected per author
+    val rows = ArticleXml.authors(spark, res("article.xml"))
+      .orderBy("ord").collect()
+    assert(rows.length == 8)
+    def au(i: Int) = (rows(i).getAs[String]("fnm"), rows(i).getAs[String]("snm"),
+      rows(i).getAs[String]("email"),
+      rows(i).getAs[scala.collection.Seq[String]]("insr").toSeq)
+    assert(au(0) == ("Omer", "Mei-Dan", "omer@extremegate.com", Seq("I1")))
+    assert(au(1)._4 == Seq("I2"))
+    assert(au(2) == ("Lior", "Laver", "laver17@gmail.com", Seq("I3", "I4")))
+    assert(au(5) == ("Gideon", "Mann", "gideon.mann.md@gmail.com", Seq("I3", "I5")))
+    assert(au(7) == ("Eugene", "Kots", "eukots@gmail.com", Seq("I7")))
   }
 
   test("S10 multi-document XML splitter (02/split_data.py)") {
