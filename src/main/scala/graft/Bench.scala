@@ -28,6 +28,7 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       }.toMap
+    SparkEntry.warm(spark)
     val t0 = System.nanoTime()
     val p1 = pass()
     // Additional passes while within budget, min per query: the machine

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Clean
+import graft.pipelines.OsmFixture
+
+/** The 12 capstone queries (README.md:868-1242) oracle-checked AT SCALE:
+  * OsmFixture shapes the ~50 MB synthetic extract (243,046 elements —
+  * the reference's real input size, README.md:874) to parquet once, and
+  * each o* query + its DuckDB mirror read that same parquet. This is
+  * what finally exercises the XML source + OsmShape at the reference's
+  * input scale; example.osm (43 lines) only pins the golden semantics.
+  *
+  * The fixture is sf-independent (one metro extract, not a TPC-H scale
+  * ladder), so query fns ignore sfDir and the mirrors use the fixture's
+  * absolute path — the driver's DuckDB runs on the same machine.
+  */
+object OsmSuite {
+
+  /** Pinned "now" for the edit-age stats (F20 determinism rule). */
+  val nowIso = "2015-01-01 00:00:00"
+
+  private def docs(s: SparkSession): DataFrame = {
+    OsmFixture.ensure(s)
+    graft.Graft.tune(s)
+    s.read.parquet(OsmFixture.docsPath)
+  }
+  private def rawTags(s: SparkSession): DataFrame = {
+    OsmFixture.ensure(s)
+    graft.Graft.tune(s)
+    s.read.parquet(OsmFixture.rawTagsPath)
+  }
+
+  private def D = s"read_parquet('${OsmFixture.docsPath}/*.parquet')"
+  private def RT = s"read_parquet('${OsmFixture.rawTagsPath}/*.parquet')"
+
+  val queries: Map[String, Q] = Map(
+
+    // --- README.md:874 — total document count ------------------------
+    "o1_doc_count" -> Q(
+      (s, _) => docs(s).agg(count(lit(1)).as("n")),
+      Some(s"SELECT COUNT(*) AS n FROM $D"),
+      "OSM capstone: db.sfbay.find().count() at the reference's 243k-element scale"),
+
+    // --- README.md:888 — distinct editors -----------------------------
+    "o2_distinct_users" -> Q(
+      (s, _) => docs(s).agg(countDistinct(col("created.user")).as("n")),
+      Some(s"SELECT COUNT(DISTINCT created['user']) AS n FROM $D"),
+      "OSM capstone: len(db.sfbay.distinct('created.user')) — dotted path distinct"),
+
+    // --- README.md:896-903 — $group by element type -------------------
+    "o3_counts_by_type" -> Q(
+      (s, _) => OsmQueries.countsByType(docs(s)),
+      Some(s"""SELECT type, COUNT(*) AS "count" FROM $D
+        |GROUP BY type ORDER BY "count" DESC, type ASC""".stripMargin),
+      "OSM capstone: counts by node/way type"),
+
+    // --- README.md:911-925 — top contributors -------------------------
+    "o4_top_contributors" -> Q(
+      (s, _) => OsmQueries.topContributors(docs(s), 3),
+      Some(s"""SELECT created['user'] AS "user", COUNT(*) AS "count" FROM $D
+        |GROUP BY 1 ORDER BY "count" DESC, "user" ASC LIMIT 3""".stripMargin),
+      "OSM capstone: top-3 contributors ($group on created.user + $sort/$limit)"),
+
+    // --- README.md:976-991 — $unwind node_refs, most-referenced -------
+    "o5_most_referenced" -> Q(
+      (s, _) => OsmQueries.mostReferencedNodes(docs(s), 3),
+      Some(s"""SELECT ref, COUNT(*) AS "count"
+        |FROM (SELECT UNNEST(node_refs) AS ref FROM $D)
+        |GROUP BY ref ORDER BY "count" DESC, ref ASC LIMIT 3""".stripMargin),
+      "OSM capstone: $unwind node_refs → most-referenced nodes (planted hubs)"),
+
+    // --- README.md:1056-1065 — postcode histogram ---------------------
+    "o6_postcodes" -> Q(
+      (s, _) => OsmQueries.postcodes(docs(s)),
+      Some(s"""SELECT address['postcode'] AS postcode, COUNT(*) AS "count" FROM $D
+        |WHERE address['postcode'] IS NOT NULL
+        |GROUP BY 1 ORDER BY "count" DESC, postcode ASC""".stripMargin),
+      "OSM capstone: $exists postcode histogram (dirty CA-prefixed variants kept)"),
+
+    // --- README.md:1101-1111 — city histogram -------------------------
+    "o7_cities" -> Q(
+      (s, _) => OsmQueries.cities(docs(s)),
+      Some(s"""SELECT address['city'] AS city, COUNT(*) AS "count" FROM $D
+        |WHERE address['city'] IS NOT NULL
+        |GROUP BY 1 ORDER BY "count" DESC, city ASC""".stripMargin),
+      "OSM capstone: city histogram (case-variant 'oakland' kept, like the reference)"),
+
+    // --- README.md:1140-1150 — top amenities --------------------------
+    "o8_top_amenities" -> Q(
+      (s, _) => OsmQueries.topAmenities(docs(s), 10),
+      Some(s"""SELECT amenity, COUNT(*) AS "count" FROM $D
+        |WHERE amenity IS NOT NULL
+        |GROUP BY 1 ORDER BY "count" DESC, amenity ASC LIMIT 10""".stripMargin),
+      "OSM capstone: top-10 amenities"),
+
+    // --- README.md:1169-1179 — top banks ------------------------------
+    "o9_top_banks" -> Q(
+      (s, _) => OsmQueries.topBanks(docs(s), 10),
+      Some(s"""SELECT name, COUNT(*) AS "count" FROM $D
+        |WHERE amenity = 'bank' AND name IS NOT NULL
+        |GROUP BY 1 ORDER BY "count" DESC, name ASC LIMIT 10""".stripMargin),
+      "OSM capstone: $match amenity=bank + $group name"),
+
+    // --- README.md:1186-1196 — top cuisines ---------------------------
+    "o10_top_cuisines" -> Q(
+      (s, _) => OsmQueries.topCuisines(docs(s), 10),
+      Some(s"""SELECT cuisine, COUNT(*) AS "count" FROM $D
+        |WHERE amenity = 'restaurant' AND cuisine IS NOT NULL
+        |GROUP BY 1 ORDER BY "count" DESC, cuisine ASC LIMIT 10""".stripMargin),
+      "OSM capstone: restaurant cuisines"),
+
+    // --- README.md:1208-1223 — $dayOfWeek histogram -------------------
+    "o11_edits_by_dow" -> Q(
+      (s, _) => docs(s)
+        .groupBy(dayofweek(col("created.timestamp")).cast("long").as("dayOfWeek"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("dayOfWeek").asc),
+      Some(s"""SELECT dayofweek(created['timestamp']) + 1 AS dayOfWeek,
+        |  COUNT(*) AS "count"
+        |FROM $D GROUP BY 1 ORDER BY dayOfWeek""".stripMargin),
+      "OSM capstone: $dayOfWeek edit histogram, 1=Sunday"),
+
+    // --- README.md:1231-1242 — edit age stats, pinned now -------------
+    "o12_edit_age_stats" -> Q(
+      (s, _) => OsmQueries.editAgeStats(docs(s), nowIso),
+      Some(s"""SELECT
+        |  MIN((epoch_ms(TIMESTAMP '$nowIso') - epoch_ms(created['timestamp'])) / 86400000.0) AS newest,
+        |  MAX((epoch_ms(TIMESTAMP '$nowIso') - epoch_ms(created['timestamp'])) / 86400000.0) AS oldest,
+        |  COUNT(*) AS n
+        |FROM $D""".stripMargin),
+      "OSM capstone: edit age in days vs pinned now ($subtract/$divide, F20)"),
+
+    // --- mapparser.py:16-21 / tags.py — raw tag-key census -------------
+    "o13_key_census" -> Q(
+      (s, _) => OsmQueries.keyClassCensus(rawTags(s)),
+      Some(s"""SELECT CASE
+        |    WHEN regexp_matches(t['_k'], '^([a-z]|_)*$$') THEN 'lower'
+        |    WHEN regexp_matches(t['_k'], '^([a-z]|_)*:([a-z]|_)*$$') THEN 'lower_colon'
+        |    WHEN regexp_matches(t['_k'], '[=\\+/&<>;''"\\?%#$$@,\\. \\t\\r\\n]') THEN 'problemchars'
+        |    ELSE 'other' END AS cls,
+        |  COUNT(*) AS "count"
+        |FROM (SELECT UNNEST(tag) AS t FROM $RT)
+        |GROUP BY 1 ORDER BY cls""".stripMargin),
+      "OSM capstone: tags.py key_type census over RAW (pre-shaping) tag arrays"))
+}

@@ -13,18 +13,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OsmXml {
 
-  private def read(spark: SparkSession, path: String, rowTag: String): DataFrame =
-    spark.read
+  private def read(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[String]): DataFrame = {
+    val r = spark.read
       .option("rowTag", rowTag)
       .option("attributePrefix", "_")
+    schema.fold(r)(s => r.schema(org.apache.spark.sql.types.StructType.fromDDL(s)))
       .xml(path)
+  }
+
+  /** Known attribute/child shape of the OSM 0.6 format. Supplying it
+    * (instead of inferring) saves the inference pass over the file AND
+    * pins optional columns (`_visible`, `tag`, `nd`) that inference
+    * drops when the sampled file lacks them — everything lands as
+    * string, exactly what OsmShape casts from anyway.
+    */
+  val nodeSchema: String =
+    "_id STRING, _lat STRING, _lon STRING, _version STRING, _changeset STRING, " +
+      "_timestamp STRING, _user STRING, _uid STRING, _visible STRING, " +
+      "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>"
+  val waySchema: String =
+    "_id STRING, _version STRING, _changeset STRING, _timestamp STRING, " +
+      "_user STRING, _uid STRING, _visible STRING, " +
+      "nd ARRAY<STRUCT<_ref: STRING>>, tag ARRAY<STRUCT<_k: STRING, _v: STRING>>"
 
   /** `<node>` elements: attributes + child `<tag k v>` array. */
-  def nodes(spark: SparkSession, path: String): DataFrame = read(spark, path, "node")
+  def nodes(spark: SparkSession, path: String, schema: Option[String] = None): DataFrame =
+    read(spark, path, "node", schema)
 
   /** `<way>` elements: attributes + `<nd ref>` + `<tag>` arrays. */
-  def ways(spark: SparkSession, path: String): DataFrame = read(spark, path, "way")
+  def ways(spark: SparkSession, path: String, schema: Option[String] = None): DataFrame =
+    read(spark, path, "way", schema)
 
   /** `<relation>` elements: attributes + `<member>` + `<tag>` arrays. */
-  def relations(spark: SparkSession, path: String): DataFrame = read(spark, path, "relation")
+  def relations(spark: SparkSession, path: String, schema: Option[String] = None): DataFrame =
+    read(spark, path, "relation", schema)
 }
