@@ -69,6 +69,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(perAsset.keySet.subsetOf(videoIds))
   }
 
+  test("100MB binary asset fixture: round-trip, partition spread, layout") {
+    import graft.pipelines.MultimodalFixture
+    MultimodalFixture.ensure(spark)
+
+    // file layout: multiple files, >=100 MB total (row groups capped at
+    // 32 MB by the writer → a column chunk never straddles a task split)
+    val files = new java.io.File(MultimodalFixture.assetsPath)
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected spread output files, got ${files.length}")
+    assert(files.map(_.length).sum >= 100L * 1024 * 1024)
+
+    // byte-packed binary scan arrives under-partitioned; ensureParallelism
+    // must spread it to the session's cores so decode isn't single-threaded
+    val raw = spark.read.parquet(MultimodalFixture.assetsPath)
+    val spread = Graft.ensureParallelism(raw)
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+
+    // round-trip totals match the generator's pure-arithmetic expectation
+    import spark.implicits._
+    val expectedBytes = (0 until MultimodalFixture.nAssets)
+      .map(i => MultimodalFixture.payloadLen(i.toLong).toLong).sum
+    val decoded = graft.operators.Multimodal.decode(
+      spread.as[graft.operators.Multimodal.Asset])
+    val Array(row) = decoded
+      .agg(count(lit(1)), sum(col("byte_size"))).collect()
+    assert(row.getLong(0) == MultimodalFixture.nAssets.toLong)
+    assert(row.getLong(1) == expectedBytes, s"byte total drifted: ${row.getLong(1)} != $expectedBytes")
+  }
+
   test("sessionize: session_window gap sessions, stream and batch agree") {
     // batch path
     val dir = "/root/testdata/sf0.001"
