@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleanSuite, Core, EventSuite, MultimodalSuite, OsmSuite, TextSuite, VectorSuite, Q}
+import graft.queries.{CleanSuite, Core, ErcotSuite, EventSuite, MultimodalSuite, OsmSuite, TextSuite, VectorSuite, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   val all: Map[String, Q] =
     Core.queries ++ TextSuite.queries ++ VectorSuite.queries ++
       EventSuite.queries ++ CleanSuite.queries ++ OsmSuite.queries ++
-      MultimodalSuite.queries
+      MultimodalSuite.queries ++ ErcotSuite.queries
 
   /** One-time fixture builds (the ~50 MB OSM extract) — called by
     * Bench/Verify up front so no single query's timing pays the build.
@@ -29,6 +29,9 @@ object SparkEntry {
     try graft.pipelines.MultimodalFixture.ensure(spark)
     catch { case e: Throwable =>
       System.err.println(s"[warm] multimodal fixture build failed: ${e.getMessage}") }
+    try graft.pipelines.Ercot.ensure(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[warm] ERCOT fixture build failed: ${e.getMessage}") }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -232,8 +232,11 @@ object Clean {
     regexp_extract(fileName, "([A-Z0-9]{2})-([A-Z]{3})\\.html", 2)
 
   /** Excel serial date (days since 1899-12-30) → timestamp (S5,
-    * 01-data-extraction-fundamentals/excel_csv.py:33-41).
+    * 01-data-extraction-fundamentals/excel_csv.py:33-41). Seconds are
+    * ROUNDED half-up like xlrd.xldate_as_tuple — fractional hours store
+    * as repeating binary (0.041666… × 86400 = 3599.99999…), and
+    * truncation would shift them a full second (01:00:00 → 00:59:59).
     */
   def excelSerialToTimestamp(c: Column): Column =
-    timestamp_seconds(((c - lit(25569.0)) * 86400.0).cast("long"))
+    timestamp_seconds(((c - lit(25569.0)) * 86400.0 + lit(0.5)).cast("long"))
 }
