@@ -133,6 +133,55 @@ object OsmSuite {
         |FROM $D""".stripMargin),
       "OSM capstone: edit age in days vs pinned now ($subtract/$divide, F20)"),
 
+    // --- geospatial extension: grid-cell density over pos --------------
+    // The reference stores pos=[lat,lon] (README.md:580) but never
+    // queries it; this is the density query a user of the shaped
+    // collection would run. Pure double arithmetic → exact mirror.
+    "o14_grid_density" -> Q(
+      (s, _) => docs(s).filter(col("type") === "node")
+        .groupBy(
+          graft.operators.Geo.cell(col("pos")(0), 0.02).as("cell_lat"),
+          graft.operators.Geo.cell(col("pos")(1), 0.02).as("cell_lon"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col("cell_lat").asc, col("cell_lon").asc)
+        .limit(20),
+      Some(s"""SELECT CAST(FLOOR(pos[1] / 0.02) AS BIGINT) AS cell_lat,
+        |  CAST(FLOOR(pos[2] / 0.02) AS BIGINT) AS cell_lon,
+        |  COUNT(*) AS "count"
+        |FROM $D WHERE type = 'node'
+        |GROUP BY 1, 2 ORDER BY "count" DESC, cell_lat ASC, cell_lon ASC
+        |LIMIT 20""".stripMargin),
+      "Geo extension: 0.02-degree grid-cell density of nodes (top 20 cells)"),
+
+    // --- geospatial extension: grid-blocked box join -------------------
+    // Spark side: Geo.boxJoin (cell equi-join candidates + exact box
+    // verify — never a cross join). DuckDB mirrors with the plain
+    // inequality join; both produce the identical pair set.
+    "o15_nearby_restaurants" -> Q(
+      (s, _) => {
+        val nodes = docs(s).filter(col("type") === "node")
+        val banks = nodes.filter(col("amenity") === "bank")
+          .select(col("id").as("b_id"), col("pos")(0).as("b_lat"),
+            col("pos")(1).as("b_lon"))
+        val rests = nodes.filter(col("amenity") === "restaurant")
+          .select(col("id").as("r_id"), col("pos")(0).as("r_lat"),
+            col("pos")(1).as("r_lon"))
+        graft.operators.Geo.boxJoin(banks, rests,
+            "b_lat", "b_lon", "r_lat", "r_lon", 0.01)
+          .groupBy("b_id").agg(count(lit(1)).as("n_nearby"))
+          .orderBy(col("n_nearby").desc, col("b_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH b AS (SELECT id AS b_id, pos[1] AS b_lat, pos[2] AS b_lon
+        |  FROM $D WHERE type = 'node' AND amenity = 'bank'),
+        |r AS (SELECT id AS r_id, pos[1] AS r_lat, pos[2] AS r_lon
+        |  FROM $D WHERE type = 'node' AND amenity = 'restaurant')
+        |SELECT b_id, COUNT(*) AS n_nearby
+        |FROM b JOIN r ON abs(b_lat - r_lat) <= 0.01 AND abs(b_lon - r_lon) <= 0.01
+        |GROUP BY b_id ORDER BY n_nearby DESC, b_id ASC LIMIT 20""".stripMargin),
+      "Geo extension: restaurants within a 0.01-degree box of each bank " +
+        "(grid-blocked candidates + exact verify vs DuckDB's direct theta join)"),
+
     // --- mapparser.py:16-21 / tags.py — raw tag-key census -------------
     "o13_key_census" -> Q(
       (s, _) => OsmQueries.keyClassCensus(rawTags(s)),

@@ -223,7 +223,30 @@ object TextSuite {
         |WHERE ((((doc_id % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648
         |      < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END) * 2147483648.0
         |GROUP BY lang ORDER BY lang""".stripMargin),
-      "Reproducible stratified sampling via engine-replicable hash (training-data op)")
+      "Reproducible stratified sampling via engine-replicable hash (training-data op)"),
+
+    // --- HLL sketch surface (A7 extension, SURVEY §7.2) ---------------
+    // An approximate aggregate can't hash-match another engine's exact
+    // value, but its ERROR CONTRACT can: the query emits the exact
+    // distinct-token count plus whether the HyperLogLog++ estimate
+    // (rsd=0.02) landed within 5% of it; the oracle asserts the same
+    // exact count and a literal TRUE. HLL++ is deterministic for fixed
+    // data, so the row is stable — and a sketch regression (or a broken
+    // tokenizer) flips the boolean and fails the hash gate loudly.
+    "x11_hll_distinct_tokens" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+        toks.agg(
+            countDistinct(col("tok")).as("n_exact"),
+            approx_count_distinct(col("tok"), 0.02).as("n_approx"))
+          .select(col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              col("n_exact") * lit(0.05)).as("hll_ok"))
+      },
+      Some(s"""SELECT COUNT(DISTINCT t) AS n_exact, TRUE AS hll_ok
+        |FROM (SELECT UNNEST($sqlTokens) AS t FROM documents)""".stripMargin),
+      "HLL++ distinct-token sketch with an oracle-checked 5% error contract")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

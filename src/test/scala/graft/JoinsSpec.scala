@@ -48,4 +48,24 @@ class JoinsSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Long, Long)].collect().sorted
     assert(out === Array((1L, 10L), (2L, 20L), (3L, 10L), (3L, 20L)))
   }
+
+  test("Geo.boxJoin equals the brute-force box join, incl. cell-boundary points") {
+    import graft.operators.Geo
+    // deterministic scatter with points ON cell boundaries (multiples of r)
+    val r = 0.01
+    val pts = (0 until 300).map { i =>
+      val lat = 37.70 + (i % 17) * 0.0031 + (if (i % 5 == 0) 0.01 else 0.0)
+      val lon = -122.30 + (i % 23) * 0.0027
+      (i.toLong, lat, lon)
+    }
+    val left = pts.filter(_._1 % 3 == 0).toDF("a_id", "a_lat", "a_lon")
+    val right = pts.filter(_._1 % 3 != 0).toDF("b_id", "b_lat", "b_lon")
+    val blocked = Geo.boxJoin(left, right, "a_lat", "a_lon", "b_lat", "b_lon", r)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    val brute = left.crossJoin(right)
+      .filter(abs(col("a_lat") - col("b_lat")) <= r &&
+        abs(col("a_lon") - col("b_lon")) <= r)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    assert(brute.nonEmpty && blocked === brute)
+  }
 }
