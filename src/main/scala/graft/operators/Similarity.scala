@@ -129,12 +129,57 @@ object Similarity {
       .drop("__csim", "__rank", "centroid")
   }
 
+  /** Lloyd k-means refinement of the deterministic seed centroids:
+    * `iterations` rounds of (assign to nearest centroid by double
+    * cosine, tie → lowest cell id) then (recompute centroid as the
+    * per-dimension mean of members). Everything about it is
+    * deterministic and engine-replicable:
+    *   - seeds are the `nCells` lowest-id vectors (cell label = seed id,
+    *     stable across iterations; emptied cells disappear);
+    *   - means accumulate in DECIMAL (order-independent — a plain double
+    *     sum would make centroids partitioning-dependent), surfaced as
+    *     float like the input vectors.
+    * Centroids are collected per iteration: they are the algorithm's
+    * O(nCells·dim) aggregate state (exactly what MLlib's KMeans keeps on
+    * the driver), NOT data — at 100 TB this is still a few MB, and it
+    * turns each assignment into a broadcast of literals instead of a
+    * recomputed subplan.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iterations: Int = 2, seedOffset: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
+    for (_ <- 1 to iterations) {
+      val assigned = assignToCells(c, "id", "vec", centroids, keep = 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        // exact-decimal sum (order-independent), ONE cast to double, then
+        // a double/double divide — decimal division itself is avoided
+        // because its result precision/rounding rules are engine-specific
+        .agg((sum(col("x").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+      val rows = means.orderBy("cell").collect()
+      import scala.jdk.CollectionConverters._
+      centroids = broadcast(spark.createDataFrame(rows.toSeq.asJava, means.schema))
+    }
+    centroids
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
-      nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false,
+      kmeansIterations: Int = 0): DataFrame = {
     val c = graft.Graft.ensureParallelism(candidates)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-    val centroids = lowestIdCentroids(c, "vec_id", "cvec", nCells)
+    val centroids =
+      if (kmeansIterations > 0)
+        kmeansCentroids(c, "vec_id", "cvec", nCells, kmeansIterations)
+      else lowestIdCentroids(c, "vec_id", "cvec", nCells)
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       assignToCells(df, id, vec, centroids, keep)
     val assigned = assign(c, "vec_id", "cvec", keep = 1)

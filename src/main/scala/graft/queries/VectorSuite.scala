@@ -233,6 +233,56 @@ object VectorSuite {
         |SELECT id1, id2, ${sqlCos("v1", "v2")} AS sim
         |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
         |ORDER BY id1, id2""".stripMargin),
-      "IVF-cell-blocked cosine near-dups: multi-table per-cell pairs + exact re-score")
+      "IVF-cell-blocked cosine near-dups: multi-table per-cell pairs + exact re-score"),
+
+    // --- IVF ANN with k-means refined centroids -----------------------
+    // The quantizer is 2 Lloyd iterations from the deterministic seeds:
+    // assign (double cosine, tie → lowest cell) then per-dimension mean
+    // (exact-decimal accumulation → one cast to double → double divide →
+    // float), all engine-replicable — the oracle re-runs both iterations
+    // in SQL and must land on the identical centroids, cells, candidate
+    // sets, and ranking.
+    "v8_ivf_kmeans_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = 16, nProbe = 3, exact = true, kmeansIterations = 2)
+          .orderBy("qid", "rn")
+      },
+      Some {
+        val means = (1 to 64).map(i =>
+          s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+        def assign(cents: String, keep: Int) =
+          s"""SELECT vec_id, vec, cell FROM (
+          |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
+          |      PARTITION BY e.vec_id
+          |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+          |    FROM embeddings e CROSS JOIN $cents c) WHERE rk <= $keep"""
+        s"""WITH seed AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |a1 AS (${assign("seed", 1)}),
+        |c1 AS (SELECT cell, [$means] AS centroid FROM a1 GROUP BY cell),
+        |a2 AS (${assign("c1", 1)}),
+        |c2 AS (SELECT cell, [$means] AS centroid FROM a2 GROUP BY cell),
+        |assigned AS (${assign("c2", 1)}),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
+        |      PARTITION BY qq.vec_id
+        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings qq CROSS JOIN c2 c WHERE qq.vec_id < 5) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "vec")} AS sim
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+      },
+      "IVF ANN with Lloyd k-means centroids: 2 deterministic refinement iterations")
   )
 }
