@@ -152,4 +152,27 @@ object Text {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing — regex patterns chosen from the Java∩RE2 common
+  // dialect (no backreferences, no lookaround) so the DuckDB oracle runs
+  // the literally identical pattern.
+  // ---------------------------------------------------------------------
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long")
+
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long")
+
+  /** Replace every email and phone occurrence with typed placeholder
+    * tokens — the irreversible pre-training scrub (counts above let a
+    * pipeline audit what was removed).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

@@ -14,6 +14,9 @@ object TextSuite {
 
   // DuckDB fragment: whitespace tokens of trimmed text.
   private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
+  // DuckDB fragment: 3-token shingles of `text` (mirrors Text.wordShingles).
+  private val sqlShingles3 =
+    s"list_transform(generate_series(1, greatest(len($sqlTokens) - 2, 0)), i -> array_to_string(list_slice($sqlTokens, i, i + 2), ' '))"
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -246,7 +249,155 @@ object TextSuite {
       },
       Some(s"""SELECT COUNT(DISTINCT t) AS n_exact, TRUE AS hll_ok
         |FROM (SELECT UNNEST($sqlTokens) AS t FROM documents)""".stripMargin),
-      "HLL++ distinct-token sketch with an oracle-checked 5% error contract")
+      "HLL++ distinct-token sketch with an oracle-checked 5% error contract"),
+
+    // --- eval-set contamination check ---------------------------------
+    // Benchmark decontamination: which training docs share >= 3 distinct
+    // 3-token shingles with an eval doc (here: doc_id % 29 == 0 plays the
+    // benchmark suite). Same scale shape as x6 — shingle-hash equi-join
+    // with the train-side df cap, never a corpus product; the oracle
+    // rebuilds the cap, the join, and the overlap fractions on string
+    // shingles (hash-set counts equal string-set counts, as in x6).
+    "x12_contamination" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.crossCorpusOverlap(docs, docs.filter(col("doc_id") % 29 === 0),
+            "doc_id", "text", shingleSize = 3, minShared = 3, maxDocFreq = 100)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sets AS (
+        |  SELECT doc_id AS id, unnest(list_distinct($sqlShingles3)) AS sh
+        |  FROM documents),
+        |capped AS (
+        |  SELECT id, sh FROM (
+        |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sets)
+        |  WHERE df <= 100),
+        |esize AS (
+        |  SELECT doc_id AS eval_id, len(list_distinct($sqlShingles3)) AS esz
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |shared AS (
+        |  SELECT e.id AS eval_id, t.id AS train_id, COUNT(*) AS n_shared
+        |  FROM capped t JOIN sets e ON t.sh = e.sh
+        |  WHERE e.id % 29 = 0 AND t.id <> e.id
+        |  GROUP BY e.id, t.id HAVING COUNT(*) >= 3)
+        |SELECT s.eval_id, s.train_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+        |  CAST(s.n_shared AS DOUBLE) / CAST(z.esz AS DOUBLE) AS overlap_frac
+        |FROM shared s JOIN esize z ON z.eval_id = s.eval_id
+        |ORDER BY s.eval_id, s.train_id""".stripMargin),
+      "Eval-set contamination: df-capped shingle overlap between corpora (decontamination op)"),
+
+    // --- within-doc repetition signal (Gopher-style quality rule) ------
+    "x13_repetition_ratio" -> Q(
+      (s, dir) => {
+        val sh = Text.wordShingles(col("text"), 3)
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            size(sh).cast("long").as("n_shingles"),
+            size(array_distinct(sh)).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - col("n_distinct").cast("double") /
+              greatest(col("n_shingles"), lit(1L)).cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len($sqlShingles3) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct($sqlShingles3)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct($sqlShingles3)) AS DOUBLE) /
+        |    CAST(greatest(len($sqlShingles3), 1) AS DOUBLE) AS rep_ratio
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      "Repeated-shingle fraction per doc — the within-doc repetition quality signal"),
+
+    // --- TF-IDF top terms ---------------------------------------------
+    // Rational idf (N+1)/(df+1) instead of ln(): integer-derived doubles
+    // with ONE division are bit-identical across engines, while libm log
+    // differs in the last ulp. Document frequencies aggregate from the
+    // tf table (already one row per (doc, term)); at scale the df table
+    // is vocabulary-sized and broadcast.
+    "x14_tfidf_topterms" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok").asc)
+        tf.filter(col("doc_id") < 50)
+          .join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", (col("tf") * (col("n_docs") + 1)).cast("double") /
+            (col("df") + 1).cast("double"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            col("tfidf"), col("rn"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.tok, tf.tf, dfreq.df,
+        |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n WHERE doc_id < 50),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  tfidf, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      "TF-IDF top-3 terms per doc (rational idf; vocabulary-sized df table broadcast)"),
+
+    // --- PII scrubbing -------------------------------------------------
+    // The corpus is synthetic word soup with no natural PII, so the query
+    // PLANTS deterministic emails/phones derived from doc_id (presence
+    // varies by id so the counts aren't constant), then counts and
+    // redacts them. Patterns live in the Java∩RE2 regex dialect — the
+    // oracle runs the literally identical pattern strings.
+    "x15_pii_scrub" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val raw = concat(
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit("u"), col("doc_id").cast("string"), lit("@example.com ")))
+            .otherwise(lit("")),
+          substring(col("text"), 1, 60),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call ("), (col("doc_id") % 800 + 200).cast("string"),
+              lit(") 555-"),
+              lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        docs.filter(col("doc_id") < 100)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            Text.emailCount(col("raw")).as("n_emails"),
+            Text.phoneCount(col("raw")).as("n_phones"),
+            Text.redactPii(col("raw")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 0
+        |      THEN 'u' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END
+        |    || substr(text, 1, 60)
+        |    || CASE WHEN doc_id % 2 = 0
+        |      THEN ' call (' || CAST(doc_id % 800 + 200 AS VARCHAR) || ') 555-'
+        |        || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS raw
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '${Text.emailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '${Text.phonePattern}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw, '${Text.emailPattern}', '<EMAIL>', 'g'),
+        |    '${Text.phonePattern}', '<PHONE>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin),
+      "PII scrub: count + redact emails/phones with engine-identical regexes")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
