@@ -52,6 +52,20 @@ object EventStream {
   // flatMapGroupsWithState, which this Spark build also mis-plans —
   // see the verify skill's gotchas).
 
+  /** Streaming exact dedup on `event_id` — the streaming twin of
+    * Dedup.exact. `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes the key's event time, which is the
+    * only dedup contract with BOUNDED state on an unbounded stream (a
+    * plain dropDuplicates would retain every key forever); duplicates
+    * arriving within the horizon — the at-least-once-delivery case — are
+    * dropped exactly.
+    */
+  def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Per-user gap sessions: event-time `session_window(ts, gap)` with a
     * watermark. Works identically over a stream (append after watermark)
     * and a batch frame.

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing = the pre-shuffle: tables written `bucketBy(n, key)` are
+  * already hash-partitioned on disk, so an equi-join on the bucket key
+  * needs NO exchange on either side — the co-located-join shape the
+  * 100 TB posture calls for when the same fact table is joined on the
+  * same key repeatedly (each query re-reads buckets instead of
+  * re-shuffling the corpus).
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed equi-join plans with zero Exchange on either side") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Graft.table(spark, dir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Graft.table(spark, dir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+
+      // the aggregation itself still exchanges on its (different) key;
+      // the JOIN subtree must not — walk the plan below the join
+      val plan = j.queryExecution.executedPlan match {
+        // AdaptiveSparkPlanExec is a collect() leaf — unwrap to its
+        // current physical plan so the traversal sees the join subtree
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val joinNode = plan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(joinNode.nonEmpty, s"expected SortMergeJoin, got:\n$plan")
+      val exchangesBelowJoin = joinNode.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchangesBelowJoin.isEmpty,
+        s"bucketed join must not shuffle either side:\n${joinNode.head}")
+
+      // and the result is the unbucketed answer
+      val expected = Graft.table(spark, dir, "orders")
+        .join(Graft.table(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(j.orderBy("c_mktsegment").collect().toSeq ==
+        expected.orderBy("c_mktsegment").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}

@@ -42,6 +42,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(joined == 0, "streamed window counts diverge from batch")
   }
 
+  test("streaming dedup drops at-least-once re-deliveries (batch twin: distinct ids)") {
+    val dir = "/root/testdata/sf0.001"
+    // stage the SAME events file twice: every event arrives exactly twice,
+    // the at-least-once redelivery case dropDuplicatesWithinWatermark exists for
+    val stage = java.nio.file.Files.createTempDirectory("events_dup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events_b.parquet"))
+    val q = EventStream.dedupe(EventStream.read(spark, stage.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").count()
+    val batch = EventStream.dedupe(Graft.table(spark, dir, "events")).count()
+    val total = Graft.table(spark, dir, "events").count()
+    assert(got == batch && got == total,
+      s"stream dedup=$got batch twin=$batch original=$total")
+    // and the ids themselves are unique
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == got)
+  }
+
   test("multimodal decode/features/frames plumbing") {
     import spark.implicits._
     val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
