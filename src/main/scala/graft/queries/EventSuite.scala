@@ -170,6 +170,32 @@ object EventSuite {
         |FROM iv JOIN events e
         |  ON CAST(e.ts AS TIMESTAMP) >= ws AND CAST(e.ts AS TIMESTAMP) < we
         |GROUP BY window_id ORDER BY window_id""".stripMargin),
-      "Interval-containment join via time-bucket equi-join (scalable range-join shape)")
+      "Interval-containment join via time-bucket equi-join (scalable range-join shape)"),
+
+    // --- stream-stream interval join, batch twin ----------------------
+    // The SAME EventStream.viewToPurchase runs as a watermarked
+    // stream-stream join (StreamingMultimodalSpec asserts stream ==
+    // batch); declared here in batch form so the pairing itself is
+    // DuckDB-oracled: per user, the (view, purchase<=1h later) pair
+    // count and the fastest view→purchase lag.
+    "e8_view_to_purchase" -> Q(
+      (s, dir) => {
+        val pairs = graft.streaming.EventStream.viewToPurchase(
+          table(s, dir, "events"))
+        pairs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(graft.functions.Clean.epochMillis(col("buy_ts")) -
+              graft.functions.Clean.epochMillis(col("view_ts"))).as("min_lag_ms"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT v.user_id, COUNT(*) AS n_pairs,
+        |  MIN(epoch_ms(CAST(b.ts AS TIMESTAMP)) - epoch_ms(CAST(v.ts AS TIMESTAMP))) AS min_lag_ms
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
+        |  ON b.user_id = v.user_id
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin),
+      "Per-user view→purchase funnel pairs within 1 h (stream-stream interval-join twin)")
   )
 }

@@ -66,6 +66,35 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join: every (view, purchase) pair by the
+    * same user with the purchase inside [view_ts, view_ts + horizon].
+    *
+    * On streams both sides carry a watermark and the join condition
+    * bounds event-time distance — exactly what Spark needs to EXPIRE
+    * per-key join state (a stream-stream join without the time bound
+    * would buffer both streams forever). On batch frames the same code
+    * is a plain equi-join with a range predicate: the equi-key
+    * (user_id) carries the shuffle; the range is a post-filter, so the
+    * shape survives any corpus size.
+    */
+  def viewToPurchase(events: DataFrame, horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val views = wm(events.filter(col("event_type") === "view"))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val buys = wm(events.filter(col("event_type") === "purchase"))
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("buy_id"), col("buy_ts"))
+  }
+
   /** Per-user gap sessions: event-time `session_window(ts, gap)` with a
     * watermark. Works identically over a stream (append after watermark)
     * and a batch frame.

@@ -66,6 +66,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == got)
   }
 
+  test("stream-stream interval join matches the batch twin (e8)") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("events_join_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = EventStream.read(spark, stage.toString)
+    val q = EventStream.viewToPurchase(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("v2p_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("v2p_out")
+      .select("user_id", "view_id", "buy_id").collect().toSet
+    // batch twin over the identical rows — ts surfaces as TIMESTAMP (not
+    // NTZ) via EventStream.storedSchema to match the stream exactly
+    val batchEvents = spark.read.schema(EventStream.storedSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.viewToPurchase(batchEvents)
+      .select("user_id", "view_id", "buy_id").collect().toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size} pairs")
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal decode/features/frames plumbing") {
     import spark.implicits._
     val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
