@@ -389,6 +389,33 @@ object CleanSuite {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      "Exact interpolated percentiles (median/p90) — §2.5 extension")
+      "Exact interpolated percentiles (median/p90) — §2.5 extension"),
+
+    // --- quantile sketch with an error contract ------------------------
+    // The scale path when c18's exact percentile (a full sort per group)
+    // is too expensive: approx_percentile's sketch guarantees rank error
+    // <= n/accuracy. Same oracle trick as x11_hll: the emitted columns
+    // are the exact value and the CONTRACT VERDICT — Spark computes the
+    // verdict for real (approx median must lie between the exact 48th
+    // and 52nd percentiles, a rank window hundreds of times wider than
+    // the sketch's guarantee at accuracy=10000), DuckDB emits TRUE.
+    "c19_percentile_sketch" -> Q(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_exact"),
+            expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__approx"),
+            expr("percentile(o_totalprice, 0.48)").as("__lo"),
+            expr("percentile(o_totalprice, 0.52)").as("__hi"))
+          .select(col("o_orderpriority"), col("median_exact"),
+            (col("__approx") >= col("__lo") &&
+              col("__approx") <= col("__hi")).as("sketch_ok"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+        |  TRUE AS sketch_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "Quantile sketch (approx_percentile) with an oracle-checked rank-error contract")
   )
 }

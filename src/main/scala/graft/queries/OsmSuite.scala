@@ -182,6 +182,52 @@ object OsmSuite {
       "Geo extension: restaurants within a 0.01-degree box of each bank " +
         "(grid-blocked candidates + exact verify vs DuckDB's direct theta join)"),
 
+    // --- skew extension: salted exact distinct count -------------------
+    // The fixture reproduces the reference's real skew (top contributor
+    // owns ~27% of docs, README.md:923). countDistinct state for that
+    // key cannot be split by partial aggregation; Skew.saltedDistinctCount
+    // spreads it over hash(value)-derived sub-keys. Result is EXACT —
+    // the oracle is the plain COUNT(DISTINCT).
+    "o16_salted_distinct_changesets" -> Q(
+      (s, _) => {
+        val d = docs(s).select(col("created.user").as("user"),
+          col("created.changeset").as("changeset"))
+        graft.operators.Skew.saltedDistinctCount(d, "user", "changeset", 32)
+          .orderBy(col("n_distinct").desc, col("user").asc)
+          .limit(5)
+      },
+      Some(s"""SELECT created['user'] AS "user",
+        |  COUNT(DISTINCT created['changeset']) AS n_distinct
+        |FROM $D GROUP BY 1
+        |ORDER BY n_distinct DESC, "user" ASC LIMIT 5""".stripMargin),
+      "Skew extension: top-5 users by distinct changesets via salted " +
+        "two-phase distinct (exact; hot key's state spread over 32 sub-keys)"),
+
+    // --- skew extension: salted equi-join ------------------------------
+    // Join the skewed fact (27% of rows share one user) to a per-user
+    // dim with the hot key spread over 16 salts. Row multiplicity is
+    // unchanged, so the oracle is the plain join.
+    "o17_salted_hot_join" -> Q(
+      (s, _) => {
+        val d = docs(s).select(col("id"), col("created.user").as("user"),
+          col("created.timestamp").as("ts"))
+        val dim = d.groupBy("user").agg(min("ts").as("first_ts"))
+        graft.operators.Skew.saltedJoin(d, dim, "user", Seq("id"), 16)
+          .filter(col("ts") < col("first_ts") + expr("INTERVAL 30 DAYS"))
+          .groupBy("user").agg(count(lit(1)).as("n_early"))
+          .orderBy(col("n_early").desc, col("user").asc)
+          .limit(10)
+      },
+      Some(s"""WITH d AS (SELECT id, created['user'] AS u,
+        |    created['timestamp'] AS ts FROM $D),
+        |dim AS (SELECT u, MIN(ts) AS first_ts FROM d GROUP BY 1)
+        |SELECT d.u AS "user", COUNT(*) AS n_early
+        |FROM d JOIN dim ON d.u = dim.u
+        |WHERE d.ts < dim.first_ts + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY n_early DESC, "user" ASC LIMIT 10""".stripMargin),
+      "Skew extension: docs within 30 days of each user's first edit — " +
+        "salted equi-join (hot key over 16 salts), oracle = plain join"),
+
     // --- mapparser.py:16-21 / tags.py — raw tag-key census -------------
     "o13_key_census" -> Q(
       (s, _) => OsmQueries.keyClassCensus(rawTags(s)),

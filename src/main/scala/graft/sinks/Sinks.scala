@@ -38,4 +38,26 @@ object Sinks {
     back.createOrReplaceTempView(viewName)
     back
   }
+
+  /** Range-sorted parquet layout: globally range-partition on `sortCols`
+    * then sort within partitions before writing.
+    *
+    * This is the data-skipping lever at rest: each parquet row group's
+    * min/max statistics cover a NARROW, disjoint slice of the sort key,
+    * so a pushed-down range/equality predicate skips whole row groups
+    * (and, with one file per range, whole files) instead of decoding and
+    * filtering every page. On an unsorted layout every row group's
+    * min/max spans the full domain and nothing can be skipped — at
+    * 100 TB that is the difference between scanning the partition
+    * pruned-to and scanning everything in it. LayoutSpec measures the
+    * scan-metric difference on identical data.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }
