@@ -182,4 +182,65 @@ class StreamingMultimodalSpec extends SparkSpec {
       Seq("user_id", "start", "end", "n_events"), "left_anti").count()
     assert(mismatched == 0, "streamed session not present in batch result")
   }
+
+  test("checkpointed restart: state restored, redeliveries dropped, new rows flow") {
+    // The failure-recovery contract a 100 TB stream lives on: the
+    // checkpoint persists source offsets, watermark, AND dedup state, so
+    // a restarted query neither re-emits what it already wrote (parquet
+    // sink commits via its metadata log) nor re-admits redelivered
+    // events — while genuinely new events keep flowing.
+    val dir = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("events_ckpt_stage")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt_meta")
+    val outDir = java.nio.file.Files.createTempDirectory("events_ckpt_out")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events_a.parquet"))
+
+    def runOnce(): Unit = {
+      val q = EventStream.dedupe(EventStream.read(spark, stage.toString))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+
+    runOnce() // run 1: processes file a, then terminates (simulated stop)
+    val total = Graft.table(spark, dir, "events").count()
+    assert(spark.read.parquet(outDir.toString).count() == total)
+
+    // redeliver the ENTIRE original file (every event a duplicate), plus
+    // 5 genuinely new events 3 h past the old max ts (ahead of the
+    // restored watermark, so they must flow)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events_b.parquet"))
+    val raw = spark.read.schema(EventStream.storedSchema)
+      .parquet(stage.resolve("events_a.parquet").toString)
+    val Array(maxId, maxTs) = raw.agg(max(col("event_id")), max(col("ts")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val tmpNew = java.nio.file.Files.createTempDirectory("events_ckpt_new")
+    raw.orderBy(col("event_id")).limit(5)
+      .withColumn("event_id", col("event_id") + lit(maxId + 1))
+      // 3 h PAST the restored watermark (maxTs - 2 h), so they must flow
+      .withColumn("ts", lit(maxTs) + lit(3L * 3600L * 1000L * 1000L * 1000L))
+      .coalesce(1).write.mode("overwrite").parquet(tmpNew.toString)
+    val part = java.nio.file.Files.list(tmpNew).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var copied = false
+    while (part.hasNext && !copied) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, stage.resolve("events_c.parquet"))
+        copied = true
+      }
+    }
+    assert(copied, "no part file written for the new events")
+
+    runOnce() // run 2: restart from the same checkpoint
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() == total + 5,
+      s"expected exactly-once output ${total + 5}, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == total + 5)
+  }
 }
