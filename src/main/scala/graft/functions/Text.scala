@@ -20,6 +20,22 @@ object Text {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** GPT-2-style pre-tokenizer ("BPE-ish"): contraction suffixes, then
+    * letter / digit / other runs, each with an optional leading space —
+    * the published GPT-2 pattern minus its `\s+(?!\S)` branch (RE2, and
+    * therefore the DuckDB oracle, has no lookahead; inter-token
+    * whitespace is consumed by the leading ` ?` and whitespace-only runs
+    * are simply not tokens, which is what token COUNTING wants).
+    * Unicode-aware on both engines: Java and RE2 agree on \p{L}/\p{N}.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Character n-grams (positions 1..len-n+1). */
   def charNgrams(c: Column, n: Int): Column =
     transform(

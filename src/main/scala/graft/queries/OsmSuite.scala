@@ -228,6 +228,26 @@ object OsmSuite {
       "Skew extension: docs within 30 days of each user's first edit — " +
         "salted equi-join (hot key over 16 salts), oracle = plain join"),
 
+    // --- §1.3's load-bearing mapping: $exists on the OPEN TAG TAIL -----
+    // Promoted columns answer $exists with IS NOT NULL; every OTHER tag
+    // key lives in `tags map<string,string>` and $exists becomes
+    // map_contains_key — this query exercises exactly that surface
+    // (presence test + value extraction on the map), which no promoted-
+    // column query touches.
+    "o18_tail_exists" -> Q(
+      (s, _) =>
+        docs(s).filter(map_contains_key(col("tags"), "building"))
+          .groupBy(col("type"),
+            element_at(col("tags"), "source").isNotNull.as("has_source"))
+          .agg(count(lit(1)).as("count"))
+          .orderBy(col("type").asc, col("has_source").asc),
+      Some(s"""SELECT type, (tags['source'])[1] IS NOT NULL AS has_source,
+        |  COUNT(*) AS "count"
+        |FROM $D WHERE list_contains(map_keys(tags), 'building')
+        |GROUP BY 1, 2 ORDER BY type ASC, has_source ASC""".stripMargin),
+      "$exists on the open tag tail (tags map): presence + extraction, " +
+        "the SURVEY §1.3 dynamic-document mapping"),
+
     // --- mapparser.py:16-21 / tags.py — raw tag-key census -------------
     "o13_key_census" -> Q(
       (s, _) => OsmQueries.keyClassCensus(rawTags(s)),

@@ -20,7 +20,36 @@ object TextSuite {
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  // DuckDB fragment: BPE-ish pre-tokenizer (mirrors Text.bpePattern —
+  // same RE2∩Java regex, apostrophe doubled for the SQL literal).
+  private val sqlBpe =
+    "regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+', 0)"
+
   val queries: Map[String, Q] = Map(
+
+    // --- BPE-ish subword counting -------------------------------------
+    // The cost model for LLM training data is subword tokens, not
+    // whitespace words; fertility (subwords per word) is the per-language
+    // signal. Pure codegen'd regexp over the scan — no shuffle beyond
+    // the 10-group aggregate.
+    "x16_bpe_fertility" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            sum(Text.bpeTokenCount(col("text"))).as("total_bpe"),
+            sum(Text.tokenCount(col("text"))).as("total_ws"),
+            (sum(Text.bpeTokenCount(col("text"))).cast("double") /
+              greatest(sum(Text.tokenCount(col("text"))), lit(1L))
+                .cast("double")).as("fertility"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang,
+        |  CAST(SUM(len($sqlBpe)) AS BIGINT) AS total_bpe,
+        |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS total_ws,
+        |  CAST(SUM(len($sqlBpe)) AS DOUBLE) /
+        |    CAST(GREATEST(SUM(len($sqlTokens)), 1) AS DOUBLE) AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "BPE-ish (GPT-2 pre-tokenizer regex) token counting + per-language fertility"),
 
     // --- token counting -----------------------------------------------
     "x1_token_stats" -> Q(

@@ -28,6 +28,18 @@ class TextDedupSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("bpeTokens: GPT-2 pre-tokenizer splits, unicode-aware") {
+    val r = Seq("Hello, world's 42 cafés!").toDF("t")
+      .select(Text.bpeTokens(col("t")).as("toks"),
+        Text.bpeTokenCount(col("t")).as("n")).collect()(0)
+    assert(r.getSeq[String](0) ==
+      Seq("Hello", ",", " world", "'s", " 42", " cafés", "!"))
+    assert(r.getLong(1) == 7L)
+    val empty = Seq("").toDF("t")
+      .select(Text.bpeTokenCount(col("t"))).collect()(0).getLong(0)
+    assert(empty == 0L)
+  }
+
   test("charNgrams") {
     val r = Seq("abcd").toDF("t")
       .select(Text.charNgrams(col("t"), 3)).collect()(0).getSeq[String](0)
