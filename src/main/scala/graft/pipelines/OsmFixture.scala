@@ -28,19 +28,32 @@ object OsmFixture {
   def docsPath: String = s"$root/docs.parquet"
   def rawTagsPath: String = s"$root/raw_tags.parquet"
 
+  /** Bump when GenOsm's output changes: a cached fixture built by an
+    * older generator silently diverges from the code otherwise.
+    * v2: contributor skew planted (top user ~27%, as in the reference).
+    */
+  val generatorVersion = 2
+  private def versionPath = s"$root/GENERATOR_VERSION"
+  private def cachedVersion: Int =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(versionPath)).trim.toInt
+    catch { case _: Throwable => 0 }
+
   @volatile private var ready = false
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
     if (!new File(s"$docsPath/_SUCCESS").exists() ||
-        !new File(s"$rawTagsPath/_SUCCESS").exists()) build(spark)
+        !new File(s"$rawTagsPath/_SUCCESS").exists() ||
+        cachedVersion != generatorVersion) build(spark)
     ready = true
   }
 
-  /** Generate XML (if absent), shape, write parquet. ~1 min, once. */
+  /** Generate XML (if absent or stale), shape, write parquet. ~1 min, once. */
   def build(spark: SparkSession): Unit = {
     graft.Graft.tune(spark)
-    if (!new File(xmlPath).exists()) GenOsm.write(xmlPath)
+    if (!new File(xmlPath).exists() || cachedVersion != generatorVersion)
+      GenOsm.write(xmlPath)
 
     val nodes = OsmXml.nodes(spark, xmlPath, Some(OsmXml.nodeSchema))
     val ways = OsmXml.ways(spark, xmlPath, Some(OsmXml.waySchema))
@@ -66,5 +79,7 @@ object OsmFixture {
       .unionByName(ways.select(lit("way").as("etype"),
         col("_id").as("id"), col("tag")))
     rawTags.repartition(4).write.mode("overwrite").parquet(rawTagsPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(versionPath), generatorVersion.toString)
   }
 }

@@ -248,6 +248,23 @@ object OsmSuite {
       "$exists on the open tag tail (tags map): presence + extraction, " +
         "the SURVEY §1.3 dynamic-document mapping"),
 
+    // --- skew extension: sketch-then-verify heavy hitters --------------
+    // Top-k contributors WITHOUT shuffling one row per distinct key:
+    // Misra-Gries summaries (capacity 1024 → guarantee bar n/1024 ≈ 237
+    // docs) generate candidates, an exact recount of only those keys
+    // ranks them. Exact whenever the k-th user clears the bar — here the
+    // 5th-heaviest has ~900 docs, a ~4x margin — so the oracle is the
+    // plain groupBy top-k.
+    "o19_mg_heavy_hitters" -> Q(
+      (s, _) => {
+        val d = docs(s).select(col("created.user").as("user"))
+        graft.operators.HeavyHitters.exactTopK(d, "user", 5, 1024)
+      },
+      Some(s"""SELECT created['user'] AS "user", COUNT(*) AS "count" FROM $D
+        |GROUP BY 1 ORDER BY "count" DESC, "user" ASC LIMIT 5""".stripMargin),
+      "Skew extension: top-5 contributors via Misra-Gries candidates + " +
+        "exact recount (bounded-state sketch, no per-distinct-key shuffle)"),
+
     // --- mapparser.py:16-21 / tags.py — raw tag-key census -------------
     "o13_key_census" -> Q(
       (s, _) => OsmQueries.keyClassCensus(rawTags(s)),
