@@ -70,6 +70,35 @@ object Multimodal {
     }
   }
 
+  case class ResizedAsset(asset_id: Long, media_type: String,
+      width: Int, height: Int, media: Array[Byte])
+
+  /** ======= STUB ======= resize an image asset to fit within
+    * (maxW, maxH) preserving aspect ratio (real implementation decodes,
+    * scales, re-encodes). The stub derives source dims like decodeStub
+    * and emits a deterministic payload of the target size's byte count
+    * scaled DOWN from the source bytes — so downstream operators see
+    * realistic shrunk payloads and the partition-preserving batched
+    * iteration (per-partition scaler context) is exercised for real.
+    */
+  def resize(assets: Dataset[Asset], maxW: Int = 256,
+      maxH: Int = 256): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition scaler context goes here (STUB: none needed)
+      batch.filter(_.media_type == "image").map { a =>
+        val d = decodeStub(a)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+        val (w, h) = (math.max(1, (d.width * scale).toInt),
+          math.max(1, (d.height * scale).toInt))
+        val outLen = math.max(1,
+          (a.media.length * (w.toLong * h) / (d.width.toLong * d.height)).toInt)
+        ResizedAsset(a.asset_id, a.media_type, w, h, a.media.take(outLen))
+      }
+    }
+  }
+
   /** ======= STUB ======= sample up to `n` evenly-spaced frames from a
     * video asset (real implementation seeks the container). Emitted rows
     * carry slices of the source bytes as stand-in frame payloads.

