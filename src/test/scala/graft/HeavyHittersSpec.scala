@@ -39,6 +39,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cands.size <= 64)
   }
 
+  test("MG property: keys above n/capacity survive arbitrary partition splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[A](gen: Gen[A], trials: Int)(body: A => Unit): Unit =
+      (0 until trials).foreach { i =>
+        gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+      }
+    val gen = for {
+      nKeys <- Gen.choose(2, 30)
+      n <- Gen.choose(50, 500)
+      stream <- Gen.listOfN(n, Gen.frequency(
+        (0 until nKeys).map(i => (i * i + 1, Gen.const(s"k$i"))): _*))
+      capacity <- Gen.choose(2, 16)
+      nParts <- Gen.choose(1, 5)
+    } yield (stream, capacity, nParts)
+    forAll(gen, 40) { case (stream, capacity, nParts) =>
+      val agg = new HeavyHitters.MisraGries(capacity)
+      val parts = stream.grouped(
+        math.max(1, stream.size / nParts)).toList
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge)
+      val out = agg.finish(merged).toSet
+      assert(out.size <= capacity)
+      val bar = stream.size.toDouble / capacity
+      stream.groupBy(identity).foreach { case (k, occ) =>
+        if (occ.size > bar)
+          assert(out.contains(k),
+            s"key $k freq=${occ.size} > bar=$bar missing (capacity=$capacity, parts=$nParts)")
+      }
+    }
+  }
+
   test("null keys are ignored") {
     val withNulls = data.withColumn("key",
       when(col("id") % 5 === 0, lit(null)).otherwise(col("key")))
