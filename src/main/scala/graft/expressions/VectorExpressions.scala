@@ -142,7 +142,8 @@ object VectorExpressions {
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
     "word_shingle_hashes" -> (es => WordShingleHashes(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0), es(1))),
-    "hyperplane_bucket" -> (es => HyperplaneBucket(es(0), es(1), es(2))))
+    "hyperplane_bucket" -> (es => HyperplaneBucket(es(0), es(1), es(2))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))))
 
   /** Register the expressions in the session's function registry
     * (idempotent; call from any session setup path).

@@ -51,6 +51,38 @@ object TextSuite {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "BPE-ish (GPT-2 pre-tokenizer regex) token counting + per-language fertility"),
 
+    // --- Unicode NFC normalization ------------------------------------
+    // Canonical equivalence must collapse BEFORE any hashing/dedup:
+    // composed and decomposed accents are byte-different but equal text.
+    // The corpus is ASCII, so each doc gets a decomposed suffix appended
+    // IN the query; the native codegen'd nfc_normalize (java.text
+    // .Normalizer) must agree codepoint-for-codepoint with DuckDB's
+    // utf8proc implementation — composed counts and the re-fingerprint
+    // are the oracled output.
+    "x17_nfc_normalize" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("raw",
+            concat(col("text"), lit(" Café naïve")))
+          .withColumn("norm", call_function("nfc_normalize", col("raw")))
+          .groupBy("lang")
+          .agg(
+            sum(length(col("raw"))).as("raw_chars"),
+            sum(length(col("norm"))).as("norm_chars"),
+            sum(length(col("raw")) - length(col("norm"))).as("composed"),
+            count_distinct(col("norm")).as("n_distinct_norm"))
+          .orderBy("lang"),
+      Some("""SELECT lang,
+        |  CAST(SUM(length(raw)) AS BIGINT) AS raw_chars,
+        |  CAST(SUM(length(nfc_normalize(raw))) AS BIGINT) AS norm_chars,
+        |  CAST(SUM(length(raw) - length(nfc_normalize(raw))) AS BIGINT) AS composed,
+        |  COUNT(DISTINCT nfc_normalize(raw)) AS n_distinct_norm
+        |FROM (SELECT lang,
+        |    text || ' Cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Unicode NFC normalization (native codegen'd expression vs DuckDB utf8proc)"),
+
     // --- token counting -----------------------------------------------
     "x1_token_stats" -> Q(
       (s, dir) =>

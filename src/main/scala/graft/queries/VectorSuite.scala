@@ -283,6 +283,40 @@ object VectorSuite {
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin
       },
-      "IVF ANN with Lloyd k-means centroids: 2 deterministic refinement iterations")
+      "IVF ANN with Lloyd k-means centroids: 2 deterministic refinement iterations"),
+
+    // --- int8 quantization fidelity ------------------------------------
+    // Symmetric per-vector int8 storage (4x smaller at rest/on the wire);
+    // the oracled output is the fidelity CONTRACT: cosine between each
+    // vector and its int8 round-trip, min per label, all >= 0.995. The
+    // round-trip arithmetic (max-abs scale, floor(x/s + 0.5) half-up
+    // rounding, plain-double cosine in index order) is bit-identical in
+    // DuckDB, so min_fidelity hash-matches exactly.
+    "v9_quantized_fidelity" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+          .withColumn("scale", Vectors.i8Scale(col("embedding")))
+          .withColumn("deq", Vectors.i8RoundTrip(col("embedding"), col("scale")))
+          .withColumn("fid", Vectors.cosineFast(col("embedding"), col("deq")))
+        e.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("fid")), 9).as("min_fidelity"),
+            (min(col("fid")) >= 0.995d).as("all_ok"))
+          .orderBy("label")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings WHERE vec_id < 500),
+        |d AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS deq,
+        |    embedding
+        |  FROM q)
+        |SELECT label, COUNT(*) AS n,
+        |  round(MIN(${sqlCosD("embedding", "deq")}), 9) AS min_fidelity,
+        |  MIN(${sqlCosD("embedding", "deq")}) >= 0.995 AS all_ok
+        |FROM d GROUP BY label ORDER BY label""".stripMargin),
+      "int8 embedding quantization with an oracle-checked cosine-fidelity contract")
   )
 }

@@ -2,13 +2,27 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.expressions.{HyperplaneImpl, SimHashImpl}
+import graft.expressions.{HyperplaneImpl, NormalizeImpl, SimHashImpl}
 
 /** Direct unit/property tests for the engine-replicable native
   * expressions (the SQL-mirror contract is separately enforced by the
   * DuckDB oracle; these pin the Scala-side invariants).
   */
 class ExpressionSpec extends AnyFunSuite {
+
+  test("nfc: composes decomposed accents; identity (same ref) on NFC text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("Café naïve")
+    val composed = NormalizeImpl.nfc(decomposed)
+    assert(composed.toString == "Café naïve")
+    assert(composed.numChars() == decomposed.numChars() - 2)
+    // fast path: already-NFC input returns the SAME object (no copy)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NormalizeImpl.nfc(ascii) eq ascii)
+    // canonical equivalence collapses to equal bytes — the dedup premise
+    assert(NormalizeImpl.nfc(decomposed).binaryEquals(
+      NormalizeImpl.nfc(UTF8String.fromString("Café naïve"))))
+  }
 
   test("mix31 stays in [0, 2^31) across the input domain") {
     val rnd = new scala.util.Random(42)
