@@ -155,4 +155,15 @@ object VectorExpressions {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, builder, "built-in")
     }
+
+  /** The same functions as SparkSessionExtensions injection descriptions
+    * (for `graft.GraftExtensions` / spark.sql.extensions).
+    */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    functions.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorExpressions.type].getName, name),
+        builder)
+    }
 }
