@@ -248,6 +248,37 @@ object TextSuite {
       Some(sqlSimhashMirror(maxHamming = 16, cap = 256)),
       "SimHash radius-16 recall-heavy variant (noise grows ~n^2*1e-5 — bounded scopes only)"),
 
+    // --- near-dup clustering (pairs → components → canonical) ----------
+    // Near-dup relations CHAIN (A≈B, B≈C with A,C below threshold), so
+    // pair lists alone under-dedup; the pipeline step is connected
+    // components with one canonical survivor per group. Spark side is
+    // min-label propagation (Dedup.dupClusters); the oracle rebuilds the
+    // same exact pairs and closes them with a recursive CTE — component
+    // structure itself is what hash-matches.
+    "x18_dup_clusters" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+        Dedup.dupClusters(pairs)
+          .orderBy("canonical_id", "member_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        |${sqlExactJaccardPairsBody(0.5)}
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Near-dup clustering: connected components over MinHash pairs, " +
+        "min-id canonical per group (min-label propagation vs recursive CTE)"),
+
     // --- word shingles histogram (drives minhash correctness) ---------
     "x9_shingles" -> Q(
       (s, dir) =>
@@ -471,7 +502,14 @@ object TextSuite {
     * the exact mirror of `Dedup.ngramJaccardPairs`' ubiquitous-shingle
     * cap (Jaccard itself is still computed over the full sets).
     */
-  private def sqlExactJaccardPairs(threshold: Double, maxDocFreq: Int = 0): String = {
+  private def sqlExactJaccardPairs(threshold: Double, maxDocFreq: Int = 0): String =
+    sqlExactJaccardPairsBody(threshold, maxDocFreq) +
+      "\nORDER BY id1, id2"
+
+  /** The exact-pairs query WITHOUT the final ORDER BY, so callers can
+    * embed it as a CTE (x18 builds connected components over it).
+    */
+  private def sqlExactJaccardPairsBody(threshold: Double, maxDocFreq: Int = 0): String = {
     val candCte = if (maxDocFreq > 0)
       s"""|capped AS (
         |  SELECT id, sh FROM (
@@ -499,8 +537,7 @@ object TextSuite {
       |FROM common
       |${candJoin}JOIN sizes s1 ON s1.id = common.id1
       |JOIN sizes s2 ON s2.id = common.id2
-      |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= $threshold
-      |ORDER BY common.id1, common.id2""".stripMargin
+      |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= $threshold""".stripMargin
   }
 
   /** Full DuckDB mirror of the SimHash near-dup pipeline: identical

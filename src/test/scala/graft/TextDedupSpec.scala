@@ -40,6 +40,15 @@ class TextDedupSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("dupClusters: chained pairs collapse to one component, min id canonical") {
+    // components: {1,2,3} via chain 1-2, 2-3 (no 1-3 pair!) and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs)
+      .orderBy("canonical_id", "member_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (1L, 3L), (7L, 7L), (7L, 9L)))
+  }
+
   test("charNgrams") {
     val r = Seq("abcd").toDF("t")
       .select(Text.charNgrams(col("t"), 3)).collect()(0).getSeq[String](0)
