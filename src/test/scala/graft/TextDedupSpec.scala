@@ -43,10 +43,15 @@ class TextDedupSpec extends SparkSpec {
   test("dupClusters: chained pairs collapse to one component, min id canonical") {
     // components: {1,2,3} via chain 1-2, 2-3 (no 1-3 pair!) and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
-    val got = Dedup.dupClusters(pairs)
-      .orderBy("canonical_id", "member_id")
+    val clusters = Dedup.dupClusters(pairs)
+    val got = clusters.orderBy("canonical_id", "member_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 1L), (1L, 2L), (1L, 3L), (7L, 7L), (7L, 9L)))
+    // apply step: survivors = canonicals + untouched docs
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L))
   }
 
   test("charNgrams") {
