@@ -60,4 +60,40 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Quantize a numeric column to `bits`-bit bucket ids over [minV, maxV]
+    * (clamped) — the z-value input domain.
+    */
+  def quantize(c: Column, minV: Double, maxV: Double, bits: Int = 16): Column = {
+    val buckets = (1 << bits).toDouble
+    least(lit((1 << bits) - 1L), greatest(lit(0L),
+      floor((c.cast("double") - minV) / (maxV - minV + 1e-9) * buckets)
+        .cast("long")))
+  }
+
+  /** Morton (Z-order) interleave of two pre-quantized non-negative ints
+    * (each < 2^bits): bit i of `a` lands at position 2i, of `b` at
+    * 2i+1. Sorting the layout by this value clusters BOTH dimensions,
+    * so row-group min/max stats prune filters on EITHER column — a
+    * linear sort only ever serves its leading column. The curve is pure
+    * bit arithmetic (codegen'd), no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Z-ordered parquet layout: range-partition and sort by the z-value
+    * WITHOUT materializing it — the curve exists only in the shuffle
+    * and sort keys, the written schema is untouched.
+    */
+  def writeZOrdered(df: DataFrame, path: String, z: Column,
+      numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
 }
