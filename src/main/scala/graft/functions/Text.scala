@@ -36,6 +36,20 @@ object Text {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
 
+  /** Overlapping token windows (context-window chunking): starts at
+    * 1, 1+stride, 1+2·stride, …, chosen so every token is covered and
+    * the final window may run short. Pure array expressions — the
+    * explode happens at the caller, so chunking composes with
+    * posexplode for (doc, chunk_id) keys without any UDF.
+    */
+  def tokenChunks(c: Column, window: Int, stride: Int): Column = {
+    val toks = tokens(c)
+    transform(
+      sequence(lit(1),
+        greatest(size(toks) - window + stride, lit(1)), lit(stride)),
+      s => array_join(slice(toks, s, lit(window)), " "))
+  }
+
   /** Character n-grams (positions 1..len-n+1). */
   def charNgrams(c: Column, n: Int): Column =
     transform(

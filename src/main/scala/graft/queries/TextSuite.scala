@@ -279,6 +279,37 @@ object TextSuite {
       "Near-dup clustering: connected components over MinHash pairs, " +
         "min-id canonical per group (min-label propagation vs recursive CTE)"),
 
+    // --- context-window chunking ---------------------------------------
+    // Long documents become overlapping training windows (64 tokens,
+    // stride 48) — explode-per-doc, no token crosses the wire twice
+    // beyond the overlap itself. The oracle rebuilds the identical
+    // start sequence, slices, and per-chunk md5.
+    "x19_token_chunks" -> Q(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            posexplode(Text.tokenChunks(col("text"), 64, 48))
+              .as(Seq("chunk_id", "chunk")))
+          .select(col("doc_id"), col("chunk_id"),
+            Text.tokenCount(col("chunk")).as("n_tokens"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH base AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(toks) - 64 + 48, 1), 48),
+        |    s -> array_to_string(list_slice(toks, s, s + 63), ' ')) AS chunks
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents WHERE doc_id < 200)),
+        |u AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(chunks))) - 1 AS chunk_id,
+        |  unnest(chunks) AS chunk FROM base)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(string_split_regex(trim(chunk), '\\s+')) AS BIGINT) AS n_tokens,
+        |  md5(chunk) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin),
+      "Context-window chunking: overlapping 64-token windows, stride 48"),
+
     // --- word shingles histogram (drives minhash correctness) ---------
     "x9_shingles" -> Q(
       (s, dir) =>
@@ -319,6 +350,48 @@ object TextSuite {
         |      < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END) * 2147483648.0
         |GROUP BY lang ORDER BY lang""".stripMargin),
       "Reproducible stratified sampling via engine-replicable hash (training-data op)"),
+
+    // --- temperature-based source mixing ------------------------------
+    // Training mixes upweight small sources: quota_s ∝ n_s^α (α=0.5),
+    // rate_s = min(1, T·quota_s/n_s), membership decided by the same
+    // engine-replicable LCG as x10 — rerun-stable on any engine or
+    // partitioning. The weight sum routes through DECIMAL so w_tot is
+    // order-independent (a double sum's value depends on reduction
+    // order; a boundary doc would flip).
+    "x20_temperature_mix" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mixed = expr(
+          "((((doc_id % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648")
+        val w = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("wd",
+            sqrt(col("n_s").cast("double")).cast("decimal(28,10)"))
+        val tot = w.agg(sum(col("wd")).cast("double").as("w_tot"))
+        val rates = w.crossJoin(broadcast(tot))
+          .withColumn("rate", least(lit(1.0),
+            lit(600.0) * col("wd").cast("double") / col("w_tot") /
+              col("n_s").cast("double")))
+          .select("source", "n_s", "rate")
+        docs.join(broadcast(rates), "source")
+          .filter(mixed < col("rate") * lit(2147483648.0))
+          .groupBy("source")
+          .agg(max(col("n_s")).as("n_s"), count(lit(1)).as("n_sampled"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+        |  SELECT source, COUNT(*) AS n_s,
+        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,10)) AS wd
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(wd) AS DOUBLE) AS w_tot FROM w),
+        |r AS (SELECT source, n_s,
+        |  LEAST(1.0, 600.0 * CAST(wd AS DOUBLE) / w_tot / CAST(n_s AS DOUBLE)) AS rate
+        |  FROM w, t)
+        |SELECT d.source, MAX(r.n_s) AS n_s, COUNT(*) AS n_sampled
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((((d.doc_id % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648
+        |      < r.rate * 2147483648.0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      "Temperature mixing (alpha=0.5): small sources upweighted, reproducible membership"),
 
     // --- HLL sketch surface (A7 extension, SURVEY §7.2) ---------------
     // An approximate aggregate can't hash-match another engine's exact

@@ -28,6 +28,22 @@ class TextDedupSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("tokenChunks: full coverage, stride starts, short tail") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = Seq(text).toDF("t")
+      .select(Text.tokenChunks(col("t"), 64, 48).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(chunks.length == 2)
+    assert(chunks(0).split(" ").length == 64)
+    assert(chunks(0).split(" ").head == "t1")
+    assert(chunks(1).split(" ").head == "t49") // stride 48
+    assert(chunks(1).split(" ").last == "t100") // tail covered, short
+    val one = Seq("a b c").toDF("t")
+      .select(Text.tokenChunks(col("t"), 64, 48).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(one == Seq("a b c"))
+  }
+
   test("bpeTokens: GPT-2 pre-tokenizer splits, unicode-aware") {
     val r = Seq("Hello, world's 42 cafés!").toDF("t")
       .select(Text.bpeTokens(col("t")).as("toks"),
