@@ -351,6 +351,55 @@ object TextSuite {
         |GROUP BY lang ORDER BY lang""".stripMargin),
       "Reproducible stratified sampling via engine-replicable hash (training-data op)"),
 
+    // --- Gopher-style composite quality filter -------------------------
+    // The named filter shape from the Gopher/MassiveText pipeline:
+    // token-count window, mean-word-length window, alphabetic-word
+    // fraction, minimum stopword evidence — composed into one verdict,
+    // reported per language with per-rule failure counts (the knobs a
+    // data engineer actually tunes). Thresholds adapted to the corpus'
+    // short documents (min 30 tokens instead of 50).
+    "x21_quality_filter" -> Q(
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val meanLen = length(regexp_replace(col("text"), "\\s", ""))
+          .cast("double") / greatest(n, lit(1L)).cast("double")
+        val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("double") / greatest(n, lit(1L)).cast("double")
+        val stop = Text.stopwordCount(col("text"))
+        val okLen = n.between(30L, 100000L)
+        val okMean = meanLen.between(3.0, 10.0)
+        val okAlpha = alphaFrac > 0.7
+        val okStop = stop >= 2L
+        table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(okLen && okMean && okAlpha && okStop, 1L)
+              .otherwise(0L)).as("n_pass"),
+            sum(when(!okLen, 1L).otherwise(0L)).as("fail_len"),
+            sum(when(!okAlpha, 1L).otherwise(0L)).as("fail_alpha"),
+            sum(when(!okStop, 1L).otherwise(0L)).as("fail_stop"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (
+        |  SELECT lang,
+        |    len($sqlTokens) AS n,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        |      / greatest(len($sqlTokens), 1) AS mean_len,
+        |    CAST(len(list_filter($sqlTokens, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len($sqlTokens), 1) AS alpha_frac,
+        |    ${sqlCountIn(Text.stopwords)} AS n_stop
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        |    AND alpha_frac > 0.7 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN NOT (n BETWEEN 30 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        |  CAST(SUM(CASE WHEN NOT (alpha_frac > 0.7) THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(SUM(CASE WHEN NOT (n_stop >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+      "Gopher-style composite quality filter: per-language pass and per-rule failure counts"),
+
     // --- temperature-based source mixing ------------------------------
     // Training mixes upweight small sources: quota_s ∝ n_s^α (α=0.5),
     // rate_s = min(1, T·quota_s/n_s), membership decided by the same
