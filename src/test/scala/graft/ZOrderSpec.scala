@@ -25,6 +25,24 @@ class ZOrderSpec extends SparkSpec {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  test("zValue interleaves bits; quantize clamps to the bucket domain") {
+    import spark.implicits._
+    // a=5 (101), b=3 (011) → bits: a0@0,b0@1,a1@2,b1@3,a2@4,b2@5 = 011011 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Sinks.zValue(col("a"), col("b"), 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(z == 27L)
+    val q = Seq((-5.0, 0.0, 1023.0, 2000.0)).toDF("lo", "zero", "hi", "over")
+      .select(
+        Sinks.quantize(col("lo"), 0, 1023, 10).as("lo"),
+        Sinks.quantize(col("zero"), 0, 1023, 10).as("zero"),
+        Sinks.quantize(col("hi"), 0, 1023, 10).as("hi"),
+        Sinks.quantize(col("over"), 0, 1023, 10).as("over"))
+      .collect()(0)
+    assert(q.getLong(0) == 0L && q.getLong(1) == 0L)
+    assert(q.getLong(2) == 1023L && q.getLong(3) == 1023L)
+  }
+
   test("z-order prunes on BOTH columns; linear sort only on its leading one") {
     val dir = "/root/testdata/sf0.01"
     val base = "/tmp/graft_zorder"
