@@ -96,4 +96,33 @@ object Sinks {
     df.repartitionByRange(n, z).sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes` files. Streaming sinks and per-batch appends leave
+    * thousands of KB-scale files; at 100 TB the resulting
+    * task-per-tiny-file scheduling and footer-read overhead dominate
+    * scans, so compaction is regular maintenance, not cleanup. The
+    * rewrite goes through a temp dir then swaps, so a failed compaction
+    * never destroys the input.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = s"$path.__compact_tmp"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(path)
+    val backup = java.nio.file.Paths.get(s"$path.__compact_old")
+    java.nio.file.Files.move(target, backup)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(backup)
+  }
 }
