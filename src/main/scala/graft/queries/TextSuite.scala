@@ -58,7 +58,10 @@ object TextSuite {
     // IN the query; the native codegen'd nfc_normalize (java.text
     // .Normalizer) must agree codepoint-for-codepoint with DuckDB's
     // utf8proc implementation — composed counts and the re-fingerprint
-    // are the oracled output.
+    // are the oracled output. (count_distinct here groups normalized
+    // TEXT for string-exact oracle parity; the at-scale form counts
+    // distinct 64-bit fingerprints of it — x5/x11 pattern — so only
+    // hashes shuffle.)
     "x17_nfc_normalize" -> Q(
       (s, dir) =>
         table(s, dir, "documents")
