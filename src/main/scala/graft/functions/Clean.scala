@@ -239,4 +239,46 @@ object Clean {
     */
   def excelSerialToTimestamp(c: Column): Column =
     timestamp_seconds(((c - lit(25569.0)) * 86400.0 + lit(0.5)).cast("long"))
+
+  // ---------------------------------------------------------------------
+  // URL canonicalization — the web-corpus dedup key. CommonCrawl-style
+  // pipelines dedup by canonical URL before any content hashing; the
+  // same page arrives as http://Example.com:80/a/?utm_source=x and
+  // https://example.com/a — canonicalization collapses the spurious
+  // variance. Pure column expressions (codegen'd), RE2-compatible
+  // regexes so the DuckDB oracle replays them verbatim.
+  // ---------------------------------------------------------------------
+
+  /** Tracking query-params dropped by canonicalizeUrl (prefix match for
+    * utm_*; exact key match otherwise).
+    */
+  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+  /** Canonical form of an absolute http(s) URL:
+    *   - scheme and host lowercased;
+    *   - default port stripped (:80 for http, :443 for https);
+    *   - fragment stripped;
+    *   - tracking params (utm_*, fbclid, gclid, msclkid, ref) dropped,
+    *     remaining params sorted bytewise, empty query dropped;
+    *   - repeated trailing slashes collapsed; empty path → "/".
+    * Non-URL input (no scheme://) passes through unchanged.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    val path0 = regexp_replace(rawPath, "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.rlike(trackingParamPattern))), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    when(c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(c)
+  }
 }

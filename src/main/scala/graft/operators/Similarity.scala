@@ -271,6 +271,51 @@ object Similarity {
         Vectors.cosine(col("v1"), col("v2")).as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with the coarse quantizer, find within-cell
+    * near-duplicate pairs (cosine >= `threshold`), and from every pair
+    * DROP the member closer to the cell centroid — the more peripheral
+    * (more diverse) member survives, which is the paper's keep-rule.
+    *
+    * Deterministic and engine-replicable end to end: cells come from the
+    * `lowestIdCentroids` quantizer (k-means slots in at production scale,
+    * same dataflow), the drop-rule orders by plain-double centroid cosine
+    * with an id tiebreak, and "dropped" is a set (a vector is dropped iff
+    * ANY kept-or-dropped near-dup is more peripheral), so the result is
+    * independent of partitioning and evaluation order — chains a~b~c drop
+    * everything except each chain's most peripheral member.
+    *
+    * Scale shape: pair generation is the per-cell self-join (the v7
+    * blocking pattern — O(n²/nCells), never O(n²)); centroids broadcast;
+    * survivors come from one left-anti join on id. Returns
+    * (cell, n_members, n_dropped, n_kept) per cell.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16): DataFrame = {
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = lowestIdCentroids(c, "id", "vec", nCells)
+    val sims = assignToCells(c, "id", "vec", centroids, keep = 1)
+      .join(centroids, "cell")
+      .select(col("id"), col("vec"), col("cell"),
+        Vectors.cosineFast(col("vec"), col("centroid")).as("centsim"))
+    val l = sims.as("l")
+    val r = sims.as("r")
+    val drops = l.join(r, col("l.cell") === col("r.cell") &&
+        col("l.id") < col("r.id"))
+      .filter(Vectors.cosineFast(col("l.vec"), col("r.vec")) >= threshold)
+      .select(when(col("l.centsim") > col("r.centsim") ||
+          (col("l.centsim") === col("r.centsim") && col("l.id") > col("r.id")),
+          col("l.id")).otherwise(col("r.id")).as("drop_id"))
+      .distinct()
+    sims.join(drops, col("id") === col("drop_id"), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+      .join(sims.groupBy("cell").agg(count(lit(1)).as("n_members")), "cell")
+      .select(col("cell"), col("n_members"),
+        (col("n_members") - col("n_kept")).as("n_dropped"), col("n_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` within the
     * corpus, LSH-bucketed — the scale path for HIGH thresholds (≥ ~0.8),
     * where band collisions have a sharp S-curve.

@@ -416,6 +416,66 @@ object CleanSuite {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
         |  TRUE AS sketch_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      "Quantile sketch (approx_percentile) with an oracle-checked rank-error contract")
+      "Quantile sketch (approx_percentile) with an oracle-checked rank-error contract"),
+
+    // --- URL canonicalization (web-corpus dedup key) --------------------
+    // Dirty URLs constructed deterministically from o_orderkey (mixed-case
+    // scheme/host, default and non-default ports, trailing slashes,
+    // tracking params, fragments); Clean.canonicalizeUrl collapses the
+    // spurious variance and the group-by counts the collapsed keys. The
+    // oracle replays the identical RE2-compatible regex steps in DuckDB.
+    "c20_url_canonicalize" -> Q(
+      (s, dir) => {
+        val k = col("o_orderkey")
+        val raw = concat(
+          element_at(array(lit("HTTP"), lit("https"), lit("http")),
+            (k % 3 + 1).cast("int")),
+          lit("://"),
+          element_at(array(lit("Example.COM"), lit("example.com")),
+            (k % 2 + 1).cast("int")),
+          element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")),
+            (k % 4 + 1).cast("int")),
+          lit("/Cat/"), (k % 7).cast("string"),
+          when(k % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?id="), (k % 20).cast("string"),
+          when(k % 3 === 0, lit("&utm_source=mail&b=2&a=1")).otherwise(lit("")),
+          when(k % 5 === 0, lit("#frag")).otherwise(lit("")))
+        table(s, dir, "orders").filter(k < 2000)
+          .select(Clean.canonicalizeUrl(raw).as("url"))
+          .groupBy("url").agg(count(lit(1)).as("n"))
+          .orderBy("url")
+      },
+      Some("""WITH raw AS (
+        |  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END
+        |    || '://'
+        |    || CASE o_orderkey % 2 WHEN 0 THEN 'Example.COM' ELSE 'example.com' END
+        |    || CASE o_orderkey % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END
+        |    || '/Cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+        |    || CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END
+        |    || '?id=' || CAST(o_orderkey % 20 AS VARCHAR)
+        |    || CASE WHEN o_orderkey % 3 = 0 THEN '&utm_source=mail&b=2&a=1' ELSE '' END
+        |    || CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END AS u
+        |  FROM orders WHERE o_orderkey < 2000),
+        |parts AS (
+        |  SELECT u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM raw),
+        |canon AS (
+        |  SELECT scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END ||
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END ||
+        |    CASE WHEN ps = '' THEN '' ELSE '?' || ps END AS url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS ps
+        |    FROM parts))
+        |SELECT url, COUNT(*) AS n FROM canon GROUP BY url ORDER BY url""".stripMargin),
+      "URL canonicalization: scheme/host case, default ports, tracking params, " +
+        "trailing slashes, fragments collapsed to the web-corpus dedup key")
   )
 }

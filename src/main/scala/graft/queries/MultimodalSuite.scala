@@ -61,5 +61,38 @@ object MultimodalSuite {
       Some(s"""SELECT media_type, COUNT(*) AS n,
         |  CAST(SUM(octet_length(media)) AS BIGINT) AS bytes
         |FROM $A GROUP BY 1 ORDER BY media_type""".stripMargin),
-      "Multimodal: byte histogram by media type over the binary column"))
+      "Multimodal: byte histogram by media type over the binary column"),
+
+    // --- video frame sampling (flatMap fan-out shape) ------------------
+    // sampleFrames emits up to 4 evenly-spaced frames per video asset;
+    // the sampling geometry (offsets, slice lengths, timestamps) derives
+    // ONLY from octet_length, so DuckDB can replay it exactly with a
+    // range cross-join — the one stage of the stub pipeline whose output
+    // is fully oracle-checkable without a codec. Per-frame-index
+    // aggregate proves the fan-out row count, the byte slicing, and the
+    // 25 fps timestamp math end-to-end.
+    "m3_frame_sample" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.sampleFrames(assets(s).as[Multimodal.Asset], 4)
+          .groupBy("frame_index")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame"))).as("frame_bytes"),
+            sum(col("offset_ms")).as("total_offset_ms"))
+          .orderBy("frame_index")
+      },
+      Some(s"""WITH v AS (
+        |  SELECT octet_length(media) AS len FROM $A WHERE media_type = 'video'),
+        |f AS (
+        |  SELECT i AS frame_index, len,
+        |    (len * i) // LEAST(4, GREATEST(len, 1)) AS off
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
+        |  WHERE i < LEAST(4, GREATEST(len, 1)))
+        |SELECT CAST(frame_index AS INT) AS frame_index,
+        |  COUNT(*) AS n_frames,
+        |  CAST(SUM(LEAST(len, off + 16) - off) AS BIGINT) AS frame_bytes,
+        |  CAST(SUM(off * 40) AS BIGINT) AS total_offset_ms
+        |FROM f GROUP BY frame_index ORDER BY frame_index""".stripMargin),
+      "Multimodal: evenly-spaced video frame sampling; offsets/slices/timestamps " +
+        "replayed from octet_length alone in the oracle"))
 }

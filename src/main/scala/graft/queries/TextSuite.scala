@@ -614,7 +614,48 @@ object TextSuite {
         |  regexp_replace(regexp_replace(raw, '${Text.emailPattern}', '<EMAIL>', 'g'),
         |    '${Text.phonePattern}', '<PHONE>', 'g') AS redacted
         |FROM raw ORDER BY doc_id""".stripMargin),
-      "PII scrub: count + redact emails/phones with engine-identical regexes")
+      "PII scrub: count + redact emails/phones with engine-identical regexes"),
+
+    // --- duplicate-n-gram coverage -------------------------------------
+    // Substring-level duplication signal (the Lee-et-al "Deduplicating
+    // Training Data" shape): the fraction of a document's DISTINCT
+    // 3-token shingles that also occur in at least one other document.
+    // Catches partial/boilerplate overlap that document-level exact
+    // dedup (x5) misses and that pairwise Jaccard (x6) only reports for
+    // pairs above a threshold. Only (md5-fingerprint, doc_id) pairs
+    // shuffle — never text (the x5/x17 posture); document frequency is
+    // one hash aggregate on the fingerprint, joined back on the same
+    // key so the exchange is reusable.
+    "x22_dup_ngram_coverage" -> Q(
+      (s, dir) => {
+        val sets = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(Text.wordShingles(col("text"), 3))).as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("f"))
+        val docFreq = sets.groupBy("f").agg(count(lit(1)).as("df"))
+        sets.join(docFreq, "f")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_coverage",
+            col("n_dup").cast("double") /
+              greatest(col("n_shingles"), lit(1L)).cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sets AS (
+        |  SELECT doc_id, md5(sh) AS f FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+        |        i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')))) AS sh
+        |    FROM documents)),
+        |freq AS (SELECT f, COUNT(*) AS df FROM sets GROUP BY f)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS dup_coverage
+        |FROM sets s JOIN freq ON s.f = freq.f
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+      "Duplicate-n-gram coverage: per-doc fraction of shingles shared with other docs")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

@@ -285,6 +285,44 @@ object VectorSuite {
       },
       "IVF ANN with Lloyd k-means centroids: 2 deterministic refinement iterations"),
 
+    // --- SemDeDup-style semantic dedup ---------------------------------
+    // The named web-scale curation shape (Abbas et al. 2023): quantizer
+    // cells, within-cell near-dup pairs, drop the pair member CLOSER to
+    // the cell centroid so the more diverse member survives. The oracle
+    // rebuilds the identical cells, centroid similarities, drop set, and
+    // per-cell survivor counts in SQL; pair generation is per-cell (the
+    // v7 blocking shape), never O(n²).
+    "v10_semantic_dedup" -> Q(
+      (s, dir) =>
+        Similarity.semanticDedup(table(s, dir, "embeddings"), "vec_id",
+            "embedding", threshold = 0.4, nCells = 16)
+          .orderBy("cell"),
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |sims AS (
+        |  SELECT a.vec_id, a.vec, a.cell, ${sqlCosD("a.vec", "c.centroid")} AS centsim
+        |  FROM assigned a JOIN cent c ON a.cell = c.cell),
+        |drops AS (
+        |  SELECT DISTINCT CASE WHEN l.centsim > r.centsim
+        |      OR (l.centsim = r.centsim AND l.vec_id > r.vec_id)
+        |    THEN l.vec_id ELSE r.vec_id END AS drop_id
+        |  FROM sims l JOIN sims r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE ${sqlCosD("l.vec", "r.vec")} >= 0.4)
+        |SELECT s.cell, COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM sims s LEFT JOIN drops d ON s.vec_id = d.drop_id
+        |GROUP BY s.cell ORDER BY cell""".stripMargin),
+      "SemDeDup semantic dedup: quantizer cells, within-cell near-dups, " +
+        "keep the most-peripheral member"),
+
     // --- int8 quantization fidelity ------------------------------------
     // Symmetric per-vector int8 storage (4x smaller at rest/on the wire);
     // the oracled output is the fidelity CONTRACT: cosine between each

@@ -127,4 +127,30 @@ class CleanSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(got == 1.0)
   }
+
+  test("URL canonicalization goldens") {
+    val cases = Seq(
+      // scheme/host case + default port + tracking params + sort + fragment
+      ("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#f",
+        "http://example.com/a?a=1&b=2"),
+      ("https://Example.com:443/a", "https://example.com/a"),
+      // non-default port survives; :443 is NOT default for http
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      ("http://example.com:443/a", "http://example.com:443/a"),
+      // empty path → "/", repeated trailing slashes collapse
+      ("https://example.com", "https://example.com/"),
+      ("https://example.com///", "https://example.com/"),
+      // all params tracking → query dropped entirely
+      ("https://example.com/p?utm_medium=m&fbclid=1&gclid=2&ref=r",
+        "https://example.com/p"),
+      // utm prefix only — "uTm" is a different (kept) key; keys are
+      // case-sensitive like real query strings
+      ("https://example.com/p?uTm_x=1", "https://example.com/p?uTm_x=1"),
+      // non-URL input passes through untouched
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Clean.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }

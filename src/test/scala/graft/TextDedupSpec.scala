@@ -219,4 +219,25 @@ class TextDedupSpec extends SparkSpec {
       .select(Text.langIdFromTokens(col("toks")).as("l"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("de", "fr", "und"))
   }
+
+  test("semanticDedup keeps the most-peripheral member of a near-dup chain") {
+    // One cell (nCells=1, centroid = vec of lowest id = id 0). Cosine to
+    // centroid decreases 0 > 1 > 2; all three are pairwise near-dups at
+    // the threshold, so the SemDeDup keep-rule must retain ONLY the most
+    // peripheral (id 2). id 9 is orthogonal: never a near-dup, kept.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.90f, 0.10f)),
+      (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nCells = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_members") == 4)
+    assert(r.getAs[Long]("n_dropped") == 2) // ids 0 and 1
+    assert(r.getAs[Long]("n_kept") == 2) // ids 2 and 9
+  }
 }
