@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Graft.table
@@ -655,7 +656,103 @@ object TextSuite {
         |    / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS dup_coverage
         |FROM sets s JOIN freq ON s.f = freq.f
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
-      "Duplicate-n-gram coverage: per-doc fraction of shingles shared with other docs")
+      "Duplicate-n-gram coverage: per-doc fraction of shingles shared with other docs"),
+
+    // --- DSIR-shaped importance selection -------------------------------
+    // The Xie-et-al "Data Selection via Importance Resampling" shape:
+    // score each document by how much more likely its hashed-unigram
+    // features are under a target domain (here: the en sub-corpus) than
+    // under the raw corpus, keep documents where the target wins. This
+    // variant is INTEGER-EXACT so the decision is engine-replicable with
+    // no float logs: per-doc scores are plain BIGINT sums of add-one-
+    // smoothed bucket counts, and the likelihood comparison cross-
+    // multiplies by the corpus totals in exact wide arithmetic
+    // (DECIMAL(38) here, HUGEINT in the oracle — both exact, same
+    // verdict). Buckets are md5-prefix hashes (the engines' one shared
+    // hash); only (doc_id, bucket) pairs shuffle, and the bucket count
+    // tables are bounded by 16^4 entries regardless of corpus size.
+    "x23_importance_select" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(Text.tokens(col("text"))).as("tok"))
+          .withColumn("b", substring(md5(col("tok")), 1, 4))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val totals = toks.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+          count(lit(1)).as("tr"))
+        toks.join(raw, "b").join(tgt, Seq("b"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(sum(coalesce(col("ct"), lit(0L)) + 1L).as("st"),
+            sum(col("cr") + 1L).as("sr"))
+          .crossJoin(totals)
+          .withColumn("keep",
+            col("st").cast("decimal(38,0)") * col("tr").cast("decimal(38,0)") >
+              col("sr").cast("decimal(38,0)") * col("tt").cast("decimal(38,0)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, lang, substr(md5(tok), 1, 4) AS b FROM (
+        |    SELECT doc_id, lang, unnest($sqlTokens) AS tok FROM documents)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT COUNT(*) FILTER (lang = 'en') AS tt, COUNT(*) AS tr FROM toks),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    SUM(COALESCE(ct, 0) + 1) AS st, SUM(cr + 1) AS sr
+        |  FROM toks JOIN raw USING (b) LEFT JOIN tgt USING (b)
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN CAST(st AS HUGEINT) * tr > CAST(sr AS HUGEINT) * tt
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        |FROM scored CROSS JOIN tot GROUP BY lang ORDER BY lang""".stripMargin),
+      "DSIR-shaped importance selection: integer-exact hashed-unigram " +
+        "likelihood ratio vs the en target domain"),
+
+    // --- sequence packing ------------------------------------------------
+    // Training batches are fixed token windows cut from concatenated
+    // documents (the GPT concat-then-chunk convention): pack_id =
+    // exclusive-prefix-sum / budget, so a document starting inside pack p
+    // belongs to p even when it spills into p+1. Packing is per SOURCE
+    // (the real-world unit — sources are mixed AFTER packing), which
+    // keeps the window cumsum partition-parallel: the sort is
+    // per-source, never a global single-partition sort; at 100 TB each
+    // source's prefix sum is a two-pass range-partitioned scan.
+    "x24_sequence_packing" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            Text.tokenCount(col("text")).as("n"))
+          .withColumn("start",
+            coalesce(sum(col("n")).over(w.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("pack_id", (col("start") / lit(512L)).cast("long"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source", "pack_id")
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source, doc_id, CAST(len($sqlTokens) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n,
+        |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM d)
+        |SELECT source, start // 512 AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM c GROUP BY source, start // 512
+        |ORDER BY source, pack_id""".stripMargin),
+      "Sequence packing: concat-then-chunk 512-token packs per source, " +
+        "partition-parallel prefix sums")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
