@@ -752,7 +752,65 @@ object TextSuite {
         |FROM c GROUP BY source, start // 512
         |ORDER BY source, pack_id""".stripMargin),
       "Sequence packing: concat-then-chunk 512-token packs per source, " +
-        "partition-parallel prefix sums")
+        "partition-parallel prefix sums"),
+
+    // --- incremental (snapshot-vs-snapshot) dedup -----------------------
+    // The recurring-crawl production shape: dedup a NEW batch against the
+    // EXISTING corpus without touching the old text — the left-anti join
+    // runs on a fingerprint INDEX (here: the fingerprint projection of
+    // the old half; in production a maintained fingerprint table), so
+    // the old corpus contributes one pruned 16-byte column to the scan,
+    // not its text. New-batch-internal dups also collapse (window
+    // keep-first on fingerprint), matching what a fresh full dedup would
+    // have kept. doc_id >= 250 plays the new crawl.
+    "x25_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val index = docs.filter(col("doc_id") < 250)
+          .select(Text.fingerprint(col("text")).as("f")).distinct()
+        // the new crawl: the fresh half, plus re-crawls of 50 indexed
+        // pages (must be dropped by the index anti-join) and second
+        // copies of 10 fresh pages (must collapse batch-internally) —
+        // the corpus itself has zero exact dups, so the drops are
+        // planted to exercise both dedup paths for real
+        val fresh0 = docs.filter(col("doc_id") >= 250)
+        val recrawl = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000L)
+        val rebatch = docs.filter(col("doc_id").between(250, 259))
+          .withColumn("doc_id", col("doc_id") + 20000L)
+        val fresh = fresh0.unionAll(recrawl).unionAll(rebatch)
+          .withColumn("f", Text.fingerprint(col("text")))
+        val w = Window.partitionBy("f").orderBy("doc_id")
+        fresh.join(index, Seq("f"), "left_anti")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_new_unique"))
+          .orderBy("lang")
+      },
+      Some("""WITH idx AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, lang, text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 259),
+        |fresh AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM batch),
+        |kept AS (
+        |  SELECT lang FROM (
+        |    SELECT lang, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        |    FROM fresh WHERE f NOT IN (SELECT f FROM idx))
+        |  WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_new_unique
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+      "Incremental dedup: new batch left-anti joined against a fingerprint " +
+        "index of the existing corpus (old text never read)")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
