@@ -37,7 +37,11 @@ object Bench {
     // hits the same query in every pass. The JSON line MUST be emitted
     // even on a slow machine, so each extra pass checks the clock
     // per-query and a partial pass still de-noises what it reached.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "360").toLong
+    // 720 s fits pass 1 cold (~145 s for 117 queries at sf0.1) plus 3+
+    // warm passes — with the old 360 s default the min-of-N de-noising
+    // was cut off mid-pass-2 and cold codegen/stall numbers leaked into
+    // the reported JSON.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toLong
     def extraPass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         if ((System.nanoTime() - t0) / 1e9 > budget * 0.8) None
