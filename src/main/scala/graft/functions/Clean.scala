@@ -255,18 +255,20 @@ object Clean {
   val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
 
   /** Canonical form of an absolute http(s) URL:
-    *   - scheme and host lowercased;
+    *   - scheme and host lowercased; userinfo (`user:pass@`) stripped;
     *   - default port stripped (:80 for http, :443 for https);
     *   - fragment stripped;
     *   - tracking params (utm_*, fbclid, gclid, msclkid, ref) dropped,
     *     remaining params sorted bytewise, empty query dropped;
     *   - repeated trailing slashes collapsed; empty path → "/".
-    * Non-URL input (no scheme://) passes through unchanged.
+    * Non-URL input (no scheme://) passes through unchanged. Idempotent:
+    * canonical output re-canonicalizes to itself (CleanPropertySpec).
     */
   def canonicalizeUrl(c: Column): Column = {
     val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val hostPort = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?#]*)", 1), "^[^/?#@]*@", ""))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)

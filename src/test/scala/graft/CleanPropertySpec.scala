@@ -110,4 +110,25 @@ class CleanPropertySpec extends SparkSpec {
         s"pair ($i,$j): est=$est exact=$exact")
     }
   }
+
+  test("URL canonicalization is idempotent over generated dirty URLs") {
+    val dirtyUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      user <- Gen.oneOf("", "u:p@", "bob@")
+      host <- Gen.oneOf("Example.COM", "example.com", "A.b.C.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x//")
+      query <- Gen.oneOf("", "?utm_source=t", "?b=2&a=1", "?b=2&utm_x=1&a=1", "?")
+      frag <- Gen.oneOf("", "#f", "#a=1")
+    } yield s"$scheme://$user$host$port$path$query$frag"
+    forAll(Gen.listOfN(15, dirtyUrl)) { urls =>
+      val once = evalStr(Clean.canonicalizeUrl(col("v")), urls)
+      val twice = evalStr(Clean.canonicalizeUrl(col("v")), once)
+      assert(once == twice, s"not idempotent: ${urls.zip(once).zip(twice)}")
+      // canonical invariants: no fragment, no tracking params, no userinfo
+      once.foreach { u =>
+        assert(!u.contains("#") && !u.contains("utm_") && !u.contains("@"), u)
+      }
+    }
+  }
 }

@@ -146,6 +146,8 @@ class CleanSpec extends SparkSpec {
       // utm prefix only — "uTm" is a different (kept) key; keys are
       // case-sensitive like real query strings
       ("https://example.com/p?uTm_x=1", "https://example.com/p?uTm_x=1"),
+      // userinfo stripped
+      ("https://user:pw@Example.com/a", "https://example.com/a"),
       // non-URL input passes through untouched
       ("not a url", "not a url"))
     val got = cases.map(_._1).toDF("u")
