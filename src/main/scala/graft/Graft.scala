@@ -69,6 +69,7 @@ object Graft {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.expressions.VectorExpressions.register(spark)
+    graft.functions.SqlSurface.register(spark)
     spark
   }
 

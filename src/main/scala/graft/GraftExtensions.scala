@@ -19,6 +19,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (SURVEY §7.2): the stock planner already produces the target plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.expressions.VectorExpressions.descriptions.foreach(ext.injectFunction)
+    graft.functions.SqlSurface.descriptions.foreach(ext.injectFunction)
+  }
 }

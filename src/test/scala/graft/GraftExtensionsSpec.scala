@@ -13,7 +13,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .registeredNames(new GraftExtensions)
     val expected = Set("cosine_sim", "dot_product", "minhash_signature",
       "minhash_match_count", "word_shingles", "word_shingle_hashes",
-      "simhash64", "hyperplane_bucket", "nfc_normalize")
+      "simhash64", "hyperplane_bucket", "nfc_normalize",
+      "canonicalize_url", "doc_fingerprint", "token_count", "clean_street")
     assert(expected.subsetOf(names), s"missing: ${expected -- names}")
+  }
+
+  test("composed functions are callable from pure SQL") {
+    val spark = SparkSpec.spark // Graft.session registers SqlSurface
+    val r = spark.sql(
+      """SELECT canonicalize_url('HTTP://Ex.COM:80/a/?utm_source=x&b=1#f') AS u,
+        |  token_count(' a b  c ') AS n""".stripMargin).collect()(0)
+    assert(r.getString(0) == "http://ex.com/a?b=1")
+    assert(r.getLong(1) == 3L)
   }
 }
