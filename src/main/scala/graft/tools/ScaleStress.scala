@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.operators.Dedup
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
 
 /** Scale-stress harness for the dedup operators: multiply the documents
   * corpus by `m` deterministic copies whose token spaces are disjoint
@@ -74,8 +75,57 @@ object ScaleStress {
       t(s"ngram_jaccard_capped m=$m")(
         Dedup.ngramJaccardPairs(boiler, "doc_id", "text", shingleSize = 3,
           threshold = 0.5, maxDocFreq = 256).count())
+      // x22 shape on the same boilerplate corpus: the document-frequency
+      // join-back is 1:1 per (doc, shingle) occurrence — a ubiquitous
+      // shingle (df = nDocs) adds count-table rows, never pairs, so
+      // wall-clock must stay near-linear in m with no cap needed.
+      t(s"dup_ngram_coverage m=$m") {
+        val sets = boiler.select(col("doc_id"),
+            explode(array_distinct(Text.wordShingles(col("text"), 3))).as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("f"))
+        val freq = sets.groupBy("f").agg(count(lit(1)).as("df"))
+        sets.join(freq, "f").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .count()
+      }
+      spark.catalog.clearCache()
+    }
+
+    // v10 shape: semantic dedup is per-cell quadratic, and the documented
+    // contract is nCells ∝ corpus size. Scale the embeddings corpus with
+    // per-copy circular rotation (an isometry — within-copy cosines exact,
+    // cross-copy ~random) and the quantizer with it: wall-clock should
+    // stay near-linear. The assignment pass is O(n·nCells) cosines — at
+    // production nCells this is where k-means|| + hierarchical assignment
+    // slot in; the stress documents the dataflow staying bounded.
+    ms.filter(_ <= 10).foreach { m =>
+      val emb = embCorpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      println(s"\n=== embeddings m=$m  (${n} vectors) ===")
+      t(s"semantic_dedup m=$m nCells=${16 * m}")(
+        Similarity.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.4, nCells = 16 * m).count())
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** m deterministic copies of the embeddings table, each circularly
+    * rotated by its copy index (rotation is an isometry: within-copy
+    * cosine structure preserved exactly, cross-copy similarity ~random).
+    */
+  def embCorpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = Graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val copies = spark.range(0, m).select(col("id").as("copy"))
+    base.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+        expr("""transform(embedding,
+          (x, i) -> element_at(embedding,
+            CAST((i + copy) % size(embedding) AS INT) + 1))""").as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
   }
 }
