@@ -625,16 +625,17 @@ object TextSuite {
     // dedup (x5) misses and that pairwise Jaccard (x6) only reports for
     // pairs above a threshold. Only (md5-fingerprint, doc_id) pairs
     // shuffle — never text (the x5/x17 posture); document frequency is
-    // one hash aggregate on the fingerprint, joined back on the same
-    // key so the exchange is reusable.
+    // a full-partition window count over the fingerprint (the capBuckets
+    // shape): ONE scan and ONE shuffle on f, where an aggregate +
+    // join-back would scan the corpus twice.
     "x22_dup_ngram_coverage" -> Q(
       (s, dir) => {
         val sets = table(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(Text.wordShingles(col("text"), 3))).as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("f"))
-        val docFreq = sets.groupBy("f").agg(count(lit(1)).as("df"))
-        sets.join(docFreq, "f")
+        sets
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -649,13 +650,12 @@ object TextSuite {
         |      list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
         |        i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')))) AS sh
         |    FROM documents)),
-        |freq AS (SELECT f, COUNT(*) AS df FROM sets GROUP BY f)
-        |SELECT s.doc_id, COUNT(*) AS n_shingles,
-        |  CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-        |  CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY f) AS df FROM sets)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS dup_coverage
-        |FROM sets s JOIN freq ON s.f = freq.f
-        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "Duplicate-n-gram coverage: per-doc fraction of shingles shared with other docs"),
 
     // --- DSIR-shaped importance selection -------------------------------
@@ -669,23 +669,24 @@ object TextSuite {
     // multiplies by the corpus totals in exact wide arithmetic
     // (DECIMAL(38) here, HUGEINT in the oracle — both exact, same
     // verdict). Buckets are md5-prefix hashes (the engines' one shared
-    // hash); only (doc_id, bucket) pairs shuffle, and the bucket count
-    // tables are bounded by 16^4 entries regardless of corpus size.
+    // hash); only (doc_id, bucket) pairs shuffle. ONE bucket aggregate
+    // carries both the raw and target counts (bounded at 16^4 entries
+    // at any corpus size → always broadcastable), and the corpus totals
+    // fold from that table — two scans of the corpus total, not four.
     "x23_importance_select" -> Q(
       (s, dir) => {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(Text.tokens(col("text"))).as("tok"))
           .withColumn("b", substring(md5(col("tok")), 1, 4))
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-        val totals = toks.agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
-          count(lit(1)).as("tr"))
-        toks.join(raw, "b").join(tgt, Seq("b"), "left")
+        val buckets = toks.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val totals = buckets.agg(
+          sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+        toks.join(buckets, "b")
           .groupBy("doc_id", "lang")
-          .agg(sum(coalesce(col("ct"), lit(0L)) + 1L).as("st"),
+          .agg(sum(col("ct") + 1L).as("st"),
             sum(col("cr") + 1L).as("sr"))
           .crossJoin(totals)
           .withColumn("keep",
@@ -699,13 +700,16 @@ object TextSuite {
       Some(s"""WITH toks AS (
         |  SELECT doc_id, lang, substr(md5(tok), 1, 4) AS b FROM (
         |    SELECT doc_id, lang, unnest($sqlTokens) AS tok FROM documents)),
-        |raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
-        |tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT COUNT(*) FILTER (lang = 'en') AS tt, COUNT(*) AS tr FROM toks),
+        |buckets AS (
+        |  SELECT b, COUNT(*) AS cr,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY b),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+        |  CAST(SUM(ct) AS BIGINT) AS tt FROM buckets),
         |scored AS (
         |  SELECT doc_id, lang,
-        |    SUM(COALESCE(ct, 0) + 1) AS st, SUM(cr + 1) AS sr
-        |  FROM toks JOIN raw USING (b) LEFT JOIN tgt USING (b)
+        |    SUM(ct + 1) AS st, SUM(cr + 1) AS sr
+        |  FROM toks JOIN buckets USING (b)
         |  GROUP BY doc_id, lang)
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN CAST(st AS HUGEINT) * tr > CAST(sr AS HUGEINT) * tt

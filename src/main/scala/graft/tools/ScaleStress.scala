@@ -83,8 +83,10 @@ object ScaleStress {
         val sets = boiler.select(col("doc_id"),
             explode(array_distinct(Text.wordShingles(col("text"), 3))).as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("f"))
-        val freq = sets.groupBy("f").agg(count(lit(1)).as("df"))
-        sets.join(freq, "f").groupBy("doc_id")
+        sets
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("f")))
+          .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
           .count()
