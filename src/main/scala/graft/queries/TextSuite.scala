@@ -814,7 +814,74 @@ object TextSuite {
         |SELECT lang, COUNT(*) AS n_new_unique
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
       "Incremental dedup: new batch left-anti joined against a fingerprint " +
-        "index of the existing corpus (old text never read)")
+        "index of the existing corpus (old text never read)"),
+
+    // --- content-defined chunking (CDC) dedup ---------------------------
+    // Variable-length chunks split where the CONTENT says so (breakpoint
+    // iff the token's md5 starts with '0' → P=1/16, mean chunk ~16
+    // tokens) — unlike fixed-stride windows (x19), insertions shift
+    // chunk BOUNDARIES only locally, so shared passages fingerprint
+    // identically wherever they sit in a document (the rsync/FastCDC
+    // property, applied to corpus dedup). A 12-token boilerplate tail is
+    // planted on every 3rd doc: CDC must isolate and dedup it across
+    // docs whose surrounding content is unrelated. Two window passes
+    // (per-doc breakpoint cumsum; per-fingerprint df count — the x22
+    // shape) + one aggregate; only (fingerprint, doc) rows shuffle.
+    "x26_cdc_chunks" -> Q(
+      (s, dir) => {
+        val boiler = " subscribe to our newsletter for updates and follow us on social media"
+        val raw = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(lit("")))
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            posexplode(Text.tokens(raw)).as(Seq("pos", "tok")))
+        val marked = toks.withColumn("brk",
+          when(substring(md5(col("tok")), 1, 1) === "0", 1L).otherwise(0L))
+        val cw = Window.partitionBy("doc_id").orderBy("pos")
+        val chunks = marked
+          .withColumn("cid", sum(col("brk")).over(cw))
+          .groupBy(col("doc_id"), col("lang"), col("cid"))
+          .agg(md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              t => t.getField("tok")))).as("ch"))
+        chunks
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("ch")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_chunk_coverage",
+            col("n_dup_chunks").cast("double") /
+              greatest(col("n_chunks"), lit(1L)).cast("double"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(1, len(ts))) - 1 AS pos, unnest(ts) AS tok
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text ||
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN ' subscribe to our newsletter for updates and follow us on social media'
+        |        ELSE '' END), '\s+') AS ts
+        |    FROM documents)),
+        |marked AS (
+        |  SELECT doc_id, lang, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS brk
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, lang,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS cid,
+        |    pos, tok
+        |  FROM marked),
+        |fps AS (
+        |  SELECT doc_id, lang, md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+        |  FROM chunks GROUP BY doc_id, lang, cid),
+        |d AS (SELECT lang, COUNT(*) OVER (PARTITION BY ch) AS df FROM fps)
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS dup_chunk_coverage
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+      "Content-defined chunking: md5-nibble breakpoints, ordered chunk " +
+        "fingerprints, cross-doc duplicate-chunk detection (insertion-robust)")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full
