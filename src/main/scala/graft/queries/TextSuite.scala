@@ -723,25 +723,23 @@ object TextSuite {
     // documents (the GPT concat-then-chunk convention): pack_id =
     // exclusive-prefix-sum / budget, so a document starting inside pack p
     // belongs to p even when it spills into p+1. Packing is per SOURCE
-    // (the real-world unit — sources are mixed AFTER packing), which
-    // keeps the window cumsum partition-parallel: the sort is
-    // per-source, never a global single-partition sort; at 100 TB each
-    // source's prefix sum is a two-pass range-partitioned scan.
+    // (the real-world unit — sources are mixed AFTER packing), and the
+    // prefix sum is the DISTRIBUTED two-pass shape (operators/PrefixSum:
+    // deterministic doc-id blocks, tiny per-block offset table, bounded
+    // local windows) — a plain per-source window would sort a whole
+    // source in ONE task at 100 TB. SkewSpec asserts the two forms are
+    // value-identical.
     "x24_sequence_packing" -> Q(
-      (s, dir) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
-        table(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            Text.tokenCount(col("text")).as("n"))
-          .withColumn("start",
-            coalesce(sum(col("n")).over(w.rowsBetween(
-              Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("pack_id", (col("start") / lit(512L)).cast("long"))
+      (s, dir) =>
+        graft.operators.PrefixSum.sequencePacks(
+            table(s, dir, "documents")
+              .select(col("source"), col("doc_id"),
+                Text.tokenCount(col("text")).as("n")),
+            "source", "doc_id", "n", budget = 512L)
           .groupBy("source", "pack_id")
           .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
             min(col("doc_id")).as("first_doc"))
-          .orderBy("source", "pack_id")
-      },
+          .orderBy("source", "pack_id"),
       Some(s"""WITH d AS (
         |  SELECT source, doc_id, CAST(len($sqlTokens) AS BIGINT) AS n
         |  FROM documents),

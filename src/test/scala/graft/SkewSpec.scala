@@ -85,4 +85,28 @@ class SkewSpec extends SparkSpec {
         s"join exchanges must partition by (key, __salt): $exchanges")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("distributed prefix sum equals the single-window form") {
+    // sparse, non-contiguous ids; a tiny blockSpan forces MANY blocks so
+    // the offset carry between blocks is actually exercised
+    val rows = (1 to 997).map(i =>
+      (s"s${i % 3}", i.toLong * 7 + (i % 5), (i % 23 + 1).toLong))
+      .toDF("source", "doc_id", "n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val single = rows
+      .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select("source", "doc_id", "start")
+    val dist = graft.operators.PrefixSum
+      .exclusive(rows, "source", "doc_id", "n", blockSpan = 64L)
+      .select("source", "doc_id", "start")
+    assert(dist.exceptAll(single).isEmpty && single.exceptAll(dist).isEmpty)
+    // local window partitions are bounded by the block, not the group:
+    // every (source, block) slice holds at most blockSpan distinct ids
+    val worst = dist.withColumn("blk", (col("doc_id") / 64L).cast("long"))
+      .groupBy("source", "blk").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(worst <= 64L)
+  }
 }
