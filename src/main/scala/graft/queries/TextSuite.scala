@@ -879,7 +879,61 @@ object TextSuite {
         |    / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS dup_chunk_coverage
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
       "Content-defined chunking: md5-nibble breakpoints, ordered chunk " +
-        "fingerprints, cross-doc duplicate-chunk detection (insertion-robust)")
+        "fingerprints, cross-doc duplicate-chunk detection (insertion-robust)"),
+
+    // --- leakage-safe train/eval split -----------------------------------
+    // Splitting by document hash leaks: two near-duplicates can land on
+    // opposite sides, and the eval half then scores memorization. The
+    // leakage-safe unit is the NEAR-DUP CLUSTER — every doc is keyed by
+    // its x18 connected-component canonical id (itself for singletons)
+    // and the x10 engine-replicable LCG decides the side of the KEY, so
+    // whole clusters move together (TextDedupSpec demonstrates the
+    // straddle the naive split produces and this one cannot). The oracle
+    // closes the same exact pairs with the recursive CTE and replays the
+    // identical keying and membership.
+    "x27_leakage_safe_split" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+        val clusters = Dedup.dupClusters(pairs)
+        val keyed = docs.join(clusters,
+            docs("doc_id") === clusters("member_id"), "left")
+          .select(col("lang"),
+            coalesce(col("canonical_id"), col("doc_id")).as("gk"))
+        val mixed = expr(
+          "((((gk % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648")
+        keyed
+          .withColumn("split",
+            when(mixed < lit(0.8) * lit(2147483648.0), lit("train"))
+              .otherwise(lit("eval")))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        |${sqlExactJaccardPairsBody(0.5)}
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |canon AS (
+        |  SELECT a AS member_id, LEAST(a, MIN(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT d.lang, COALESCE(c.canonical_id, d.doc_id) AS gk
+        |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.member_id)
+        |SELECT lang,
+        |  CASE WHEN ((((gk % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648
+        |       < 0.8 * 2147483648.0 THEN 'train' ELSE 'eval' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM keyed GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
+      "Leakage-safe train/eval split: near-dup clusters move as units, " +
+        "keyed by canonical id through the reproducible LCG")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

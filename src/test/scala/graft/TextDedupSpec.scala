@@ -220,6 +220,35 @@ class TextDedupSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("de", "fr", "und"))
   }
 
+  test("cluster-keyed split cannot straddle a near-dup pair; naive split does") {
+    // ids 123 and 999 land on OPPOSITE sides of the rate-0.5 LCG split
+    // (123→eval, 999→train, verified constants), and their texts are
+    // near-duplicates — the exact leakage a doc-hash split produces.
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (123L, dup), (999L, dup.replace("bank", "bend")),
+      (500L, "completely different content about database query engines and optimizers"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs)
+    def sideOf(keyCol: org.apache.spark.sql.Column) = when(
+      expr(s"((((${"gk"} % 2147483648) * 2654435761 + 2654435769) % 2147483648) * 2654435761 + 40503) % 2147483648") <
+        lit(0.5) * lit(2147483648.0), "train").otherwise("eval")
+    val naive = docs.withColumn("gk", col("doc_id"))
+      .withColumn("side", sideOf(col("gk")))
+    val safe = docs.join(clusters, docs("doc_id") === clusters("member_id"), "left")
+      .withColumn("gk", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("side", sideOf(col("gk")))
+    def straddles(df: org.apache.spark.sql.DataFrame): Long = df
+      .join(pairs, df("doc_id") === pairs("id1"))
+      .join(df.select(col("doc_id").as("d2"), col("side").as("side2")),
+        col("id2") === col("d2"))
+      .filter(col("side") =!= col("side2")).count()
+    assert(straddles(naive) >= 1, "naive split must demonstrate the leak")
+    assert(straddles(safe) == 0, "cluster-keyed split must never straddle")
+  }
+
   test("semanticDedup keeps the most-peripheral member of a near-dup chain") {
     // One cell (nCells=1, centroid = vec of lowest id = id 0). Cosine to
     // centroid decreases 0 > 1 > 2; all three are pairwise near-dups at
