@@ -745,8 +745,9 @@ object TextSuite {
         |  FROM documents),
         |c AS (
         |  SELECT source, doc_id, n,
-        |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
         |  FROM d)
         |SELECT source, start // 512 AS pack_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,

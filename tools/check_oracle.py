@@ -64,6 +64,21 @@ def main(sf_dir, out_dir):
         if len(s) != len(d):
             results[name] = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
             continue
+        # Driver-style pandas compare: a DuckDB HUGEINT output column
+        # (e.g. an uncast SUM(BIGINT), or // over one) becomes float64 in
+        # pandas and hash-mismatches the Spark int64 even when Python-level
+        # values compare equal (the r03 x24 red row). Nullable BIGINT is
+        # fine — both sides go float64 identically — so flag on the
+        # declared DuckDB type, not the pandas dtype.
+        try:
+            bad_t = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                     if r[1] in ("HUGEINT", "UHUGEINT")
+                     or r[1].startswith("DECIMAL")]
+        except Exception:
+            bad_t = []
+        if bad_t:
+            results[name] = f"DTYPE RISK: cols {bad_t} are {'HUGEINT/DECIMAL'} in DuckDB -> non-int64/f64 in a pandas compare (cast in oracle SQL)"
+            continue
         if s == d:
             results[name] = "OK"
         elif sorted(map(repr, s)) == sorted(map(repr, d)):
