@@ -148,6 +148,11 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iterations: Int = 2, seedOffset: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
+    // every Lloyd iteration re-reads the corpus for its assignment pass —
+    // cache the (id, vec) projection once instead of rebuilding the scan
+    // subplan per iteration (no-op if the caller already persisted it)
+    val wePersist = corpus.storageLevel == StorageLevel.NONE
+    if (wePersist) corpus.persist(StorageLevel.MEMORY_AND_DISK)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
     for (_ <- 1 to iterations) {
@@ -167,6 +172,8 @@ object Similarity {
       import scala.jdk.CollectionConverters._
       centroids = broadcast(spark.createDataFrame(rows.toSeq.asJava, means.schema))
     }
+    // centroids are collected literal rows — no lineage on the cache
+    if (wePersist) corpus.unpersist()
     centroids
   }
 
@@ -176,6 +183,8 @@ object Similarity {
       kmeansIterations: Int = 0): DataFrame = {
     val c = graft.Graft.ensureParallelism(candidates)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+      // read by every k-means iteration AND the final assignment pass
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids =
       if (kmeansIterations > 0)
         kmeansCentroids(c, "vec_id", "cvec", nCells, kmeansIterations)
@@ -198,16 +207,34 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
-  /** Exact embedding-cosine near-duplicate pairs above `threshold`.
+  /** Coarse-quantizer cell assignment over the whole corpus: (id, vec,
+    * cell), each vector to its nearest of the `nCells` lowest-id
+    * centroids. Public so bounded-scope exact baselines (one cell's
+    * members — the unit v7's blocked pair generation works in) can be
+    * declared without the O(n²) corpus product.
+    */
+  def quantizerCells(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assignToCells(c, "id", "vec",
+      lowestIdCentroids(c, "id", "vec", nCells), keep = 1)
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs above `threshold`
+    * WITHIN THE GIVEN FRAME — the exact parity witness for the blocked
+    * pipelines, intended for a bounded scope (one quantizer cell, a
+    * pre-blocked candidate set, a spec corpus). Over a full corpus the
+    * pair product is O(n²): the declared scale path for low thresholds
+    * is `cosineNearDupsIvf`, whose per-(table, cell) blocks each compute
+    * exactly this over their bounded membership.
     *
-    * Pair generation is the blocked O(n²/2) self-join (each side moves
-    * once; Spark plans a broadcast-nested-loop when one side is small,
+    * Pair generation is the blocked self-join (each side moves once;
+    * Spark plans a broadcast-nested-loop when one side is small,
     * partitioned block products otherwise); the FILTER runs on the
     * codegen'd double cosine, and only the surviving pairs are re-scored
-    * with the exact-decimal cosine for oracle-parity output. This is the
-    * right shape when the threshold is too low for LSH recall (cosine
-    * ~0.4: random hyperplanes agree with p≈0.37/bit — no usable
-    * S-curve); for high thresholds use `cosineNearDupsLsh`.
+    * with the exact-decimal cosine for oracle-parity output. For high
+    * thresholds `cosineNearDupsLsh` applies.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

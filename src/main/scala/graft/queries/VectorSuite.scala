@@ -180,23 +180,43 @@ object VectorSuite {
         |ORDER BY qid, rn""".stripMargin),
       "IVF coarse-quantizer ANN: assign to cells, probe nProbe nearest cells"),
 
-    // --- exact cosine near-dups (brute-force ground truth) ------------
-    // The O(n²) self-join is kept as the EXACT baseline (it is also what
-    // the v7 recall measurement compares against); the declared scale
-    // path for low thresholds is v7's IVF-cell blocking below.
+    // --- exact cosine near-dups, bounded scope (parity witness) -------
+    // The FLAGSHIP low-threshold near-dup query is v7's IVF-cell
+    // blocking below; this query is the exact PARITY WITNESS on the unit
+    // v7 works in — the members of ONE quantizer cell (the lowest-
+    // labeled of 16). A cell is O(n/nCells) and nCells scales with the
+    // corpus at production, so the declared pair product stays bounded;
+    // the full-corpus O(n²) brute force remains spec-only (the
+    // TextDedupSpec recall measurement for v7 compares against it).
     "v5_cosine_neardups" -> Q(
-      (s, dir) =>
-        Similarity.cosineNearDups(table(s, dir, "embeddings"), "vec_id",
-            "embedding", threshold = 0.4)
-          .orderBy("id1", "id2"),
-      Some(s"""WITH pairs AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    a.embedding AS v1, b.embedding AS v2
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      (s, dir) => {
+        val cells = Similarity.quantizerCells(
+          table(s, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+        val target = cells.agg(min(col("cell")).as("cell"))
+        val members = cells.join(broadcast(target), "cell")
+        Similarity.cosineNearDups(members, "id", "vec", threshold = 0.4)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |m AS (
+        |  SELECT vec_id, vec FROM assigned
+        |  WHERE cell = (SELECT MIN(cell) FROM assigned)),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.vec AS v1, b.vec AS v2
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, ${sqlCos("v1", "v2")} AS sim
         |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
         |ORDER BY id1, id2""".stripMargin),
-      "Embedding-cosine near-duplicate detection, exact all-pairs baseline"),
+      "Embedding-cosine near-dups, exact within one quantizer cell " +
+        "(bounded parity witness; v7 is the corpus-scale path)"),
 
     // --- IVF-blocked low-threshold near-dups (v5's scale path) --------
     // Pair generation is per-(table, cell) over 4 independent
