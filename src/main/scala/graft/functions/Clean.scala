@@ -275,7 +275,10 @@ object Clean {
     val rawPath = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
     val path0 = regexp_replace(rawPath, "/+$", "")
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE extracting the query: '?' may first
+    // occur inside the fragment ('…/p#a?b=1' has no real query, and the
+    // fragment tail must not leak into the canonical key)
+    val query = regexp_extract(regexp_replace(c, "#.*$", ""), "\\?(.*)", 1)
     val params = array_join(
       array_sort(filter(split(query, "&"),
         p => p =!= "" && !p.rlike(trackingParamPattern))), "&")

@@ -15,10 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object SqlSurface {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "canonicalize_url" -> GraftColumnBridge.liftUnary(Clean.canonicalizeUrl),
-    "doc_fingerprint" -> GraftColumnBridge.liftUnary(Text.fingerprint),
-    "token_count" -> GraftColumnBridge.liftUnary(Text.tokenCount),
-    "clean_street" -> GraftColumnBridge.liftUnary(Clean.cleanStreet))
+    "canonicalize_url" -> GraftColumnBridge.liftUnary("canonicalize_url", Clean.canonicalizeUrl),
+    "doc_fingerprint" -> GraftColumnBridge.liftUnary("doc_fingerprint", Text.fingerprint),
+    "token_count" -> GraftColumnBridge.liftUnary("token_count", Text.tokenCount),
+    "clean_street" -> GraftColumnBridge.liftUnary("clean_street", Clean.cleanStreet))
 
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =

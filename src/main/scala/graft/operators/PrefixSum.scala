@@ -29,23 +29,37 @@ object PrefixSum {
     * by `ordCol` (long, unique within a group), as column `start`.
     * `blockSpan` bounds every local window partition to at most that
     * many distinct `ordCol` values.
+    *
+    * `ordCol` must be (approximately) DENSE: blocking is `ordCol /
+    * blockSpan`, so the offsets table has one row per NONEMPTY block —
+    * ~n/blockSpan rows for dense ids. With sparse ids (hash-derived or
+    * widely shifted 64-bit keys) nearly every row lands in its own
+    * block: the offsets table approaches corpus size and the per-group
+    * block window degenerates into the single-task whole-group sort this
+    * operator exists to avoid. Re-key sparse ids first (e.g. a dense
+    * rank computed once, or this same two-pass shape over a coarser
+    * span). No broadcast hint on the offsets join — for dense ids AQE
+    * will pick the broadcast itself from the observed size, and for
+    * sparse ids forcing one would OOM the driver; a shuffle join on
+    * (group, block) is the safe fallback.
     */
   def exclusive(df: DataFrame, groupCol: String, ordCol: String,
       valueCol: String, blockSpan: Long = 8192L): DataFrame = {
     val block = (col(ordCol) / lit(blockSpan)).cast("long")
     val rows = df.withColumn("__blk", block)
-    // tiny: one row per (group, block)
+    // one row per nonempty (group, block) — tiny iff ordCol is dense
     val bw = Window.partitionBy(groupCol).orderBy("__blk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = rows.groupBy(col(groupCol), col("__blk"))
       .agg(sum(col(valueCol)).as("__tot"))
       .withColumn("__off", coalesce(sum(col("__tot")).over(bw), lit(0L)))
       .drop("__tot")
-    val lw = Window.partitionBy(groupCol, "__blk").orderBy(ordCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    rows.join(broadcast(offsets), Seq(groupCol, "__blk"))
-      .withColumn("start",
-        col("__off") + coalesce(sum(col(valueCol)).over(lw), lit(0L)))
+    rows.join(offsets, Seq(groupCol, "__blk"))
+      .withColumn("start", {
+        val lw = Window.partitionBy(groupCol, "__blk").orderBy(ordCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        col("__off") + coalesce(sum(col(valueCol)).over(lw), lit(0L))
+      })
       .drop("__blk", "__off")
   }
 

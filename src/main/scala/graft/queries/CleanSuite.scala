@@ -461,7 +461,7 @@ object CleanSuite {
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_replace(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^[^/?#@]*@', '')) AS hostport,
         |    regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*([^?#]*)', 1) AS rawpath,
-        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |    regexp_extract(regexp_replace(u, '#.*$', ''), '\?(.*)', 1) AS q
         |  FROM raw),
         |canon AS (
         |  SELECT scheme || '://' ||

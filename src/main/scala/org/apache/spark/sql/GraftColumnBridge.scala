@@ -17,6 +17,19 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
   * analyzer then resolves like any SQL).
   */
 object GraftColumnBridge {
-  def liftUnary(f: Column => Column): Seq[Expression] => Expression =
-    es => ColumnNodeToExpressionConverter(f(ExpressionUtils.column(es.head)).node)
+  /** Builder for a 1-arg SQL function. Wrong arity fails ANALYSIS with
+    * the standard WRONG_NUM_ARGS error (extra args must not be silently
+    * ignored; zero args must not surface as a NoSuchElementException
+    * from `es.head`).
+    */
+  def liftUnary(name: String, f: Column => Column): Seq[Expression] => Expression = {
+    case Seq(e) => ColumnNodeToExpressionConverter(f(ExpressionUtils.column(e)).node)
+    case es => throw new AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> ("`" + name + "`"),
+        "expectedNum" -> "1",
+        "actualNum" -> es.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
 }

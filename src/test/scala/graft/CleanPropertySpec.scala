@@ -119,7 +119,7 @@ class CleanPropertySpec extends SparkSpec {
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x//")
       query <- Gen.oneOf("", "?utm_source=t", "?b=2&a=1", "?b=2&utm_x=1&a=1", "?")
-      frag <- Gen.oneOf("", "#f", "#a=1")
+      frag <- Gen.oneOf("", "#f", "#a=1", "#a?b=1")
     } yield s"$scheme://$user$host$port$path$query$frag"
     forAll(Gen.listOfN(15, dirtyUrl)) { urls =>
       val once = evalStr(Clean.canonicalizeUrl(col("v")), urls)

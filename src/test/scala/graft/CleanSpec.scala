@@ -148,6 +148,11 @@ class CleanSpec extends SparkSpec {
       ("https://example.com/p?uTm_x=1", "https://example.com/p?uTm_x=1"),
       // userinfo stripped
       ("https://user:pw@Example.com/a", "https://example.com/a"),
+      // '?' INSIDE the fragment is not a query — nothing leaks through
+      ("https://e.com/p#a?b=1", "https://e.com/p"),
+      // real query AND a fragment containing '?': query survives, the
+      // fragment (with its fake param) is dropped
+      ("https://e.com/p?b=2&a=1#x?z=9", "https://e.com/p?a=1&b=2"),
       // non-URL input passes through untouched
       ("not a url", "not a url"))
     val got = cases.map(_._1).toDF("u")

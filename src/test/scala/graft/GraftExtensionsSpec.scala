@@ -26,4 +26,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "http://ex.com/a?b=1")
     assert(r.getLong(1) == 3L)
   }
+
+  test("wrong arity fails analysis instead of silently dropping args") {
+    val spark = SparkSpec.spark
+    val two = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT canonicalize_url('a', 'b')").collect()
+    }
+    assert(two.getMessage.contains("canonicalize_url"))
+    assert(two.getMessage.contains("requires 1 parameters"))
+    val zero = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_count()").collect()
+    }
+    assert(zero.getMessage.contains("token_count"))
+  }
 }
