@@ -46,7 +46,19 @@ object SimHashImpl {
   /** SimHash over `shingleSize`-token shingles (shingleSize=1 → plain
     * tokens). Fewer tokens than shingleSize → signature 0.
     */
-  def simhash(text: UTF8String, shingleSize: Int): Long = {
+  def simhash(text: UTF8String, shingleSize: Int): Long =
+    simhashSeeded(text, shingleSize, 0L, 31L, 7L, 37L)
+
+  /** Lane-B signature: same construction over an INDEPENDENT feature
+    * hash family (different polynomial seeds/multipliers). (simhash,
+    * simhashB) together form the 124-bit signature the radius-16-recall
+    * near-dup path verifies on — see Dedup.simhashNearDups128.
+    */
+  def simhashB(text: UTF8String, shingleSize: Int): Long =
+    simhashSeeded(text, shingleSize, 13L, 41L, 29L, 43L)
+
+  private def simhashSeeded(text: UTF8String, shingleSize: Int,
+      i1: Long, m1: Long, i2: Long, m2: Long): Long = {
     val t = text.toString.trim
     if (t.isEmpty) return 0L
     val toks = t.split("\\s+")
@@ -68,8 +80,8 @@ object SimHashImpl {
           }
           sb.toString
         }
-      val h1 = polyHash(feature, 0L, 31L)
-      val h2 = polyHash(feature, 7L, 37L)
+      val h1 = polyHash(feature, i1, m1)
+      val h2 = polyHash(feature, i2, m2)
       var b = 0
       while (b < 31) {
         if (((h1 >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -110,6 +122,35 @@ case class SimHash64(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, k) =>
       s"${ev.value} = graft.expressions.SimHashImpl.simhash($t, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** simhash64b(text, shingleSize) → long — the lane-B 62-bit signature
+  * (independent hash family; see SimHashImpl.simhashB).
+  */
+case class SimHash64B(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "simhash64b"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int)")
+    }
+
+  override def nullSafeEval(t: Any, k: Any): Any =
+    SimHashImpl.simhashB(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expressions.SimHashImpl.simhashB($t, $k);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)

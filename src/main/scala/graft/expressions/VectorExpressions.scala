@@ -142,6 +142,7 @@ object VectorExpressions {
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
     "word_shingle_hashes" -> (es => WordShingleHashes(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0), es(1))),
+    "simhash64b" -> (es => SimHash64B(es(0), es(1))),
     "hyperplane_bucket" -> (es => HyperplaneBucket(es(0), es(1), es(2))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))))
 

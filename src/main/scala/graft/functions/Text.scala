@@ -179,6 +179,12 @@ object Text {
   def simhash64(c: Column, shingleSize: Int = 1): Column =
     call_function("simhash64", c, lit(shingleSize))
 
+  /** Lane-B signature (independent hash family) — pairs with simhash64
+    * to form the 124-bit near-dup signature.
+    */
+  def simhash64b(c: Column, shingleSize: Int = 1): Column =
+    call_function("simhash64b", c, lit(shingleSize))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")

@@ -242,8 +242,9 @@ object TextSuite {
     // Recall-heavy variant: radius 16 catches lighter paraphrases but a
     // 62-bit signature has P(hamming<=16) ≈ 1e-5 for UNRELATED docs —
     // noise pairs grow ~n²·1e-5 (measured superlinear past ~100k docs in
-    // ScaleStress). Use on bounded scopes; tighten toward radius 3 (or
-    // widen the signature) as the corpus grows.
+    // ScaleStress). Kept as the bounded-scope single-lane form; the
+    // corpus-scale recall path is x8c's two-lane 124-bit signature,
+    // which holds the same recall with a ~1e-8 noise coefficient.
     "x8b_simhash_radius16" -> Q(
       (s, dir) =>
         Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
@@ -251,6 +252,23 @@ object TextSuite {
           .orderBy("id1", "id2"),
       Some(sqlSimhashMirror(maxHamming = 16, cap = 256)),
       "SimHash radius-16 recall-heavy variant (noise grows ~n^2*1e-5 — bounded scopes only)"),
+
+    // Wide-signature recall path: TWO independent 62-bit lanes (124
+    // bits), 8 band blocks, summed-Hamming radius 32 — the same
+    // RELATIVE radius as 16/62, so recall for light paraphrases is
+    // preserved (improved, even: the wider binomial concentrates),
+    // while unrelated-pair noise falls from ~1e-5 to P(h<=32|124) ≈
+    // 6e-8, of which only ~10% also share a block — ~1e-8·n²/2
+    // reported chance pairs, ~3 orders below x8b. The oracle rebuilds
+    // both lanes' integer arithmetic and the summed verify in SQL.
+    "x8c_simhash_wide" -> Q(
+      (s, dir) =>
+        Dedup.simhashNearDups128(table(s, dir, "documents"), "doc_id",
+            "text", maxHamming = 32)
+          .orderBy("id1", "id2"),
+      Some(sqlSimhash128Mirror(maxHamming = 32, cap = 256)),
+      "Two-lane 124-bit SimHash near-dups, radius 32: radius-16-class " +
+        "recall at ~1e-8 n^2 noise (retires x8b's scale caveat)"),
 
     // --- near-dup clustering (pairs → components → canonical) ----------
     // Near-dup relations CHAIN (A≈B, B≈C with A,C below threshold), so
@@ -990,6 +1008,56 @@ object TextSuite {
     * 3-token shingles, 4×16-bit band blocks, bucket cap, candidate
     * self-join, Hamming verify.
     */
+  /** Full DuckDB mirror of the TWO-LANE (124-bit) SimHash pipeline: the
+    * same engine-replicable integer arithmetic as sqlSimhashMirror, with
+    * a second signature from the independent (13,41)/(29,43) hash family,
+    * 8 band blocks (4 per lane), and the SUMMED Hamming verify.
+    */
+  private def sqlSimhash128Mirror(maxHamming: Int, cap: Int): String = {
+    val M = "2147483648"
+    def fin(x: String) =
+      s"((((($x) * 2654435761 + 2654435769) % $M) * 2654435761 + 40503) % $M)"
+    def poly(init: Int, mult: Int) = fin(
+      s"list_reduce(list_prepend(CAST($init AS BIGINT), " +
+        s"list_transform(range(1, length(t) + 1), j -> CAST(unicode(substr(t, j, 1)) AS BIGINT))), " +
+        s"(a, c) -> (a * $mult + c) % $M)")
+    val shingles = "list_transform(" +
+      "generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0)), " +
+      "i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' '))"
+    val hashed = s"list_transform($shingles, " +
+      s"t -> [${poly(0, 31)}, ${poly(7, 37)}, ${poly(13, 41)}, ${poly(29, 43)}])"
+    def half(hIdx: Int, shift: Int) =
+      s"""list_sum(list_transform(range(0, 31), b ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN ((h[$hIdx] >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(b + $shift AS INT) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    s"""WITH hashed AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS BIGINT[][])
+      |         ELSE $hashed END AS hs
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT id,
+      |    CAST(COALESCE(${half(1, 0)}, 0) + COALESCE(${half(2, 31)}, 0) AS BIGINT) AS siga,
+      |    CAST(COALESCE(${half(3, 0)}, 0) + COALESCE(${half(4, 31)}, 0) AS BIGINT) AS sigb
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT id, siga, sigb, band,
+      |    CASE WHEN band < 4 THEN (siga >> CAST(band * 16 AS INT)) & 65535
+      |         ELSE (sigb >> CAST((band - 4) * 16 AS INT)) & 65535 END AS block
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS band)),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band, block) AS c FROM banded)
+      |  WHERE c <= $cap)
+      |SELECT DISTINCT l.id AS id1, r.id AS id2,
+      |  CAST(bit_count(xor(l.siga, r.siga)) + bit_count(xor(l.sigb, r.sigb)) AS BIGINT) AS hamming
+      |FROM capped l JOIN capped r
+      |  ON l.band = r.band AND l.block = r.block AND l.id < r.id
+      |WHERE bit_count(xor(l.siga, r.siga)) + bit_count(xor(l.sigb, r.sigb)) <= $maxHamming
+      |ORDER BY id1, id2""".stripMargin
+  }
+
   private def sqlSimhashMirror(maxHamming: Int, cap: Int): String = {
     val M = "2147483648"
     def fin(x: String) =

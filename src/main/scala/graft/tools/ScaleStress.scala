@@ -65,6 +65,12 @@ object ScaleStress {
           k = 32, bands = 16, shingleSize = 3, threshold = 0.5).count())
       t(s"simhash_neardups m=$m")(
         Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16).count())
+      // Two-lane 124-bit variant at the equivalent relative radius: the
+      // single-lane radius-16 noise term (~1e-5·n²) is what goes
+      // superlinear above ~100k docs; at ~1e-8·n² the pair count here
+      // must stay ~linear in m (planted dups only) through these sizes.
+      t(s"simhash128_neardups m=$m")(
+        Dedup.simhashNearDups128(docs, "doc_id", "text", maxHamming = 32).count())
       // Planted-stopword stress for the capped n-gram Jaccard: every doc
       // gets the same 4-token boilerplate tail (shared across copies →
       // its shingles have df = nDocs). With the cap those shingles are

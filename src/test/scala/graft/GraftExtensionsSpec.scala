@@ -13,7 +13,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .registeredNames(new GraftExtensions)
     val expected = Set("cosine_sim", "dot_product", "minhash_signature",
       "minhash_match_count", "word_shingles", "word_shingle_hashes",
-      "simhash64", "hyperplane_bucket", "nfc_normalize",
+      "simhash64", "simhash64b", "hyperplane_bucket", "nfc_normalize",
       "canonicalize_url", "doc_fingerprint", "token_count", "clean_street")
     assert(expected.subsetOf(names), s"missing: ${expected -- names}")
   }

@@ -120,6 +120,21 @@ class TextDedupSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhash128: two-lane pipeline finds dup + near-dup, skips unrelated") {
+    // lanes must be INDEPENDENT families: identical texts agree on both,
+    // unrelated texts must not be near on the summed distance
+    val sigs = corpus.select(col("doc_id"),
+        Text.simhash64(col("text")).as("a"), Text.simhash64b(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L)._1 != sigs(1L)._2) // lanes differ on the same text
+    val pairs = Dedup.simhashNearDups128(corpus, "doc_id", "text",
+        maxHamming = 32, shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("ngram jaccard: exact value for known pair") {
     val pairs = Dedup.ngramJaccardPairs(corpus.filter(col("doc_id") <= 3),
       "doc_id", "text", shingleSize = 2, threshold = 0.1)
