@@ -39,6 +39,36 @@ object Sinks {
     back
   }
 
+  /** K4/K5 literal form: bulk insert into a MongoDB collection via the
+    * mongo-spark connector, drop-if-exists (README.md:822-849
+    * `mongoimport --drop`; insert.py:12-14 `insert_many`). The connector
+    * is an OPTIONAL runtime dependency — this build ships without it
+    * (BASELINE allows the parquet+view substitute `saveCollection`), so
+    * availability is probed through the DataSource registry and absence
+    * reports as a clear error instead of a ClassNotFoundException from
+    * deep inside a write job. SinksSpec skips when absent.
+    */
+  def mongoAvailable(spark: org.apache.spark.sql.SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+        "mongodb", spark.sessionState.conf)
+      true
+    } catch { case _: Throwable => false }
+
+  def saveToMongo(df: DataFrame, uri: String, database: String,
+      collection: String): Unit = {
+    require(mongoAvailable(df.sparkSession),
+      "mongo-spark connector not on the classpath — add " +
+        "org.mongodb.spark:mongo-spark-connector to use saveToMongo, or " +
+        "use saveCollection (parquet + registered view) instead")
+    df.write.format("mongodb")
+      .option("connection.uri", uri)
+      .option("database", database)
+      .option("collection", collection)
+      .mode("overwrite") // drop-if-exists load, like mongoimport --drop
+      .save()
+  }
+
   /** Range-sorted parquet layout: globally range-partition on `sortCols`
     * then sort within partitions before writing.
     *

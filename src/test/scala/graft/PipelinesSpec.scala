@@ -197,4 +197,17 @@ class PipelinesSpec extends SparkSpec {
     val view = Sinks.saveCollection(df, s"$tmp/coll", "test_coll")
     assert(spark.sql("SELECT COUNT(*) FROM test_coll").collect()(0).getLong(0) == 2)
   }
+
+  test("K4/K5 literal mongo sink: availability-gated with a clear error") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("id", "v")
+    if (Sinks.mongoAvailable(spark)) {
+      cancel("mongo connector present but no server in sandbox — covered by integration env")
+    } else {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.saveToMongo(df, "mongodb://localhost", "db", "coll")
+      }
+      assert(e.getMessage.contains("mongo-spark connector"))
+    }
+  }
 }
