@@ -116,17 +116,34 @@ object Similarity {
       .select(col(idName).as("cell"), col(vecName).as("centroid")))
 
   /** Assign each row to its `keep` nearest centroid cells (broadcast
-    * cross join + per-row rank window; ties broken on cell id).
+    * cross join; ties broken on cell id).
+    *
+    * keep=1 — the whole-corpus assignment every IVF/k-means/SemDeDup
+    * path runs — is a per-row argmax, computed as a partial-aggregating
+    * `max_by` over the unique (sim, -cell) order instead of a rank
+    * window: the ×nCells expansion combines back to one row per id
+    * map-side, so each vector crosses the shuffle once, not nCells
+    * times, and nothing sorts. keep>1 (query-side multi-probe, small)
+    * keeps the window form.
     */
   private def assignToCells(df: DataFrame, id: String, vec: String,
       centroids: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    df.crossJoin(centroids)
+    val joined = df.crossJoin(centroids)
       .withColumn("__csim", Vectors.cosineFast(col(vec), col("centroid")))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= keep)
-      .drop("__csim", "__rank", "centroid")
+    if (keep == 1) {
+      val carry = df.columns.filterNot(_ == id)
+      val payload = struct((carry.map(col) :+ col("cell")): _*)
+      val ord = struct(col("__csim"), (col("cell") * lit(-1L)).as("__nc"))
+      joined.groupBy(col(id)).agg(max_by(payload, ord).as("__p"))
+        .select(col(id) +: (carry :+ "cell").map(c => col(s"__p.$c").as(c)): _*)
+    } else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      joined
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= keep)
+        .drop("__csim", "__rank", "centroid")
+    }
   }
 
   /** Lloyd k-means refinement of the deterministic seed centroids:
@@ -154,20 +171,24 @@ object Similarity {
     val wePersist = corpus.storageLevel == StorageLevel.NONE
     if (wePersist) corpus.persist(StorageLevel.MEMORY_AND_DISK)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Per-dimension means as `dim` WIDE aggregates over whole vectors —
+    // not a posexplode to n·dim rows: partial aggregation reduces each
+    // partition to nCells rows of dim accumulators map-side, so the
+    // means shuffle is O(partitions · nCells · dim) regardless of n.
+    // Exact-decimal sums (order-independent — a plain double sum would
+    // make centroids partitioning-dependent), ONE cast to double, then a
+    // double/double divide — decimal division itself is avoided because
+    // its result precision/rounding rules are engine-specific.
+    val dim = c.select(size(col("vec"))).head.getInt(0)
+    val meanCols = (1 to dim).map(i =>
+      (sum(element_at(col("vec"), i).cast("double").cast("decimal(30,12)"))
+        .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
     var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
     for (_ <- 1 to iterations) {
       val assigned = assignToCells(c, "id", "vec", centroids, keep = 1)
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        // exact-decimal sum (order-independent), ONE cast to double, then
-        // a double/double divide — decimal division itself is avoided
-        // because its result precision/rounding rules are engine-specific
-        .agg((sum(col("x").cast("double").cast("decimal(30,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+      val means = assigned.groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
+        .select(col("cell"),
+          array((1 to dim).map(i => col(s"_m$i")): _*).as("centroid"))
       val rows = means.orderBy("cell").collect()
       import scala.jdk.CollectionConverters._
       centroids = broadcast(spark.createDataFrame(rows.toSeq.asJava, means.schema))
