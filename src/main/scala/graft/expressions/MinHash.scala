@@ -43,6 +43,31 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
+  /** signature() factored over precomputed shingle hashes: the string
+    * path hashes each shingle with XXH64(bytes, 42) — the exact value
+    * `wordShingleHashes` emits — so min-mixing those hashes yields a
+    * BIT-IDENTICAL signature while letting a pipeline that also needs
+    * the hash sets (near-dedup verification) tokenize the text ONCE.
+    * Duplicate hashes don't affect the min, so distinct sets are fine.
+    */
+  def signatureFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashLong(h, j.toLong)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Number of equal components between two equal-length signatures. */
   def matchCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -194,6 +219,35 @@ case class MinHashSignature(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, k) =>
       s"${ev.value} = graft.expressions.MinHashImpl.signature($a, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** minhash_from_hashes(shingleHashes, k) → array<long> of length k —
+  * bit-identical to minhash_signature over the same shingles' strings.
+  */
+case class MinHashFromHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "minhash_from_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.foldable &&
+        right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<long>, literal int), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashImpl.signatureFromHashes(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expressions.MinHashImpl.signatureFromHashes($a, $k);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)

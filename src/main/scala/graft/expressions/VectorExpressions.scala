@@ -139,6 +139,7 @@ object VectorExpressions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1))),
     "minhash_match_count" -> (es => MinHashMatchCount(es(0), es(1))),
+    "minhash_from_hashes" -> (es => MinHashFromHashes(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
     "word_shingle_hashes" -> (es => WordShingleHashes(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0), es(1))),

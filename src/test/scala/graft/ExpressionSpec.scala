@@ -24,6 +24,25 @@ class ExpressionSpec extends AnyFunSuite {
       NormalizeImpl.nfc(UTF8String.fromString("Café naïve"))))
   }
 
+  test("minhash_from_hashes is bit-identical to the string-shingle path") {
+    import graft.expressions.MinHashImpl
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = UTF8String.fromString(
+      "the quick brown fox jumps over the lazy dog again and again")
+    for (k <- Seq(8, 32); n <- Seq(2, 3)) {
+      val strings = MinHashImpl.wordShingles(text, n)
+      val hashes = MinHashImpl.wordShingleHashes(text, n)
+      // distinct hashes (the pipeline's set form) must not change the min
+      val distinct = new GenericArrayData(
+        (0 until hashes.numElements()).map(hashes.getLong).distinct.toArray)
+      val a = MinHashImpl.signature(strings, k)
+      val b = MinHashImpl.signatureFromHashes(distinct, k)
+      assert((0 until k).forall(i => a.getLong(i) == b.getLong(i)),
+        s"k=$k n=$n signatures diverge")
+    }
+  }
+
   test("mix31 stays in [0, 2^31) across the input domain") {
     val rnd = new scala.util.Random(42)
     val samples = Seq(0L, 1L, (1L << 31) - 1) ++
