@@ -301,6 +301,49 @@ object TextSuite {
       "Near-dup clustering: connected components over MinHash pairs, " +
         "min-id canonical per group (min-label propagation vs recursive CTE)"),
 
+    // --- near-dup dedup APPLIED (the end-to-end pipeline step) ----------
+    // What a training pipeline actually ships: pairs → components →
+    // keep each component's canonical member, drop the rest — then the
+    // surviving corpus per language. Dedup.keepCanonical is one
+    // left-anti join on the cluster losers; docs in no cluster pass
+    // through untouched. The oracle closes the identical exact pairs
+    // with the recursive CTE, derives the same loser set, and
+    // anti-joins it.
+    "x28_dedup_apply" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+        val clusters = Dedup.dupClusters(pairs)
+        Dedup.keepCanonical(docs, "doc_id", clusters)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        |${sqlExactJaccardPairsBody(0.5)}
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |canon AS (
+        |  SELECT a AS member_id, LEAST(a, MIN(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |losers AS (
+        |  SELECT member_id FROM canon WHERE member_id <> canonical_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.member_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Near-dup dedup applied end-to-end: anti-join the cluster losers, " +
+        "surviving corpus per language"),
+
     // --- context-window chunking ---------------------------------------
     // Long documents become overlapping training windows (64 tokens,
     // stride 48) — explode-per-doc, no token crosses the wire twice
