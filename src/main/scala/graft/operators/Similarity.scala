@@ -372,11 +372,14 @@ object Similarity {
       threshold: Double = 0.95, bits: Int = 8, tables: Int = 4,
       maxBucketSize: Int = 1024): DataFrame = {
     val c = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persist: the cap's count side and the self-join sides otherwise
+    // each recompute the hyperplane buckets (bits·tables dot products
+    // per vector)
     val banded0 = (0 until tables).map { t =>
       c.select(col("id"), col("vec"), lit(t).as("table"),
         Vectors.hyperplaneBucket(col("vec"), bits, t).as("bucket"))
     }.reduce(_ unionAll _)
-    // capBuckets is a single window pass; the self-join reuses its shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = Dedup.capBuckets(banded0, Seq("table", "bucket"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
