@@ -876,6 +876,62 @@ object TextSuite {
       "Incremental dedup: new batch left-anti joined against a fingerprint " +
         "index of the existing corpus (old text never read)"),
 
+    // --- Bloom-prefiltered incremental dedup ----------------------------
+    // Same planted crawl as x25, routed through the sketch path a
+    // steady-state 100 TB pipeline runs: a Bloom filter over the index
+    // fingerprints (a persisted sidecar in production) splits the batch
+    // so definitely-new rows NEVER shuffle — only might-contain rows
+    // (true dups + the fpp fraction) reach the exact anti-join verify.
+    // The sketch routes rows but never decides membership, so the
+    // result is exactly x25's anti-join and the oracle is the same
+    // Bloom-free SQL (plus kept-token mass, to tell the rows apart).
+    "x29_bloom_incremental" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val index = docs.filter(col("doc_id") < 250)
+          .select(Text.fingerprint(col("text")).as("f"))
+        val fresh0 = docs.filter(col("doc_id") >= 250)
+        val recrawl = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000L)
+        val rebatch = docs.filter(col("doc_id").between(250, 259))
+          .withColumn("doc_id", col("doc_id") + 20000L)
+        val batch = fresh0.unionAll(recrawl).unionAll(rebatch)
+          .withColumn("f", Text.fingerprint(col("text")))
+        val newRows = Dedup.incrementalNewRows(index, batch, "f",
+          expectedItems = 1000L, fpp = 0.01)
+        val w = Window.partitionBy("f").orderBy("doc_id")
+        newRows.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_new"),
+            sum(Text.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH idx AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, lang, text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 259),
+        |fresh AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM batch),
+        |kept AS (
+        |  SELECT lang, text FROM (
+        |    SELECT lang, text, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        |    FROM fresh WHERE f NOT IN (SELECT f FROM idx))
+        |  WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_new,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+      "Bloom-prefiltered incremental dedup: sketch routes the batch, " +
+        "exact anti-join verifies — definitely-new rows never shuffle"),
+
     // --- content-defined chunking (CDC) dedup ---------------------------
     // Variable-length chunks split where the CONTENT says so (breakpoint
     // iff the token's md5 starts with '0' → P=1/16, mean chunk ~16

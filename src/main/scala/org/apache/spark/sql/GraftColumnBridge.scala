@@ -1,7 +1,8 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+import org.apache.spark.sql.types.BinaryType
 
 /** Bridge for registering COMPOSED column functions (trees built from
   * `org.apache.spark.sql.functions`) in the FunctionRegistry, which
@@ -32,4 +33,17 @@ object GraftColumnBridge {
         "actualNum" -> es.length.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
   }
+
+  /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter`
+    * (`writeTo` bytes) with a LONG-valued column — the same
+    * `BloomFilterMightContain` predicate Spark's runtime-filter rewrite
+    * injects, with the sketch as a foldable binary literal so the probe
+    * stays inside whole-stage codegen and needs no UDF. The caller is
+    * responsible for probing with the SAME key the sketch was built
+    * over (`mightContainLong` semantics on both sides).
+    */
+  def mightContainLong(bloomBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnNodeToExpressionConverter(value.node)))
 }

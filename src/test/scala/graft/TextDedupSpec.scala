@@ -284,4 +284,37 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dropped") == 2) // ids 0 and 1
     assert(r.getAs[Long]("n_kept") == 2) // ids 2 and 9
   }
+
+  test("incrementalNewRows equals the plain anti-join at any fpp") {
+    val index = (0L until 200L).map(i => s"k$i").toDF("f")
+    // batch: 150 dups of the index, 100 genuinely new keys, one
+    // batch-internal pair (both new — BOTH survive: batch-internal
+    // dedup is the caller's window, not this operator's job)
+    val batch = ((50L until 200L) ++ (1000L until 1100L) ++ Seq(1000L))
+      .zipWithIndex.map { case (k, i) => (i.toLong, s"k$k") }
+      .toDF("doc_id", "f")
+    val expected = batch.join(index, Seq("f"), "left_anti")
+      .select("doc_id", "f") // USING join fronts the key; compare in batch order
+      .orderBy("doc_id").collect().toSeq
+    // fpp 0.01 (verify path nearly empty) and a deliberately tiny,
+    // saturated sketch (expectedItems=10 → high fp rate → most rows
+    // routed through the verify join): identical results either way
+    for (fpp <- Seq(0.01, 0.3); items <- Seq(10L, 10000L)) {
+      val got = Dedup.incrementalNewRows(index, batch, "f",
+          expectedItems = items, fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == expected, s"fpp=$fpp items=$items")
+    }
+  }
+
+  test("incrementalNewRows bloom bypass: zero index hits never join") {
+    // disjoint key spaces: with fpp 1e-6 over 26 keys the sketch routes
+    // (essentially) every batch row through the no-join branch; the
+    // result must still be the full batch
+    val index = ('a' to 'z').map(c => s"old_$c").toDF("f")
+    val batch = (0L until 50L).map(i => (i, s"new_$i")).toDF("doc_id", "f")
+    val out = Dedup.incrementalNewRows(index, batch, "f",
+      expectedItems = 26L, fpp = 0.000001)
+    assert(out.count() == 50L)
+  }
 }
