@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Physical-plan regression guard over the ENTIRE declared query surface:
+  * a CartesianProduct or BroadcastNestedLoopJoin may only appear with a
+  * PROVABLY BOUNDED side — a scalar aggregate (no grouping keys), an
+  * explicit limit, or a literal table. Those are the legitimate O(n·k)
+  * patterns (scalar-threshold joins, fixed-k centroid/quantizer tables,
+  * weight tables); anything else means a join lost its equi-condition
+  * and became the O(n·m) pair product that is instantly fatal at 100 TB
+  * even though a small-SF correctness run still passes. The per-query
+  * specs pin the plans we WANT (broadcasts, TakeOrdered, pushdown); this
+  * spec pins the shape we must never regress into.
+  *
+  * Only plans are built — nothing executes. Queries whose DataFrame
+  * CONSTRUCTION already runs driver-coordinated jobs (label-propagation
+  * loops, Lloyd iterations, the Bloom sketch build) are skipped:
+  * planning them would execute the expensive part of the query inside
+  * the suite. Their scale shapes are asserted by their own specs.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // construction executes jobs (iterative/collected driver state)
+  private val constructionRunsJobs = Set(
+    "x18_dup_clusters", "x27_leakage_safe_split", "x28_dedup_apply",
+    "x29_bloom_incremental", "v8_ivf_kmeans_topk")
+
+  // bounded exceptions the TREE cannot prove (cardinality facts, not
+  // plan-node facts):
+  //   v5 — the exact parity witness joins the members of ONE quantizer
+  //     cell on id1 < id2 alone; the bound is the cell-membership
+  //     semi-join;
+  //   v2 — the brute-force baseline broadcasts a query side filtered to
+  //     vec_id < 5: at most 5 rows at ANY corpus size (unique key), but
+  //     a Filter node carries no cardinality bound
+  private val boundedBySemantics =
+    Set("v5_cosine_neardups", "v2_cosine_topk")
+
+  /** Flatten across the wrappers AQE puts between logical operators. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case r: ReusedExchangeExec => p +: flatten(r.child)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  /** A subtree whose row count is bounded independent of input scale. */
+  private def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+    case a: HashAggregateExec => a.groupingExpressions.isEmpty
+    case a: SortAggregateExec => a.groupingExpressions.isEmpty
+    case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+         _: CollectLimitExec | _: LocalTableScanExec => true
+    case _ => false
+  }
+
+  test("every Cartesian/nested-loop join has a provably bounded side") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        constructionRunsJobs(n) || boundedBySemantics(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        flatten(plan).collect {
+          case j: BroadcastNestedLoopJoinExec
+              if !bounded(j.buildSide match {
+                case BuildLeft => j.left
+                case BuildRight => j.right
+              }) => s"$name: unbounded BroadcastNestedLoopJoin"
+          case j: CartesianProductExec
+              if !bounded(j.left) && !bounded(j.right) =>
+            s"$name: unbounded CartesianProduct"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"pair products without a bounded side:\n${offenders.mkString("\n")}")
+  }
+}
