@@ -57,12 +57,15 @@ object Bench {
     val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
     val results = p1.map { case (k, v) =>
       k -> (v +: extras.flatMap(_.get(k))).min }
-    // The driver captures a bounded TAIL of the output: r02/r03 artifacts
-    // came back with "parsed": null and only ~60 of 119 per-query entries
-    // because raw Double.toString (17 sig figs) pushed the one-line JSON
-    // past the capture window and its head was cut mid-line. 10 ms
-    // resolution is all min-of-N de-noising supports anyway — round to
-    // 2 decimals (halves the line) and keep the JSON as the LAST line.
+    // The driver captures a bounded ~2000-char TAIL of stdout: r02/r03
+    // artifacts came back with "parsed": null because the one-line JSON
+    // with all per-query entries (~3 KB even at 2-decimal resolution for
+    // a 120+-query surface) had its head cut mid-line. Two artifacts:
+    //   - the FULL line (every per-query time) goes to BENCH_LAST.json
+    //     and stdout first;
+    //   - the LAST stdout line is a compact summary guaranteed to sit
+    //     wholly inside any tail window: total, query count, and the 10
+    //     slowest queries, with a pointer to the full file.
     def r2(v: Double): String = f"$v%.2f"
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
@@ -70,12 +73,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt-and-braces: the same line as a file artifact in the repo root,
-    // immune to any stdout capture window
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val top = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.size},"slowest":$top,""" +
+        s""""queries_file":"BENCH_LAST.json"}"""
     spark.stop()
     println(line)
+    println(summary)
   }
 }
