@@ -932,6 +932,92 @@ object TextSuite {
       "Bloom-prefiltered incremental dedup: sketch routes the batch, " +
         "exact anti-join verifies — definitely-new rows never shuffle"),
 
+    // --- incremental NEAR-dup dedup (cross-corpus MinHash) --------------
+    // x25/x29 drop exact re-crawls; production crawls also carry LIGHT
+    // EDITS of indexed pages (banners, timestamps) that only a near-dup
+    // key catches. Dedup.minhashNearDupsCross bands the new batch
+    // against the indexed corpus ONLY — no within-side pairs, so the
+    // index's internal self-similarity (already deduped once) costs
+    // nothing. Exact-verified (the estimate only routes candidates), so
+    // the oracle is the Bloom-and-LSH-free exact-Jaccard SQL: batch
+    // docs paired at J >= 0.5 with an index doc are dropped, survivors
+    // aggregated per language. Within-batch near-dups are NOT dropped —
+    // that is x18/x28's batch-local step.
+    "x30_incremental_neardup" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val index = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+        val hits = Dedup.minhashNearDupsCross(index, batch, "doc_id",
+          "text", k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+        batch.join(
+            hits.select(col("batch_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(Text.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH pairs AS (
+        |${sqlExactJaccardPairsBody(0.5)}
+        |),
+        |losers AS (
+        |  SELECT DISTINCT id2 AS doc_id FROM pairs
+        |  WHERE id1 < 250 AND id2 >= 250)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Incremental near-dup dedup: new batch LSH-banded against the " +
+        "indexed corpus only (no within-side pairs), exact-verified"),
+
+    // --- token-budget selection (data mixing under a budget) ------------
+    // The mixing step a training run actually executes: per source, keep
+    // the highest-value documents until a token budget fills. Value
+    // order here is token count desc (longest-first; any deterministic
+    // score column slots in), the budget cut is an EXCLUSIVE prefix sum
+    // of token counts in that order — PrefixSum.exclusive over a
+    // row_number ordCol, which is DENSE by construction (the operator's
+    // documented contract), so the per-(source, block) offsets table
+    // stays ~n/8192 rows at any scale and no group is ever sorted in
+    // one task. A doc is kept iff the budget is not yet exhausted when
+    // it starts (the boundary doc crosses the line — greedy fill).
+    "x31_token_budget_select" -> Q(
+      (s, dir) => {
+        val budget = 2000L
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            Text.tokenCount(col("text")).as("n"))
+        val rw = Window.partitionBy("source")
+          .orderBy(col("n").desc, col("doc_id").asc)
+        val ranked = docs.withColumn("rn", row_number().over(rw).cast("long"))
+        graft.operators.PrefixSum.exclusive(ranked, "source", "rn", "n")
+          .filter(col("start") < budget)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source, doc_id, len($sqlTokens) AS n FROM documents),
+        |r AS (
+        |  SELECT source, n, row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, doc_id ASC) AS rn
+        |  FROM d),
+        |c AS (
+        |  SELECT source, n,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
+        |  FROM r)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM c WHERE start < 2000
+        |GROUP BY source ORDER BY source""".stripMargin),
+      "Token-budget selection per source: longest-first greedy fill via " +
+        "the distributed exclusive prefix sum (dense row_number ordCol)"),
+
     // --- content-defined chunking (CDC) dedup ---------------------------
     // Variable-length chunks split where the CONTENT says so (breakpoint
     // iff the token's md5 starts with '0' → P=1/16, mean chunk ~16

@@ -307,6 +307,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashNearDupsCross equals the cross subset of union near-dups") {
+    val index = corpus.filter($"doc_id" <= 2)
+    val batch = corpus.filter($"doc_id" >= 3)
+    val unionPairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a <= 2 && b >= 3 } // id1<id2 ⇒ cross = (idx, batch)
+      .toSet
+    val crossPairs = Dedup.minhashNearDupsCross(index, batch, "doc_id",
+        "text", k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(crossPairs == unionPairs)
+    assert(crossPairs.nonEmpty) // docs 1/2 near-dup doc 3 across the cut
+  }
+
   test("incrementalNewRows bloom bypass: zero index hits never join") {
     // disjoint key spaces: with fpp 1e-6 over 26 keys the sketch routes
     // (essentially) every batch row through the no-join branch; the
