@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -114,6 +114,30 @@ object Multimodal {
           a.media.slice(off.toInt, math.min(len, off.toInt + 16)))
       }
     }
+  }
+
+  /** Chunk-fingerprint "document" for a media payload: the hex encoding
+    * is cut into fixed `chunkHexChars`-char chunks (2 hex chars per
+    * byte), each chunk fingerprinted with md5, fingerprints space-joined
+    * — an opaque binary column becomes a token sequence the text
+    * near-dup operators (MinHash+LSH, exact Jaccard, SimHash) consume
+    * unchanged. This is the standard shape for media dedup at scale:
+    * after this projection only 32-char fingerprints shuffle (~32 B per
+    * KiB of media, a ~97% reduction) and payload bytes never leave
+    * their scan partition. hex() and md5() are the two binary accessors
+    * the DuckDB oracle shares (see MultimodalSuite m1), so the whole
+    * near-dup pipeline stays oracle-checkable end to end.
+    */
+  def chunkFingerprintDoc(hexCol: Column, chunkHexChars: Int): Column = {
+    val n = floor((length(hexCol) + lit(chunkHexChars - 1)) /
+      lit(chunkHexChars)).cast("int")
+    when(length(hexCol) === 0, lit(""))
+      .otherwise(array_join(
+        transform(sequence(lit(0), greatest(n - lit(1), lit(0))),
+          i => md5(encode(
+            hexCol.substr(i * lit(chunkHexChars) + lit(1), lit(chunkHexChars)),
+            "UTF-8"))),
+        " "))
   }
 
   /** Build an asset table from the documents corpus (text bytes stand in

@@ -94,5 +94,59 @@ object MultimodalSuite {
         |  CAST(SUM(off * 40) AS BIGINT) AS total_offset_ms
         |FROM f GROUP BY frame_index ORDER BY frame_index""".stripMargin),
       "Multimodal: evenly-spaced video frame sampling; offsets/slices/timestamps " +
-        "replayed from octet_length alone in the oracle"))
+        "replayed from octet_length alone in the oracle"),
+
+    // --- chunk-fingerprint near-dup (media dedup) ----------------------
+    // How media dedup actually works at 100 TB: payloads are cut into
+    // fixed 1 KiB chunks, each chunk md5-fingerprinted, and near-dup
+    // detection runs over chunk-fingerprint SETS — a re-encode wrapper
+    // tweak or a corrupted block leaves Jaccard ≈ (n-1)/(n+1) ≈ 1 while
+    // unrelated media share nothing. Only 32-char fingerprints shuffle;
+    // bytes never leave the scan. The fixture has no natural near-dups
+    // (independent LCG streams), so the query plants them: for the first
+    // 64 assets a variant (id+10000) with the first KiB zeroed — derived
+    // in-query via hex(), so DuckDB replays the identical corpus and the
+    // exact-Jaccard oracle checks the full MinHash+LSH+verify pipeline.
+    "m4_chunk_fingerprint_neardups" -> Q(
+      (s, _) => {
+        val ch = 2048 // hex chars per chunk = 1 KiB of payload
+        val base = assets(s).select(col("asset_id").cast("long").as("doc_id"),
+          hex(col("media")).as("hx"))
+        val variants = base.filter(col("doc_id") < 64)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(expr(s"repeat('0', $ch)"),
+              expr(s"substring(hx, ${ch + 1})")).as("hx"))
+        val union = base.unionByName(variants)
+          .select(col("doc_id"),
+            Multimodal.chunkFingerprintDoc(col("hx"), ch).as("chunks"))
+        graft.operators.Dedup.minhashNearDups(union, "doc_id", "chunks",
+            k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT asset_id AS id, hex(media) AS hx FROM $A),
+        |un AS (
+        |  SELECT id, hx FROM base
+        |  UNION ALL
+        |  SELECT id + 10000, repeat('0', 2048) || substr(hx, 2049)
+        |  FROM base WHERE id < 64),
+        |sets AS (
+        |  SELECT id, unnest(list_distinct(list_transform(
+        |    range(0, (length(hx) + 2047) // 2048),
+        |    i -> md5(substr(hx, CAST(i * 2048 + 1 AS INT), 2048))))) AS sh
+        |  FROM un),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
+        |common AS (
+        |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
+        |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
+        |  GROUP BY l.id, r.id)
+        |SELECT common.id1 AS id1, common.id2 AS id2,
+        |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes s1 ON s1.id = common.id1
+        |JOIN sizes s2 ON s2.id = common.id2
+        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
+        |ORDER BY id1, id2""".stripMargin),
+      "Multimodal near-dup: 1 KiB chunk md5 fingerprints -> MinHash+LSH " +
+        "over fingerprint sets; exact-Jaccard oracle on the same planted corpus"))
 }

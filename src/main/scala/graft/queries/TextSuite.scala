@@ -1018,6 +1018,64 @@ object TextSuite {
       "Token-budget selection per source: longest-first greedy fill via " +
         "the distributed exclusive prefix sum (dense row_number ordCol)"),
 
+    // --- boilerplate span removal ---------------------------------------
+    // The within-document half of dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better"): instead of dropping
+    // whole near-dup documents, strip the SPANS that repeat across the
+    // corpus (headers, footers, navigation, license blocks) and keep the
+    // unique prose around them. A token is removed iff any 3-token
+    // shingle covering it occurs in >= 4 distinct documents. Scale
+    // shape: only (md5 fingerprint, doc, position) rows shuffle; the
+    // high-df fingerprint table after the cut is vocabulary-bounded
+    // (broadcastable), text itself moves once through the final
+    // doc-keyed join; the reconstruction is a position-indexed array
+    // filter, no per-token shuffle.
+    "x32_boilerplate_strip" -> Q(
+      (s, dir) =>
+        graft.operators.Dedup.stripBoilerplateSpans(
+            table(s, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, minDf = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some("""WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |shing AS (
+        |  SELECT doc_id, i, md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS f
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+        |        FROM docs)),
+        |hid AS (
+        |  SELECT f FROM (
+        |    SELECT f, COUNT(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, f FROM shing) GROUP BY f)
+        |  WHERE df >= 4),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.i + d.d AS p
+        |  FROM shing s JOIN hid USING (f)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d),
+        |toksb AS (
+        |  SELECT doc_id, unnest(toks) AS t,
+        |    unnest(generate_series(1, len(toks))) AS p
+        |  FROM docs),
+        |kept AS (
+        |  SELECT tb.doc_id,
+        |    string_agg(CASE WHEN c.p IS NULL THEN tb.t END, ' ' ORDER BY tb.p)
+        |      AS cleaned,
+        |    COUNT(c.p) AS n_removed
+        |  FROM toksb tb LEFT JOIN cov c ON c.doc_id = tb.doc_id AND c.p = tb.p
+        |  GROUP BY tb.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.cleaned, '') AS cleaned
+        |FROM docs d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+      "Boilerplate span removal: strip tokens covered by any 3-gram " +
+        "occurring in >= 4 distinct docs; keeps unique prose in order"),
+
     // --- content-defined chunking (CDC) dedup ---------------------------
     // Variable-length chunks split where the CONTENT says so (breakpoint
     // iff the token's md5 starts with '0' → P=1/16, mean chunk ~16

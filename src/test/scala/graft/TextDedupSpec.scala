@@ -333,4 +333,47 @@ class TextDedupSpec extends SparkSpec {
       expectedItems = 26L, fpp = 0.000001)
     assert(out.count() == 50L)
   }
+
+  test("stripBoilerplateSpans: shared header removed, unique prose kept") {
+    // 4 docs share the leading 3-token header (df=4 >= minDf), doc 5 is
+    // fully unique; bodies are pairwise distinct so no body shingle
+    // reaches the cut
+    val docs = Seq(
+      (1L, "SITE NAV MENU alpha beta gamma delta"),
+      (2L, "SITE NAV MENU epsilon zeta eta theta"),
+      (3L, "SITE NAV MENU iota kappa lambda mu"),
+      (4L, "SITE NAV MENU nu xi omicron pi"),
+      (5L, "entirely unique prose with no repeats at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateSpans(docs, "doc_id", "text",
+        shingleSize = 3, minDf = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 3L, "alpha beta gamma delta")))
+    assert(out(2L) == ((7L, 3L, "epsilon zeta eta theta")))
+    assert(out(5L) == ((8L, 0L, "entirely unique prose with no repeats at all")))
+    // a doc that is ALL boilerplate cleans to the empty string
+    val all = Seq(1L, 2L, 3L, 4L).map(i => (i, "SITE NAV MENU")).toDF("doc_id", "text")
+    val cleaned = Dedup.stripBoilerplateSpans(all, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(cleaned.forall(_ == ((3L, ""))))
+  }
+
+  test("chunkFingerprintDoc: media near-dup via chunk-fingerprint sets") {
+    import graft.operators.Multimodal
+    // 4 KiB payloads; b = a with the first KiB overwritten; c unrelated
+    val a = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val b = a.clone(); (0 until 1024).foreach(i => b(i) = 0x5a.toByte)
+    val c = Array.tabulate[Byte](4096)(i => ((i * 7 + 3) % 249).toByte)
+    val assets = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "media")
+    val docs = assets.select($"doc_id",
+      Multimodal.chunkFingerprintDoc(hex($"media"), 2048).as("chunks"))
+    // 4 chunks per asset: a vs b share 3 of 5 distinct → jaccard 0.6
+    val nChunks = docs.select(size(split($"chunks", " "))).collect().map(_.getInt(0))
+    assert(nChunks.forall(_ == 4))
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "chunks",
+        k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.6)))
+  }
 }
