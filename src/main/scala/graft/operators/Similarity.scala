@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -391,5 +391,132 @@ object Similarity {
       .select(col("id1"), col("id2"),
         Vectors.cosineFast(col("v1"), col("v2")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): the memory side of ANN at 100 TB. A
+  // 64-dim float vector is 256 B; its PQ code is m bytes (8 here) — a
+  // 32× reduction that is what lets a corpus-scale index live in
+  // executor memory. Codebooks are O(m · nCodes · subDim) algorithm
+  // state (1 KB here — same justification as k-means centroids);
+  // queries scan CODES, never vectors.
+  // ------------------------------------------------------------------
+
+  /** Exact squared-L2 over two float arrays, folded in index order:
+    * each (x-y)² term is exact in double (float diffs/products never
+    * round), and the left-to-right fold matches DuckDB's list_sum, so
+    * the result is bit-identical across engines.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0d), (acc, v) => acc + v)
+
+  /** (id, s, sv): each vector exploded into its `m` subspace slices. */
+  private def subVectors(df: DataFrame, idName: String, vecName: String,
+      m: Int, sub: Int): DataFrame =
+    df.select(col(idName).as("id"), col(vecName).as("vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("id"), col("s"),
+        slice(col("vec"), col("s") * lit(sub) + lit(1), lit(sub)).as("sv"))
+
+  /** Per-(vector, subspace) nearest codeword — a partial-aggregating
+    * min_by over the unique (distance, code) order (the assignToCells
+    * shape): the ×nCodes expansion collapses map-side, nothing sorts.
+    */
+  private def assignToCodes(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(cb, Seq("s"))
+      .withColumn("__d", l2sq(col("sv"), col("cw")))
+      .groupBy("id", "s")
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+
+  /** PQ codebooks: the vector space split into `m` subspaces, each with
+    * its own `nCodes`-codeword codebook, Lloyd-refined `iterations`
+    * times. Deterministic and engine-replicable throughout: seeds are
+    * the `nCodes` lowest-id vectors' subspace slices (code label = seed
+    * id, stable across iterations; emptied codes disappear), assignment
+    * is exact-double squared-L2 with ties to the lowest code, and means
+    * accumulate in DECIMAL (order-independent) exactly like
+    * kmeansCentroids. Collected per iteration — they are the
+    * algorithm's O(m·nCodes·subDim) aggregate state, NOT data.
+    *
+    * Output: (s, code, cw) — `m` × `nCodes` rows.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dim = c.select(size(col("vec"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // read by every refinement iteration AND typically by the caller's
+    // encode pass — one corpus-wide subvector explode, cached
+    val sv = subVectors(c, "id", "vec", m, sub)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = c.orderBy(col("id").asc).limit(nCodes)
+    var cb = broadcast(subVectors(seeds, "id", "vec", m, sub)
+      .select(col("s"), col("id").as("code"), col("sv").as("cw")))
+    val meanCols = (1 to sub).map(i =>
+      (sum(element_at(col("sv"), i).cast("double").cast("decimal(30,12)"))
+        .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
+    import scala.jdk.CollectionConverters._
+    for (_ <- 1 to iterations) {
+      val means = assignToCodes(sv, cb).join(sv, Seq("id", "s"))
+        .groupBy("s", "code").agg(meanCols.head, meanCols.tail: _*)
+        .select(col("s"), col("code"),
+          array((1 to sub).map(i => col(s"_m$i")): _*).as("cw"))
+      val rows = means.orderBy("s", "code").collect()
+      cb = broadcast(spark.createDataFrame(rows.toSeq.asJava, means.schema))
+    }
+    sv.unpersist()
+    cb
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: encode the corpus once as
+    * (id, s, code) — m bytes of state per vector — then answer each
+    * query by a per-query distance TABLE (query subvector → every
+    * codeword, m·nCodes entries) joined against the codes. The
+    * distance-table entries are quantized to integer 2⁻²⁰ grid cells
+    * (floor(d · 2²⁰) — real ADC implementations quantize their tables
+    * too), which makes the per-pair sum order-independent exact integer
+    * arithmetic: the ranking is deterministic under any partitioning
+    * and bit-replicable in the oracle.
+    *
+    * Scale shape: codes are the only corpus-wide state on the wire;
+    * the distance table is queries × (m·nCodes) rows — broadcast; the
+    * join fans each code row by nQueries and partial-aggregates back
+    * map-side. Compose with quantizerCells/ivfTopK for the IVF-PQ form
+    * (probe cells first, ADC within probed cells).
+    *
+    * Output: qid, vec_id, adc_dist (double, exact multiple of 2⁻²⁰), rn.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame = {
+    val c = graft.Graft.ensureParallelism(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("vec"))).head.getInt(0)
+    val sub = dim / m
+    val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations)
+    val codes = assignToCodes(subVectors(c, "id", "vec", m, sub), cb)
+    val qsv = subVectors(
+      queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", m, sub).withColumnRenamed("id", "qid")
+    val dtab = qsv.join(cb, Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        floor(l2sq(col("sv"), col("cw")) * lit(1048576d)).as("dq"))
+    val adc = codes.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id")
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("id").as("vec_id"),
+        (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
+        col("rn"))
   }
 }

@@ -375,6 +375,71 @@ object VectorSuite {
         |  round(MIN(${sqlCosD("embedding", "deq")}), 9) AS min_fidelity,
         |  MIN(${sqlCosD("embedding", "deq")}) >= 0.995 AS all_ok
         |FROM d GROUP BY label ORDER BY label""".stripMargin),
-      "int8 embedding quantization with an oracle-checked cosine-fidelity contract")
+      "int8 embedding quantization with an oracle-checked cosine-fidelity contract"),
+
+    // --- product-quantization ADC top-k --------------------------------
+    // The memory side of corpus-scale ANN (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search"): 8 subspaces × 16
+    // codewords turn each 256 B vector into 8 bytes of codes (32×), and
+    // queries scan CODES via a per-query distance table, never vectors.
+    // Everything is engine-replicable: squared-L2 terms are exact in
+    // double, codebook means accumulate in DECIMAL (the v8 Lloyd
+    // machinery per subspace), and distance-table entries are quantized
+    // to the integer 2^-20 grid — the ADC sum is exact BIGINT
+    // arithmetic, so ranks hash-match bit-for-bit.
+    "v11_pq_adc_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.pqAdcTopK(q, emb, "vec_id", "embedding", topK = 5,
+            m = 8, nCodes = 16, iterations = 1)
+          .orderBy("qid", "rn")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(range(1, 9), i -> " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        val means = (1 to 8).map(i =>
+          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+        def assign(cbName: String) =
+          s"""SELECT id, s, code FROM (
+          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
+          |      PARTITION BY sv.id, sv.s
+          |      ORDER BY ${l2("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
+          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1"""
+        s"""WITH ss AS (SELECT unnest(range(0, 8)) AS s),
+        |sv AS (
+        |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
+        |  FROM embeddings CROSS JOIN ss),
+        |seeds AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+        |cb0 AS (
+        |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
+        |  FROM seeds CROSS JOIN ss),
+        |a1 AS (${assign("cb0")}),
+        |cb1 AS (
+        |  SELECT s, code, [$means] AS cw
+        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+        |codes AS (${assign("cb1")}),
+        |dtab AS (
+        |  SELECT q.id AS qid, cb.s, cb.code,
+        |    CAST(FLOOR(${l2("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
+        |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),
+        |adc AS (
+        |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
+        |  FROM codes c JOIN dtab d ON d.s = c.s AND d.code = c.code
+        |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
+        |ranked AS (
+        |  SELECT qid, vec_id, adc, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
+        |  CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+      },
+      "PQ ADC top-k: 8x16 codebooks (one Lloyd refinement), 8-byte codes, " +
+        "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN")
   )
 }

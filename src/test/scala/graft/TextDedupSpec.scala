@@ -359,6 +359,28 @@ class TextDedupSpec extends SparkSpec {
     assert(cleaned.forall(_ == ((3L, ""))))
   }
 
+  test("pqAdcTopK: codes collapse identical vectors; ADC ranks clusters exactly") {
+    // 4 clusters of 5 identical vectors (cluster = id % 4, so the 4
+    // lowest-id seeds hit one cluster each); each subspace separates
+    // all 4 clusters, so no code empties out
+    val vecs = (0L until 20L).map { id =>
+      val k = (id % 4).toInt
+      (id, Array.tabulate(16)(i => if (i % 4 == k) 2f else 0f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 4, iterations = 1)
+    assert(cb.count() == 16) // m x nCodes, none emptied
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Similarity.pqAdcTopK(q, vecs, "vec_id", "embedding", topK = 5,
+        m = 4, nCodes = 4, iterations = 1)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // same-cluster members at ADC 0 (id order), then the nearest other
+    // cluster's lowest id at exactly 2^2 * 2 per subspace * 4 = 32.0
+    assert(out.toSeq == Seq((0L, 4L, 0.0, 1), (0L, 8L, 0.0, 2),
+      (0L, 12L, 0.0, 3), (0L, 16L, 0.0, 4), (0L, 1L, 32.0, 5)))
+  }
+
   test("chunkFingerprintDoc: media near-dup via chunk-fingerprint sets") {
     import graft.operators.Multimodal
     // 4 KiB payloads; b = a with the first KiB overwritten; c unrelated
