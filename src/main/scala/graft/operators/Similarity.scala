@@ -519,4 +519,53 @@ object Similarity {
         (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
         col("rn"))
   }
+
+  /** IVF-PQ: the production ANN composition — an IVF coarse quantizer
+    * prunes the corpus to the queries' `nProbe` probed cells, and PQ
+    * codes answer distances inside them. The candidate pair list
+    * (probed-cell members only) restricts the code stream BEFORE the
+    * distance-table join, so the ADC work is proportional to
+    * nProbe/nCells of the corpus, and the only corpus-wide state on the
+    * wire is (cell, m-byte code) per vector. Both stages reuse the
+    * audited building blocks: assignToCells (cosine coarse quantizer,
+    * the v6/v10 shape) and pqCodebooks/assignToCodes (v11).
+    *
+    * Output: qid, vec_id, adc_dist, rn — ADC-ranked within probed cells.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      nCells: Int = 16, nProbe: Int = 3,
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame = {
+    val c = graft.Graft.ensureParallelism(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("vec"))).head.getInt(0)
+    val sub = dim / m
+    val cents = lowestIdCentroids(c, "id", "vec", nCells)
+    val cells = assignToCells(c, "id", "vec", cents, keep = 1)
+      .select("id", "cell")
+    val probes = assignToCells(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", cents, keep = nProbe).select("qid", "cell")
+    val cand = cells.join(broadcast(probes), Seq("cell")).select("qid", "id")
+    val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations)
+    val codes = assignToCodes(subVectors(c, "id", "vec", m, sub), cb)
+    val qsv = subVectors(
+      queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", m, sub).withColumnRenamed("id", "qid")
+    val dtab = qsv.join(cb, Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        floor(l2sq(col("sv"), col("cw")) * lit(1048576d)).as("dq"))
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(dtab), Seq("qid", "s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id")
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("id").as("vec_id"),
+        (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
+        col("rn"))
+  }
 }

@@ -440,6 +440,85 @@ object VectorSuite {
         |ORDER BY qid, rn""".stripMargin
       },
       "PQ ADC top-k: 8x16 codebooks (one Lloyd refinement), 8-byte codes, " +
-        "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN")
+        "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN"),
+
+    // --- IVF-PQ top-k ---------------------------------------------------
+    // The production ANN composition (FAISS IVF*,PQ*): the IVF coarse
+    // quantizer prunes to nProbe/nCells of the corpus, PQ codes answer
+    // distances inside the probed cells. The oracle rebuilds BOTH
+    // stages: cosine cell assignment (the v6/v10 mirror) restricting
+    // the candidate pairs, and the v11 PQ pipeline for the ADC ranks.
+    "v12_ivfpq_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = 16, nProbe = 3, m = 8, nCodes = 16, iterations = 1)
+          .orderBy("qid", "rn")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(range(1, 9), i -> " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        val means = (1 to 8).map(i =>
+          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+        def assign(cbName: String) =
+          s"""SELECT id, s, code FROM (
+          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
+          |      PARTITION BY sv.id, sv.s
+          |      ORDER BY ${l2("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
+          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1"""
+        s"""WITH cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |cells AS (
+        |  SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |probes AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qq.vec_id AS qid, c.cell, row_number() OVER (
+        |      PARTITION BY qq.vec_id
+        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |sv AS (
+        |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
+        |  FROM embeddings CROSS JOIN ss),
+        |seeds AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+        |cb0 AS (
+        |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
+        |  FROM seeds CROSS JOIN ss),
+        |a1 AS (${assign("cb0")}),
+        |cb1 AS (
+        |  SELECT s, code, [$means] AS cw
+        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+        |codes AS (${assign("cb1")}),
+        |dtab AS (
+        |  SELECT q.id AS qid, cb.s, cb.code,
+        |    CAST(FLOOR(${l2("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
+        |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),
+        |adc AS (
+        |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
+        |  FROM codes c
+        |  JOIN cells cl ON cl.id = c.id
+        |  JOIN probes p ON p.cell = cl.cell
+        |  JOIN dtab d ON d.qid = p.qid AND d.s = c.s AND d.code = c.code
+        |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
+        |ranked AS (
+        |  SELECT qid, vec_id, adc, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
+        |  CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+      },
+      "IVF-PQ top-k: coarse cells prune to nProbe/nCells of the corpus, " +
+        "PQ codes answer ADC distances inside the probed cells")
   )
 }

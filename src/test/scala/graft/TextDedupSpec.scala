@@ -381,6 +381,21 @@ class TextDedupSpec extends SparkSpec {
       (0L, 12L, 0.0, 3), (0L, 16L, 0.0, 4), (0L, 1L, 32.0, 5)))
   }
 
+  test("ivfPqTopK: nProbe=1 prunes candidates to the query's cell") {
+    val vecs = (0L until 20L).map { id =>
+      val k = (id % 4).toInt
+      (id, Array.tabulate(16)(i => if (i % 4 == k) 2f else 0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Similarity.ivfPqTopK(q, vecs, "vec_id", "embedding", topK = 10,
+        nCells = 4, nProbe = 1, m = 4, nCodes = 4, iterations = 1)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // only cluster-0 members are candidates (4 after the self filter),
+    // even with topK=10 — the probed-cell restriction is doing the work
+    assert(out.toSeq == Seq((4L, 0.0, 1), (8L, 0.0, 2), (12L, 0.0, 3), (16L, 0.0, 4)))
+  }
+
   test("chunkFingerprintDoc: media near-dup via chunk-fingerprint sets") {
     import graft.operators.Multimodal
     // 4 KiB payloads; b = a with the first KiB overwritten; c unrelated
