@@ -395,50 +395,12 @@ object VectorSuite {
             m = 8, nCodes = 16, iterations = 1)
           .orderBy("qid", "rn")
       },
-      Some {
-        def l2(a: String, b: String): String =
-          s"list_sum(list_transform(range(1, 9), i -> " +
-            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-        val means = (1 to 8).map(i =>
-          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def assign(cbName: String) =
-          s"""SELECT id, s, code FROM (
-          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
-          |      PARTITION BY sv.id, sv.s
-          |      ORDER BY ${l2("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
-          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1"""
-        s"""WITH ss AS (SELECT unnest(range(0, 8)) AS s),
-        |sv AS (
-        |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
-        |  FROM embeddings CROSS JOIN ss),
-        |seeds AS (
-        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-        |cb0 AS (
-        |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
-        |  FROM seeds CROSS JOIN ss),
-        |a1 AS (${assign("cb0")}),
-        |cb1 AS (
-        |  SELECT s, code, [$means] AS cw
-        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
-        |codes AS (${assign("cb1")}),
-        |dtab AS (
-        |  SELECT q.id AS qid, cb.s, cb.code,
-        |    CAST(FLOOR(${l2("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
-        |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),
-        |adc AS (
-        |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
-        |  FROM codes c JOIN dtab d ON d.s = c.s AND d.code = c.code
-        |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
-        |ranked AS (
-        |  SELECT qid, vec_id, adc, row_number() OVER (
-        |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
-        |  FROM adc)
+      Some(s"""WITH $sqlPqCtes
+        |$sqlPqAdcRanked
         |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
         |  CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin
-      },
+        |ORDER BY qid, rn""".stripMargin),
       "PQ ADC top-k: 8x16 codebooks (one Lloyd refinement), 8-byte codes, " +
         "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN"),
 
@@ -456,20 +418,7 @@ object VectorSuite {
             nCells = 16, nProbe = 3, m = 8, nCodes = 16, iterations = 1)
           .orderBy("qid", "rn")
       },
-      Some {
-        def l2(a: String, b: String): String =
-          s"list_sum(list_transform(range(1, 9), i -> " +
-            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-        val means = (1 to 8).map(i =>
-          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def assign(cbName: String) =
-          s"""SELECT id, s, code FROM (
-          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
-          |      PARTITION BY sv.id, sv.s
-          |      ORDER BY ${l2("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
-          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1"""
-        s"""WITH cent AS (
+      Some(s"""WITH cent AS (
         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
         |  ORDER BY vec_id ASC LIMIT 16),
         |cells AS (
@@ -484,24 +433,7 @@ object VectorSuite {
         |      PARTITION BY qq.vec_id
         |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
         |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |sv AS (
-        |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
-        |  FROM embeddings CROSS JOIN ss),
-        |seeds AS (
-        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-        |cb0 AS (
-        |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
-        |  FROM seeds CROSS JOIN ss),
-        |a1 AS (${assign("cb0")}),
-        |cb1 AS (
-        |  SELECT s, code, [$means] AS cw
-        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
-        |codes AS (${assign("cb1")}),
-        |dtab AS (
-        |  SELECT q.id AS qid, cb.s, cb.code,
-        |    CAST(FLOOR(${l2("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
-        |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),
+        |$sqlPqCtes
         |adc AS (
         |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
         |  FROM codes c
@@ -516,9 +448,102 @@ object VectorSuite {
         |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
         |  CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin
-      },
+        |ORDER BY qid, rn""".stripMargin),
       "IVF-PQ top-k: coarse cells prune to nProbe/nCells of the corpus, " +
-        "PQ codes answer ADC distances inside the probed cells")
+        "PQ codes answer ADC distances inside the probed cells"),
+
+    // --- PQ + exact refine ----------------------------------------------
+    // The two-tier memory design ANN runs in production (FAISS refine /
+    // DiskANN reorder): the in-memory PQ codes produce a topK·refine
+    // shortlist, and only those full vectors are read for an exact
+    // squared-L2 re-rank. ProfilePqRecall on this synthetic
+    // (near-random — PQ's worst case) corpus: recall@10 goes 0.37
+    // unrefined → 0.93 at refine=10 → 0.99 at refine=20. Exact-double
+    // L2 folds in index order on both engines, so the refined ranking
+    // hash-matches bit-for-bit.
+    "v13_pq_refine_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.pqAdcTopK(q, emb, "vec_id", "embedding", topK = 5,
+            m = 8, nCodes = 16, iterations = 1, refine = 10)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH $sqlPqCtes
+        |$sqlPqAdcRanked,
+        |short AS (SELECT qid, vec_id FROM ranked WHERE rn <= 50),
+        |resc AS (
+        |  SELECT sh.qid, sh.vec_id, ${sqlL2Full("qe.embedding", "ce.embedding")} AS l2
+        |  FROM short sh
+        |  JOIN embeddings qe ON qe.vec_id = sh.qid
+        |  JOIN embeddings ce ON ce.vec_id = sh.vec_id),
+        |rr AS (
+        |  SELECT qid, vec_id, l2, row_number() OVER (
+        |    PARTITION BY qid ORDER BY l2 ASC, vec_id ASC) AS rn
+        |  FROM resc)
+        |SELECT qid, vec_id, l2 AS l2_dist, CAST(rn AS INT) AS rn
+        |FROM rr WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
+      "PQ shortlist + exact re-rank (the FAISS-refine two-tier design): " +
+        "recall@10 0.37 -> 0.93 at refine=10 on the worst-case corpus")
   )
+
+  // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
+
+  /** Exact squared-L2 between 8-dim subvectors, folded in index order. */
+  private def sqlL2Sub(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 9), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Exact squared-L2 between full 64-dim vectors (the refine metric). */
+  private def sqlL2Full(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private def sqlPqAssign(cbName: String): String =
+    s"""SELECT id, s, code FROM (
+    |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
+    |      PARTITION BY sv.id, sv.s
+    |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
+    |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
+
+  /** The PQ trunk: subvectors, lowest-id seed codebooks, one
+    * DECIMAL-mean Lloyd refinement, corpus codes, and the per-query
+    * integer-quantized distance table (queries = vec_id < 5).
+    */
+  private def sqlPqCtes: String = {
+    val means = (1 to 8).map(i =>
+      s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+    s"""ss AS (SELECT unnest(range(0, 8)) AS s),
+    |sv AS (
+    |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
+    |  FROM embeddings CROSS JOIN ss),
+    |seeds AS (
+    |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    |cb0 AS (
+    |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
+    |  FROM seeds CROSS JOIN ss),
+    |a1 AS (${sqlPqAssign("cb0")}),
+    |cb1 AS (
+    |  SELECT s, code, [$means] AS cw
+    |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+    |codes AS (${sqlPqAssign("cb1")}),
+    |dtab AS (
+    |  SELECT q.id AS qid, cb.s, cb.code,
+    |    CAST(FLOOR(${sqlL2Sub("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
+    |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),""".stripMargin
+  }
+
+  /** Full-corpus ADC sum + rank (the v11 tail; v13 re-ranks its top 50). */
+  private def sqlPqAdcRanked: String =
+    """adc AS (
+    |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
+    |  FROM codes c JOIN dtab d ON d.s = c.s AND d.code = c.code
+    |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
+    |ranked AS (
+    |  SELECT qid, vec_id, adc, row_number() OVER (
+    |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+    |  FROM adc)""".stripMargin
 }

@@ -381,6 +381,22 @@ class TextDedupSpec extends SparkSpec {
       (0L, 12L, 0.0, 3), (0L, 16L, 0.0, 4), (0L, 1L, 32.0, 5)))
   }
 
+  test("pqAdcTopK refine: exact L2 re-rank of the ADC shortlist") {
+    val vecs = (0L until 20L).map { id =>
+      val k = (id % 4).toInt
+      (id, Array.tabulate(16)(i => if (i % 4 == k) 2f else 0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Similarity.pqAdcTopK(q, vecs, "vec_id", "embedding", topK = 5,
+        m = 4, nCodes = 4, iterations = 1, refine = 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // identical vectors re-rank at exact L2 0; nearest other cluster at
+    // the true squared distance (2² × 2 per subspace × 4 = 32.0)
+    assert(out.toSeq == Seq((4L, 0.0, 1), (8L, 0.0, 2), (12L, 0.0, 3),
+      (16L, 0.0, 4), (1L, 32.0, 5)))
+  }
+
   test("ivfPqTopK: nProbe=1 prunes candidates to the query's cell") {
     val vecs = (0L until 20L).map { id =>
       val k = (id % 4).toInt
