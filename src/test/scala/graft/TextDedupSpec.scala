@@ -334,6 +334,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out.count() == 50L)
   }
 
+  test("dupClusters: pointer jumping closes a 64-node chain within the cap") {
+    // a pure path graph 0-1-2-...-63: plain neighbor propagation needs
+    // 64 rounds (> maxIter) — label doubling closes it in 8
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.dupClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 64)
+    assert(out.forall(_._1 == 0L)) // one component, canonical = min id
+    assert(out.map(_._2).sorted.toSeq == (0L until 64L).toSeq)
+  }
+
   test("stripBoilerplateSpans: shared header removed, unique prose kept") {
     // 4 docs share the leading 3-token header (df=4 >= minDf), doc 5 is
     // fully unique; bodies are pairwise distinct so no body shingle
