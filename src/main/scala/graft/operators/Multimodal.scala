@@ -116,27 +116,34 @@ object Multimodal {
     }
   }
 
-  /** Chunk-fingerprint "document" for a media payload: the hex encoding
-    * is cut into fixed `chunkHexChars`-char chunks (2 hex chars per
-    * byte), each chunk fingerprinted with md5, fingerprints space-joined
-    * — an opaque binary column becomes a token sequence the text
-    * near-dup operators (MinHash+LSH, exact Jaccard, SimHash) consume
-    * unchanged. This is the standard shape for media dedup at scale:
-    * after this projection only 32-char fingerprints shuffle (~32 B per
-    * KiB of media, a ~97% reduction) and payload bytes never leave
-    * their scan partition. hex() and md5() are the two binary accessors
-    * the DuckDB oracle shares (see MultimodalSuite m1), so the whole
-    * near-dup pipeline stays oracle-checkable end to end.
+  /** Chunk-fingerprint "document" for a media payload: the raw bytes are
+    * cut into fixed `chunkBytes`-sized chunks, each chunk fingerprinted
+    * with md5 directly on the binary slice, fingerprints space-joined —
+    * an opaque binary column becomes a token sequence the text near-dup
+    * operators (MinHash+LSH, exact Jaccard, SimHash) consume unchanged.
+    * This is the standard shape for media dedup at scale: after this
+    * projection only 32-char fingerprints shuffle (~32 B per KiB of
+    * media, a ~97% reduction) and payload bytes never leave their scan
+    * partition.
+    *
+    * Chunking works on the BINARY column, never a hex projection: a
+    * hex-string intermediate referenced inside the transform lambda gets
+    * inlined by projection collapse and recomputed per chunk — measured
+    * ~100× slower on the 128 MB fixture (per-row garbage of chunks ×
+    * payload). Binary substring is an O(1)-offset slice. The DuckDB
+    * oracle still replays chunking in the hex domain (hex() is the
+    * shared accessor, md5(hex chunk) there vs md5(byte chunk) here):
+    * the md5 VALUES differ across engines but the equality structure —
+    * which is all Jaccard sees — is identical, so near-dup output
+    * matches exactly.
     */
-  def chunkFingerprintDoc(hexCol: Column, chunkHexChars: Int): Column = {
-    val n = floor((length(hexCol) + lit(chunkHexChars - 1)) /
-      lit(chunkHexChars)).cast("int")
-    when(length(hexCol) === 0, lit(""))
+  def chunkFingerprintDoc(binCol: Column, chunkBytes: Int): Column = {
+    val n = floor((length(binCol) + lit(chunkBytes - 1)) /
+      lit(chunkBytes)).cast("int")
+    when(length(binCol) === 0, lit(""))
       .otherwise(array_join(
         transform(sequence(lit(0), greatest(n - lit(1), lit(0))),
-          i => md5(encode(
-            hexCol.substr(i * lit(chunkHexChars) + lit(1), lit(chunkHexChars)),
-            "UTF-8"))),
+          i => md5(binCol.substr(i * lit(chunkBytes) + lit(1), lit(chunkBytes)))),
         " "))
   }
 

@@ -104,21 +104,27 @@ object MultimodalSuite {
     // unrelated media share nothing. Only 32-char fingerprints shuffle;
     // bytes never leave the scan. The fixture has no natural near-dups
     // (independent LCG streams), so the query plants them: for the first
-    // 64 assets a variant (id+10000) with the first KiB zeroed — derived
-    // in-query via hex(), so DuckDB replays the identical corpus and the
-    // exact-Jaccard oracle checks the full MinHash+LSH+verify pipeline.
+    // 64 assets a variant (id+10000) with the first KiB zeroed. DuckDB
+    // replays the same corpus and chunking in the HEX domain (hex() is
+    // the shared accessor): its md5 values differ from the byte-domain
+    // ones here, but the chunk-equality structure — all Jaccard sees —
+    // is identical, so the exact-Jaccard oracle checks the full
+    // MinHash+LSH+verify pipeline.
     "m4_chunk_fingerprint_neardups" -> Q(
       (s, _) => {
-        val ch = 2048 // hex chars per chunk = 1 KiB of payload
+        val ch = 1024 // bytes per chunk
         val base = assets(s).select(col("asset_id").cast("long").as("doc_id"),
-          hex(col("media")).as("hx"))
+          col("media"))
+        // variant = first KiB zeroed, built in the byte domain (the
+        // oracle builds the same corpus in the hex domain — '00' per
+        // zero byte — so chunk-equality structure is identical)
         val variants = base.filter(col("doc_id") < 64)
           .select((col("doc_id") + 10000).as("doc_id"),
-            concat(expr(s"repeat('0', $ch)"),
-              expr(s"substring(hx, ${ch + 1})")).as("hx"))
+            concat(lit(Array.fill[Byte](ch)(0.toByte)),
+              expr(s"substring(media, ${ch + 1})")).as("media"))
         val union = base.unionByName(variants)
           .select(col("doc_id"),
-            Multimodal.chunkFingerprintDoc(col("hx"), ch).as("chunks"))
+            Multimodal.chunkFingerprintDoc(col("media"), ch).as("chunks"))
         graft.operators.Dedup.minhashNearDups(union, "doc_id", "chunks",
             k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
           .orderBy("id1", "id2")

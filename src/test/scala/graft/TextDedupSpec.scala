@@ -431,7 +431,7 @@ class TextDedupSpec extends SparkSpec {
     val c = Array.tabulate[Byte](4096)(i => ((i * 7 + 3) % 249).toByte)
     val assets = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "media")
     val docs = assets.select($"doc_id",
-      Multimodal.chunkFingerprintDoc(hex($"media"), 2048).as("chunks"))
+      Multimodal.chunkFingerprintDoc($"media", 1024).as("chunks"))
     // 4 chunks per asset: a vs b share 3 of 5 distinct → jaccard 0.6
     val nChunks = docs.select(size(split($"chunks", " "))).collect().map(_.getInt(0))
     assert(nChunks.forall(_ == 4))
