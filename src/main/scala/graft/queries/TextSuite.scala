@@ -18,6 +18,9 @@ object TextSuite {
   // DuckDB fragment: 3-token shingles of `text` (mirrors Text.wordShingles).
   private val sqlShingles3 =
     s"list_transform(generate_series(1, greatest(len($sqlTokens) - 2, 0)), i -> array_to_string(list_slice($sqlTokens, i, i + 2), ' '))"
+  // DuckDB fragment: 2-token shingles (bigrams) of `text`.
+  private val sqlShingles2 =
+    s"list_transform(generate_series(1, greatest(len($sqlTokens) - 1, 0)), i -> array_to_string(list_slice($sqlTokens, i, i + 1), ' '))"
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -1075,6 +1078,143 @@ object TextSuite {
         |ORDER BY doc_id""".stripMargin),
       "Boilerplate span removal: strip tokens covered by any 3-gram " +
         "occurring in >= 4 distinct docs; keeps unique prose in order"),
+
+    // --- bigram LM surprisal (perplexity-style quality score) ----------
+    // The KenLM-filter shape from production data pipelines: train an
+    // add-one-smoothed bigram LM on 90% of the corpus (doc_id % 10 <> 0),
+    // score the held-out 10% by surprisal. Cross-engine determinism
+    // without transcendentals: the per-term surprisal is the INTEGER
+    // floor-log2 gap `len(bin(c1+V)) - len(bin(c2+1))` (bit-length of
+    // exact integer counts — bin() exists on both engines), so per-doc
+    // sums are order-independent integer arithmetic; log/exp never runs.
+    // Scale: the bigram-count table shuffles once (vocab-bounded, far
+    // smaller than the corpus); the context-count join is against a
+    // unigram-sized table (broadcastable in practice — AQE decides);
+    // text itself never crosses the wire, only (doc_id, bigram) pairs.
+    "x33_lm_surprisal" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val trainBg = train
+          .select(explode(Text.wordShingles(col("text"), 2)).as("bg"))
+        val c2 = trainBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = trainBg
+          .select(split(col("bg"), " ").getItem(0).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = train
+          .select(explode(Text.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            explode(Text.wordShingles(col("text"), 2)).as("bg"))
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(c2, Seq("bg"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(v)
+          .select(col("doc_id"), col("c2").isNull.as("oov"),
+            (length(bin(coalesce(col("c1"), lit(0L)) + col("v"))) -
+              length(bin(coalesce(col("c2"), lit(0L)) + lit(1L))))
+              .cast("long").as("bits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+            sum(col("bits")).as("sum_bits"))
+          .withColumn("bits_per_bigram",
+            col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH train AS (
+        |  SELECT text FROM documents WHERE doc_id % 10 <> 0),
+        |tb AS (SELECT unnest(sh) AS bg FROM (
+        |  SELECT $sqlShingles2 AS sh FROM train)),
+        |c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM tb GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |  CAST(COUNT(*) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\\s+') END) AS t FROM train)),
+        |test AS (SELECT doc_id, unnest(sh) AS bg FROM (
+        |  SELECT doc_id, $sqlShingles2 AS sh FROM documents WHERE doc_id % 10 = 0)),
+        |terms AS (
+        |  SELECT t.doc_id, c2.c2 IS NULL AS oov,
+        |    CAST(length(bin(COALESCE(c1.c1, 0) + v.v))
+        |      - length(bin(COALESCE(c2.c2, 0) + 1)) AS BIGINT) AS bits
+        |  FROM test t
+        |  LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN c1 ON string_split(t.bg, ' ')[1] = c1.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(CAST(SUM(bits) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS bits_per_bigram
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "Bigram-LM surprisal quality score: integer bit-length surprisal, " +
+        "train/held-out split, no transcendentals (engine-exact)"),
+
+    // --- stratified sampling with exact largest-remainder allocation ---
+    // Language-balanced subcorpus selection (the data-mixing front door):
+    // a 5% target budget is allocated across lang strata by the
+    // largest-remainder (Hamilton) method — pure integer arithmetic, sums
+    // exactly to the target — then each stratum keeps its alloc smallest
+    // md5-hash docs (NOT the x10 LCG: an affine hash's consecutive-id
+    // outputs defeat threshold prefilters; see Sampling.mix31's caveat).
+    // Scale posture: the per-stratum rank does NOT sort
+    // the corpus — a hash prefilter (4x-margin threshold, map-side,
+    // keeps ~4·alloc of n_g rows; Chernoff makes a shortfall
+    // astronomically unlikely, and n_picked < alloc in the output would
+    // expose one) bounds the ranked volume to ~4·budget rows TOTAL
+    // regardless of corpus size; the allocation table itself is
+    // strata-cardinality-sized (bounded) and broadcast.
+    "x34_stratified_sample" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+        val alloc = graft.operators.Sampling
+          .largestRemainderAlloc(counts, "lang", "n_g", budgetDiv = 20L)
+        graft.operators.Sampling
+          .stratifiedPick(docs.select("lang", "doc_id"), "lang", "doc_id", alloc)
+          .groupBy("lang")
+          .agg(max("n_g").as("n_docs"), max("alloc").as("alloc"),
+            count(lit(1)).as("n_picked"),
+            sum("doc_id").as("sum_picked_ids"),
+            max("h").as("max_picked_hash"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM counts),
+        |a0 AS (
+        |  SELECT lang, n_g, n, n // 20 AS target,
+        |    (n_g * (n // 20)) // n AS fl,
+        |    (n_g * (n // 20)) % n AS rem
+        |  FROM counts CROSS JOIN tot),
+        |a1 AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+        |    CAST(SUM(fl) OVER () AS BIGINT) AS sumfl
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT lang, n_g,
+        |    fl + CASE WHEN rk <= target - sumfl THEN 1 ELSE 0 END AS alloc
+        |  FROM a1),
+        |pick AS (
+        |  SELECT d.lang, d.doc_id, d.h, a.n_g, a.alloc,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id) AS rn
+        |  FROM (SELECT lang, doc_id,
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |    FROM documents) d
+        |  JOIN alloc a USING (lang)
+        |  WHERE d.h < CASE WHEN 4 * a.alloc >= a.n_g THEN 'g'
+        |    ELSE printf('%08x', (a.alloc * 4 * 4294967296) // a.n_g + 1) END)
+        |SELECT lang, MAX(n_g) AS n_docs, MAX(alloc) AS alloc,
+        |  COUNT(*) AS n_picked,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_picked_ids,
+        |  MAX(h) AS max_picked_hash
+        |FROM pick WHERE rn <= alloc
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "Language-balanced 5% sample: exact largest-remainder allocation + " +
+        "bounded-volume hash-rank pick per stratum"),
 
     // --- content-defined chunking (CDC) dedup ---------------------------
     // Variable-length chunks split where the CONTENT says so (breakpoint

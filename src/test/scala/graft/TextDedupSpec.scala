@@ -440,4 +440,43 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0.6)))
   }
+
+  test("largestRemainderAlloc: integer-exact Hamilton apportionment") {
+    import graft.operators.Sampling
+    // n = 101, target = 101 div 20 = 5. Floors: 70*5/101=3 (rem 47),
+    // 20*5/101=0 (rem 100), 11*5/101=0 (rem 55). Leftover 2 goes to the
+    // two largest remainders (b, then c) -> allocs 3/1/1, sum exactly 5.
+    val counts = Seq(("a", 70L), ("b", 20L), ("c", 11L)).toDF("lang", "n_g")
+    val alloc = Sampling.largestRemainderAlloc(counts, "lang", "n_g", 20L)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(alloc.toSeq == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    // degenerate budget: target 0 -> all-zero allocation, not negative
+    val zero = Sampling.largestRemainderAlloc(counts, "lang", "n_g", 200L)
+      .collect().map(_.getLong(2))
+    assert(zero.toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("stratifiedPick: exact k-smallest hashHex32 per stratum, prefilter-safe") {
+    import graft.operators.Sampling
+    def mix(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val rows = (0L until 400L).map(i => (if (i % 4 == 0) "en" else "de", i))
+    val df = rows.toDF("lang", "doc_id")
+    val counts = df.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val alloc = Sampling.largestRemainderAlloc(counts, "lang", "n_g", 10L)
+    val picked = Sampling.stratifiedPick(df, "lang", "doc_id", alloc)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // expected: per stratum, the alloc ids with smallest (mix31, id)
+    val allocMap = alloc.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(allocMap.values.sum == 40L) // 400 div 10, exactly
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      rs.sortBy { case (_, id) => (mix(id), id) }
+        .take(allocMap(lang).toInt).map { case (_, id) => (lang, id) }
+    }.toSet
+    assert(picked == expected)
+  }
 }
