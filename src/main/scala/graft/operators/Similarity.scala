@@ -592,4 +592,57 @@ object Similarity {
         (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
         col("rn"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` of each query's `topM` retrieval candidates, each
+    * step maximizing `lambda·rel(i) - (1-lambda)·max_{j picked} sim(i,j)`
+    * (candidate id as tiebreak) — the standard diversification pass
+    * between ANN retrieval and prompt assembly.
+    *
+    * The greedy recurrence is inherently sequential, so this runs k
+    * bounded DataFrame rounds — but every round's state is per-query
+    * bounded (topM candidates, topM² pair sims, k picks), so total cost
+    * is |queries|·topM² + k tiny joins REGARDLESS of corpus size: the
+    * corpus is touched exactly once, by the retrieval stage. Relevance
+    * and pair sims use the exact-decimal cosine, and the score constants
+    * are the same Scala doubles an oracle renders, so picks and scores
+    * are bit-replicable. Returns (qid, step, vec_id, mmr).
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, topM: Int, k: Int, lambda: Double): DataFrame = {
+    val cands = bruteForceTopK(queries, candidates, idCol, vecCol, topM)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val emb = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val withVec = cands.join(emb, col("vec_id") === col("cid"))
+      .select(col("qid"), col("vec_id"), col("cv"))
+    val pairs = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"),
+        Vectors.cosine(col("a.cv"), col("b.cv")).as("psim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = cands.filter(col("rn") === 1)
+      .select(col("qid"), lit(1).as("step"), col("vec_id"),
+        (lit(lambda) * col("sim")).as("mmr"))
+    var sel = first.select("qid", "vec_id")
+    var out = first
+    for (t <- 2 to k) {
+      val pen = pairs
+        .join(sel.select(col("qid"), col("vec_id").as("j")), Seq("qid", "j"))
+        .groupBy("qid", "i").agg(max("psim").as("pen"))
+        .withColumnRenamed("i", "vec_id")
+      val mmr = cands.join(sel, Seq("qid", "vec_id"), "left_anti")
+        .join(pen, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (lit(lambda) * col("sim") - lit(1 - lambda) * col("pen")).as("mmr"))
+      val picked = mmr.withColumn("rn2", row_number().over(
+          Window.partitionBy("qid").orderBy(col("mmr").desc, col("vec_id").asc)))
+        .filter(col("rn2") === 1)
+        .select(col("qid"), lit(t).as("step"), col("vec_id"), col("mmr"))
+      out = out.unionByName(picked)
+      sel = sel.unionByName(picked.select("qid", "vec_id"))
+    }
+    out
+  }
 }

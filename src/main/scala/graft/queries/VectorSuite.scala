@@ -485,7 +485,76 @@ object VectorSuite {
         |FROM rr WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "PQ shortlist + exact re-rank (the FAISS-refine two-tier design): " +
-        "recall@10 0.37 -> 0.93 at refine=10 on the worst-case corpus")
+        "recall@10 0.37 -> 0.93 at refine=10 on the worst-case corpus"),
+
+    // --- MMR diversified re-rank ----------------------------------------
+    // The diversification pass between retrieval and prompt assembly
+    // (Carbonell & Goldstein 1998): greedily pick 5 of each query's 20
+    // retrieval candidates, each step maximizing
+    // 0.7·rel - 0.3·max(sim to already-picked). The greedy recurrence is
+    // sequential by nature, so both engines unroll the same 5 bounded
+    // steps — Spark as k tiny joins over per-query-bounded state (the
+    // corpus is touched once, by retrieval), DuckDB as k generated CTE
+    // stages. Scores use the exact-decimal cosine and literal-identical
+    // double constants, so every pick and score hash-matches.
+    "v14_mmr_rerank" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+        Similarity.mmrRerank(q, emb, "vec_id", "embedding",
+            topM = 20, k = 5, lambda = 0.7)
+          .orderBy("qid", "step")
+      },
+      Some {
+        val lam = 0.7
+        val mu = 1 - lam // rendered from the SAME Scala double Spark uses
+        val steps = (2 to 5).map { t =>
+          s"""pen$t AS (
+          |  SELECT p.qid, p.i AS vec_id, MAX(p.psim) AS pen
+          |  FROM pairs p JOIN sel_all_${t - 1} s ON s.qid = p.qid AND s.vec_id = p.j
+          |  GROUP BY p.qid, p.i),
+          |mmr$t AS (
+          |  SELECT c.qid, c.vec_id, $lam * c.sim - $mu * pen.pen AS mmr
+          |  FROM cands c JOIN pen$t pen USING (qid, vec_id)
+          |  WHERE NOT EXISTS (SELECT 1 FROM sel_all_${t - 1} s
+          |    WHERE s.qid = c.qid AND s.vec_id = c.vec_id)),
+          |sel$t AS (
+          |  SELECT qid, vec_id, mmr FROM (
+          |    SELECT qid, vec_id, mmr, row_number() OVER (
+          |      PARTITION BY qid ORDER BY mmr DESC, vec_id ASC) AS rn
+          |    FROM mmr$t) WHERE rn = 1),
+          |sel_all_$t AS (SELECT qid, vec_id FROM sel_all_${t - 1}
+          |  UNION ALL SELECT qid, vec_id FROM sel$t),""".stripMargin
+        }.mkString("\n")
+        val branches = (1 to 5).map(t =>
+          s"SELECT qid, CAST($t AS INT) AS step, vec_id, mmr FROM sel$t")
+          .mkString("\nUNION ALL\n")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, ${sqlCos("q.qvec", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE q.qid <> e.vec_id),
+        |cands AS (
+        |  SELECT * FROM (
+        |    SELECT qid, vec_id, sim, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM scored) WHERE rn <= 20),
+        |cand_vecs AS (
+        |  SELECT c.qid, c.vec_id, e.embedding AS cv
+        |  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |pairs AS (
+        |  SELECT a.qid, a.vec_id AS i, b.vec_id AS j, ${sqlCos("a.cv", "b.cv")} AS psim
+        |  FROM cand_vecs a JOIN cand_vecs b
+        |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+        |sel1 AS (SELECT qid, vec_id, $lam * sim AS mmr FROM cands WHERE rn = 1),
+        |sel_all_1 AS (SELECT qid, vec_id FROM sel1),
+        |$steps
+        |picked AS (
+        |$branches)
+        |SELECT qid, step, vec_id, mmr FROM picked
+        |ORDER BY qid, step""".stripMargin
+      },
+      "MMR diversified top-5 of 20 retrieval candidates (lambda=0.7): " +
+        "k unrolled greedy steps, per-query-bounded state, exact scores")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------

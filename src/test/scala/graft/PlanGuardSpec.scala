@@ -41,8 +41,11 @@ class PlanGuardSpec extends SparkSpec {
   //   v2 — the brute-force baseline broadcasts a query side filtered to
   //     vec_id < 5: at most 5 rows at ANY corpus size (unique key), but
   //     a Filter node carries no cardinality bound
+  //   v14 — MMR's retrieval stage is the same v2 shape (query side
+  //     filtered to vec_id < 3); everything downstream is per-query
+  //     bounded (topM candidates, topM² pairs)
   private val boundedBySemantics =
-    Set("v5_cosine_neardups", "v2_cosine_topk")
+    Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank")
 
   /** Flatten across the wrappers AQE puts between logical operators. */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {

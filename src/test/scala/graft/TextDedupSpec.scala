@@ -441,6 +441,28 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.6)))
   }
 
+  test("mmrRerank: diversification beats a near-duplicate runner-up") {
+    // q along axis 0. A (id 1) and A' (id 2) are IDENTICAL and most
+    // relevant (rel 0.95); B (id 3) is less relevant (0.8) but diverse
+    // (sim(A,B) = 0.76). At lambda=0.5: step 2 scores
+    // A': 0.5*0.95 - 0.5*1.0 = -0.025 < B: 0.5*0.8 - 0.5*0.76 = 0.02,
+    // so MMR picks A, B, A' where plain top-k orders A, A', B.
+    val s2 = math.sqrt(1 - 0.95 * 0.95).toFloat
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.95f, s2, 0f, 0f)),
+      (2L, Array(0.95f, s2, 0f, 0f)),
+      (3L, Array(0.8f, 0f, 0.6f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", topM = 3, k = 3, lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    assert(math.abs(out(0)._3 - 0.475) < 1e-6)
+    assert(math.abs(out(1)._3 - 0.02) < 1e-6)
+    assert(math.abs(out(2)._3 - (-0.025)) < 1e-6)
+  }
+
   test("largestRemainderAlloc: integer-exact Hamilton apportionment") {
     import graft.operators.Sampling
     // n = 101, target = 101 div 20 = 5. Floors: 70*5/101=3 (rem 47),
