@@ -1216,6 +1216,70 @@ object TextSuite {
       "Language-balanced 5% sample: exact largest-remainder allocation + " +
         "bounded-volume hash-rank pick per stratum"),
 
+    // --- dedup-method agreement audit ----------------------------------
+    // "Measure, don't guess" applied to dedup itself: score each SimHash
+    // variant's pair predictions against the exact-Jaccard>=0.5 truth set
+    // (computed by the MinHash+verify pipeline, whose output IS the
+    // brute-force answer on this corpus — x7's oracle argument).
+    // Precision/recall of a cheap similarity proxy is what decides
+    // whether a 100 TB pipeline can skip the expensive verify stage; this
+    // makes that measurement a first-class auditable query. Runs on a 50%
+    // id-sample: an audit needs a sample, not the corpus — the posture
+    // that keeps it affordable at any scale (all three pipelines stay
+    // bucketed equi-joins; only fingerprints and signatures shuffle).
+    // SimHash Hamming distance tracks Jaccard only loosely, so both
+    // variants over-predict at radius 32 / under-predict at radius 3 —
+    // exactly the trade-off the output quantifies.
+    "x35_dedup_agreement" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+        val truth = Dedup.minhashNearDups(docs, "doc_id", "text",
+            k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+          .select(col("id1"), col("id2"))
+        val p3 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+          .select(lit("simhash_r3").as("method"), col("id1"), col("id2"))
+        val pw = Dedup.simhashNearDups128(docs, "doc_id", "text", maxHamming = 32)
+          .select(lit("simhash_wide_r32").as("method"), col("id1"), col("id2"))
+        p3.unionByName(pw)
+          .join(truth.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+          .groupBy("method")
+          .agg(count(lit(1)).as("n_pred"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .withColumn("prec",
+            col("n_hit").cast("double") / col("n_pred").cast("double"))
+          .withColumn("recall",
+            col("n_hit").cast("double") / col("n_true").cast("double"))
+          .orderBy("method")
+      },
+      Some {
+        val half = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+        def onHalf(sql: String) = sql.replace("FROM documents", s"FROM $half")
+        s"""WITH pred3 AS (SELECT id1, id2 FROM (
+        |${onHalf(sqlSimhashMirror(maxHamming = 3, cap = 256))})),
+        |predw AS (SELECT id1, id2 FROM (
+        |${onHalf(sqlSimhash128Mirror(maxHamming = 32, cap = 256))})),
+        |preds AS (
+        |  SELECT 'simhash_r3' AS method, id1, id2 FROM pred3
+        |  UNION ALL SELECT 'simhash_wide_r32' AS method, id1, id2 FROM predw),
+        |truth AS (SELECT id1, id2 FROM (
+        |${onHalf(sqlExactJaccardPairsBody(0.5))})),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+        |hits AS (
+        |  SELECT p.method, COUNT(*) AS n_pred,
+        |    CAST(SUM(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM preds p LEFT JOIN truth t ON t.id1 = p.id1 AND t.id2 = p.id2
+        |  GROUP BY p.method)
+        |SELECT method, n_pred, n_hit, n_true,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) AS prec,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        |FROM hits CROSS JOIN nt ORDER BY method""".stripMargin
+      },
+      "Dedup-method agreement audit: SimHash variants scored " +
+        "(precision/recall) against the exact-Jaccard truth set on a " +
+        "50% sample"),
+
     // --- content-defined chunking (CDC) dedup ---------------------------
     // Variable-length chunks split where the CONTENT says so (breakpoint
     // iff the token's md5 starts with '0' → P=1/16, mean chunk ~16
