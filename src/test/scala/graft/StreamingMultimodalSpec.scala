@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Multimodal
-import graft.streaming.EventStream
+import graft.streaming.{DocStream, EventStream}
 
 /** Streaming (file source → watermark window agg → memory sink) and
   * multimodal plumbing tests.
@@ -64,6 +64,38 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"stream dedup=$got batch twin=$batch original=$total")
     // and the ids themselves are unique
     assert(spark.table("dedup_out").select("event_id").distinct().count() == got)
+  }
+
+  test("streaming document feed: enrichment + watermarked dedup match batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    // stage the documents file twice: at-least-once redelivery of the
+    // whole feed; the corpus ALSO contains planted exact dups (same
+    // lang+text, different doc_id) that share a fingerprint
+    val stage = java.nio.file.Files.createTempDirectory("docs_dup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("docs_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("docs_b.parquet"))
+    val q = DocStream.cleanFeed(DocStream.read(spark, stage.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("docfeed_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // which doc_id survives per fingerprint is arbitrary on both paths,
+    // but fp determines (lang, text) and therefore every derived column
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("fp", "n_tokens", "quality").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = spark.table("docfeed_out")
+    val batchIn = spark.read.schema(DocStream.storedSchema)
+      .parquet(stage.toString)
+    val batch = DocStream.enrich(batchIn).dropDuplicates("fp")
+    val staged = batchIn.count() // both copies: every doc arrived twice
+    assert(got.count() == batch.count())
+    assert(keyset(got) == keyset(batch))
+    assert(got.count() <= staged / 2, // every doc arrived twice: at least
+      s"redeliveries not dropped: ${got.count()} of $staged staged rows")
   }
 
   test("stream-stream interval join matches the batch twin (e8)") {
