@@ -463,6 +463,32 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - (-0.025)) < 1e-6)
   }
 
+  test("x33/x34 declared queries survive degenerate docs (empty, 1-token)") {
+    // the testdata corpus has no empty/1-token docs, so the queries'
+    // guards (empty-token arrays -> no bigrams; tiny strata -> alloc 0)
+    // are pinned here on a staged documents table with exactly those
+    val stage = java.nio.file.Files.createTempDirectory("docs_edge").toString
+    val docs = Seq(
+      (0L, "", "en", "web", 0L), // held-out, empty: contributes no bigrams
+      (10L, "solo", "en", "web", 4L), // held-out, 1 token: no bigrams
+      (20L, "a b a b c", "en", "web", 9L), // held-out, scored
+      (1L, "a b c a b", "en", "web", 9L), // train
+      (2L, "b c a", "de", "web", 5L), // train
+      (3L, "", "de", "web", 0L)) // train, empty
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    val lm = SparkEntry.all("x33_lm_surprisal").fn(spark, stage).collect()
+    // only doc 20 emits rows: train bigrams {a b:2, b c:2, c a:2}, V=3
+    // (tokens a,b,c). doc 20 bigrams: a b, b a, a b, b c.
+    assert(lm.map(_.getLong(0)).toSeq == Seq(20L))
+    assert(lm(0).getLong(1) == 4L) // n_bigrams
+    assert(lm(0).getLong(2) == 1L) // n_oov: only "b a" unseen
+    val strat = SparkEntry.all("x34_stratified_sample").fn(spark, stage)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // n=6, target=0: every stratum allocates 0 -> no output rows at all
+    assert(strat.isEmpty)
+  }
+
   test("largestRemainderAlloc: integer-exact Hamilton apportionment") {
     import graft.operators.Sampling
     // n = 101, target = 101 div 20 = 5. Floors: 70*5/101=3 (rem 47),
