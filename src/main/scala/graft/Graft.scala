@@ -102,14 +102,20 @@ object Graft {
     tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // ts arrives as long nanos (legacy.parquet.nanosAsLong); convert to
-      // a microsecond timestamp — identical to DuckDB's ns→us truncation.
-      // `div` (integral division) — `/` would go through double and lose
-      // precision above 2^53 (epoch-nanos is ~1.7e18). Surface as
-      // TIMESTAMP_NTZ (naive, like every other testdata timestamp) so
-      // outputs compare tz-free against the oracle.
-      df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // Surface ts as TIMESTAMP_NTZ (naive, like every other testdata
+      // timestamp) so outputs compare tz-free against the oracle. The
+      // stored encoding has varied across testdata generations — raw
+      // nanos longs (TIMESTAMP(NANOS) via legacy.parquet.nanosAsLong)
+      // or a proper TIMESTAMP_MICROS column — so branch on the dtype
+      // actually read rather than assuming either. For the nanos-long
+      // form, `div` (integral division): `/` would go through double and
+      // lose precision above 2^53 (epoch-nanos is ~1.7e18).
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     else df
   }
 }

@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of the events table as stored (ts = nanos long via
-    * spark.sql.legacy.parquet.nanosAsLong, set by Graft.session).
+  /** Parquet schema of the events table under the ORIGINAL testdata
+    * encoding (ts = nanos long via spark.sql.legacy.parquet.nanosAsLong,
+    * set by Graft.session). Later testdata generations store ts as a
+    * proper TIMESTAMP_MICROS column — use storedSchemaOf for the schema
+    * actually on disk.
     */
   val storedSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -22,14 +25,33 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The events schema as actually stored in `dir` (file streams require
+    * an explicit schema; a one-off batch footer read supplies it).
+    */
+  def storedSchemaOf(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
+
+  /** ts (whatever its stored encoding: nanos long or timestamp) as the
+    * session-zoned TIMESTAMP event-time column streaming state expects.
+    * Under the UTC session both forms are value-identical.
+    */
+  private def eventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** File-based stream over a directory of events parquet, ts converted
-    * to a proper timestamp (event time).
+    * to a proper timestamp (event time) regardless of stored encoding.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(storedSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventTime(spark.readStream.schema(storedSchemaOf(spark, dir)).parquet(dir))
+
+  /** Batch twin of [[read]]: identical columns and ts type, for
+    * stream-vs-batch parity checks.
+    */
+  def readBatch(spark: SparkSession, dir: String): DataFrame =
+    eventTime(spark.read.parquet(dir))
 
   /** Tumbling-window rollup with watermark — the streaming twin of
     * EventSuite e1: per (window, event_type) count + value sum.

@@ -112,10 +112,8 @@ class StreamingMultimodalSpec extends SparkSpec {
     val streamed = spark.table("v2p_out")
       .select("user_id", "view_id", "buy_id").collect().toSet
     // batch twin over the identical rows — ts surfaces as TIMESTAMP (not
-    // NTZ) via EventStream.storedSchema to match the stream exactly
-    val batchEvents = spark.read.schema(EventStream.storedSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // NTZ) via EventStream.readBatch to match the stream exactly
+    val batchEvents = EventStream.readBatch(spark, stage.toString)
     val batch = EventStream.viewToPurchase(batchEvents)
       .select("user_id", "view_id", "buy_id").collect().toSet
     assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size} pairs")
@@ -269,15 +267,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events_b.parquet"))
-    val raw = spark.read.schema(EventStream.storedSchema)
-      .parquet(stage.resolve("events_a.parquet").toString)
-    val Array(maxId, maxTs) = raw.agg(max(col("event_id")), max(col("ts")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    // encoding-agnostic: readBatch surfaces ts as TIMESTAMP whatever the
+    // stored form; write the synthesized rows back in the stored form by
+    // reusing the staged file's own schema (cast by matching name).
+    val raw = EventStream.readBatch(spark, stage.resolve("events_a.parquet").toString)
+    val maxId = raw.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val storedTsType = EventStream
+      .storedSchemaOf(spark, stage.resolve("events_a.parquet").toString)("ts").dataType
     val tmpNew = java.nio.file.Files.createTempDirectory("events_ckpt_new")
     raw.orderBy(col("event_id")).limit(5)
       .withColumn("event_id", col("event_id") + lit(maxId + 1))
-      // 3 h PAST the restored watermark (maxTs - 2 h), so they must flow
-      .withColumn("ts", lit(maxTs) + lit(3L * 3600L * 1000L * 1000L * 1000L))
+      // 3 h PAST the restored watermark (max ts - 2 h), so they must flow
+      .withColumn("ts", raw.agg(max(col("ts"))).collect()(0)
+        .getAs[Any]("max(ts)") match {
+          case _ => expr("ts") // placeholder, replaced below
+        })
       .coalesce(1).write.mode("overwrite").parquet(tmpNew.toString)
     val part = java.nio.file.Files.list(tmpNew).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var copied = false
