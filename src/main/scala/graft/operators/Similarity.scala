@@ -622,9 +622,15 @@ object Similarity {
         col("b.vec_id").as("j"),
         Vectors.cosine(col("a.cv"), col("b.cv")).as("psim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage is TRUNCATED each round (eager localCheckpoint — one tiny
+    // job per round, the dupClusters pattern at Dedup.dupClusters): round
+    // t references sel(t-1) twice (penalty join + anti-join), so an
+    // un-truncated plan re-derives every earlier round's window+joins
+    // ~2^k times. Each checkpoint holds ≤ |queries| rows.
     val first = cands.filter(col("rn") === 1)
       .select(col("qid"), lit(1).as("step"), col("vec_id"),
         (lit(lambda) * col("sim")).as("mmr"))
+      .localCheckpoint(true)
     var sel = first.select("qid", "vec_id")
     var out = first
     for (t <- 2 to k) {
@@ -632,17 +638,20 @@ object Similarity {
         .join(sel.select(col("qid"), col("vec_id").as("j")), Seq("qid", "j"))
         .groupBy("qid", "i").agg(max("psim").as("pen"))
         .withColumnRenamed("i", "vec_id")
-      val mmr = cands.join(sel, Seq("qid", "vec_id"), "left_anti")
+      val picked = cands.join(sel, Seq("qid", "vec_id"), "left_anti")
         .join(pen, Seq("qid", "vec_id"))
         .select(col("qid"), col("vec_id"),
           (lit(lambda) * col("sim") - lit(1 - lambda) * col("pen")).as("mmr"))
-      val picked = mmr.withColumn("rn2", row_number().over(
+        .withColumn("rn2", row_number().over(
           Window.partitionBy("qid").orderBy(col("mmr").desc, col("vec_id").asc)))
         .filter(col("rn2") === 1)
         .select(col("qid"), lit(t).as("step"), col("vec_id"), col("mmr"))
+        .localCheckpoint(true)
       out = out.unionByName(picked)
       sel = sel.unionByName(picked.select("qid", "vec_id"))
     }
+    cands.unpersist(false)
+    pairs.unpersist(false)
     out
   }
 }

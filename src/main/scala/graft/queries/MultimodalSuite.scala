@@ -113,18 +113,29 @@ object MultimodalSuite {
     "m4_chunk_fingerprint_neardups" -> Q(
       (s, _) => {
         val ch = 1024 // bytes per chunk
+        // variant planting happens in the FINGERPRINT domain, not the
+        // byte domain: replacing the first chunk's md5 with the (constant)
+        // zero-chunk md5 is equality-structure-identical to zeroing the
+        // first KiB of payload — chunk boundaries don't shift, chunks
+        // 2..n are untouched, and chunk 1 becomes a value no LCG-random
+        // base chunk collides with. Rebuilding the payload bytes instead
+        // (concat(zeros, substring(media, ...))) gets inlined by
+        // projection collapse into the per-chunk md5 lambda and recomputes
+        // the whole concat per chunk — O(len²/chunk) byte copying, the
+        // exact pathology chunkFingerprintDoc's doc warns about (~50×
+        // slower measured on this fixture).
+        val zeroFp = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(Array.fill[Byte](ch)(0.toByte)).map("%02x".format(_)).mkString
+        }
         val base = assets(s).select(col("asset_id").cast("long").as("doc_id"),
-          col("media"))
-        // variant = first KiB zeroed, built in the byte domain (the
-        // oracle builds the same corpus in the hex domain — '00' per
-        // zero byte — so chunk-equality structure is identical)
+          Multimodal.chunkFingerprintDoc(col("media"), ch).as("chunks"))
         val variants = base.filter(col("doc_id") < 64)
           .select((col("doc_id") + 10000).as("doc_id"),
-            concat(lit(Array.fill[Byte](ch)(0.toByte)),
-              expr(s"substring(media, ${ch + 1})")).as("media"))
+            when(col("chunks") === "", lit(zeroFp))
+              .otherwise(concat(lit(zeroFp), expr("substring(chunks, 33)")))
+              .as("chunks"))
         val union = base.unionByName(variants)
-          .select(col("doc_id"),
-            Multimodal.chunkFingerprintDoc(col("media"), ch).as("chunks"))
         graft.operators.Dedup.minhashNearDups(union, "doc_id", "chunks",
             k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
           .orderBy("id1", "id2")

@@ -26,10 +26,19 @@ object EventStream {
     StructField("props", StringType)))
 
   /** The events schema as actually stored in `dir` (file streams require
-    * an explicit schema; a one-off batch footer read supplies it).
+    * an explicit schema; a one-off batch footer read supplies it). A
+    * directory with no files yet — the normal state for a file stream
+    * whose producer starts after the query — has no footers to read, so
+    * fall back to the legacy [[storedSchema]] instead of failing the
+    * stream definition.
     */
   def storedSchemaOf(spark: SparkSession, dir: String): StructType =
-    spark.read.parquet(dir).schema
+    try spark.read.parquet(dir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("infer schema") =>
+        storedSchema
+    }
 
   /** ts (whatever its stored encoding: nanos long or timestamp) as the
     * session-zoned TIMESTAMP event-time column streaming state expects.

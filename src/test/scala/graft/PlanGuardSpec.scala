@@ -28,10 +28,12 @@ class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // construction executes jobs (iterative/collected driver state)
+  // construction executes jobs (iterative/collected driver state; x7
+  // joined this set when the x7/x18/x27/x28 family moved to the shared
+  // eagerly-checkpointed pairs memo, TextSuite.DedupShared)
   private val constructionRunsJobs = Set(
-    "x18_dup_clusters", "x27_leakage_safe_split", "x28_dedup_apply",
-    "x29_bloom_incremental", "v8_ivf_kmeans_topk")
+    "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
+    "x28_dedup_apply", "x29_bloom_incremental", "v8_ivf_kmeans_topk")
 
   // bounded exceptions the TREE cannot prove (cardinality facts, not
   // plan-node facts):

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
 
 import graft.operators.Multimodal
 import graft.streaming.{DocStream, EventStream}
@@ -275,13 +276,22 @@ class StreamingMultimodalSpec extends SparkSpec {
     val storedTsType = EventStream
       .storedSchemaOf(spark, stage.resolve("events_a.parquet").toString)("ts").dataType
     val tmpNew = java.nio.file.Files.createTempDirectory("events_ckpt_new")
-    raw.orderBy(col("event_id")).limit(5)
+    // readBatch surfaces ts as TIMESTAMP whatever the stored form, so the
+    // collected max is a java.sql.Timestamp.
+    val maxTs = raw.agg(max(col("ts")).as("max_ts")).collect()(0)
+      .getAs[java.sql.Timestamp]("max_ts")
+    val shifted = raw.orderBy(col("event_id")).limit(5)
       .withColumn("event_id", col("event_id") + lit(maxId + 1))
       // 3 h PAST the restored watermark (max ts - 2 h), so they must flow
-      .withColumn("ts", raw.agg(max(col("ts"))).collect()(0)
-        .getAs[Any]("max(ts)") match {
-          case _ => expr("ts") // placeholder, replaced below
-        })
+      .withColumn("ts", lit(maxTs) + expr("INTERVAL 3 HOURS"))
+    // Cast ts back to the staged files' stored encoding: run 2 reads the
+    // whole stage dir under one schema (storedSchemaOf), so events_c must
+    // match events_a/b on disk. Legacy testdata stores ts as nanos-long.
+    val restoredForm = storedTsType match {
+      case LongType => shifted.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case t        => shifted.withColumn("ts", col("ts").cast(t))
+    }
+    restoredForm
       .coalesce(1).write.mode("overwrite").parquet(tmpNew.toString)
     val part = java.nio.file.Files.list(tmpNew).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var copied = false
