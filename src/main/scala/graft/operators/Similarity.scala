@@ -501,10 +501,20 @@ object Similarity {
     * Output: qid, vec_id, adc_dist (double, exact multiple of 2⁻²⁰), rn
     * — or l2_dist (exact re-ranked squared L2) when refine > 1.
     */
-  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, topK: Int,
-      m: Int = 8, nCodes: Int = 16, iterations: Int = 1,
-      refine: Int = 1): DataFrame = {
+  /** The at-rest state of the PQ family: trained codebooks (m·nCodes
+    * rows, a broadcast literal), the corpus encoded as `m` one-byte
+    * codes per vector, and the (persisted) normalized corpus for exact
+    * refine. Production systems train/encode ONCE at ingest and answer
+    * every query from the codes; `pqAdcTopK`/`ivfPqTopK` accept a
+    * prebuilt index so callers (and the declared v11/v12/v13 queries)
+    * share it instead of retraining per query.
+    */
+  final case class PqIndex(corpus: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, m: Int, sub: Int)
+
+  /** Train codebooks and encode `corpus` — the ingest-time half of PQ. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): PqIndex = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -512,13 +522,27 @@ object Similarity {
     val sub = dim / m
     val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations)
     val codes = assignToCodes(subVectors(c, "id", "vec", m, sub), cb)
+    PqIndex(c, cb, codes, m, sub)
+  }
+
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1,
+      refine: Int = 1): DataFrame =
+    pqAdcTopK(queries, pqIndex(corpus, idCol, vecCol, m, nCodes, iterations),
+      idCol, vecCol, topK, refine)
+
+  /** ADC top-k over a prebuilt [[PqIndex]] — the query-time half. */
+  def pqAdcTopK(queries: DataFrame, idx: PqIndex,
+      idCol: String, vecCol: String, topK: Int,
+      refine: Int): DataFrame = {
     val qsv = subVectors(
       queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", m, sub).withColumnRenamed("id", "qid")
-    val dtab = qsv.join(cb, Seq("s"))
+      "id", "vec", idx.m, idx.sub).withColumnRenamed("id", "qid")
+    val dtab = qsv.join(idx.codebooks, Seq("s"))
       .select(col("qid"), col("s"), col("code"),
         floor(l2sq(col("sv"), col("cw")) * lit(1048576d)).as("dq"))
-    val adc = codes.join(broadcast(dtab), Seq("s", "code"))
+    val adc = idx.codes.join(broadcast(dtab), Seq("s", "code"))
       .filter(col("qid") =!= col("id"))
       .groupBy("qid", "id")
       .agg(sum(col("dq")).as("adc"))
@@ -534,7 +558,7 @@ object Similarity {
         .select("qid", "id")
       val qv = broadcast(
         queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-      val rescored = shortlist.join(qv, Seq("qid")).join(c, Seq("id"))
+      val rescored = shortlist.join(qv, Seq("qid")).join(idx.corpus, Seq("id"))
         .select(col("qid"), col("id"), l2sq(col("qv"), col("vec")).as("l2"))
       val w2 = Window.partitionBy("qid").orderBy(col("l2").asc, col("id").asc)
       rescored.withColumn("rn", row_number().over(w2))
@@ -559,12 +583,17 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       nCells: Int = 16, nProbe: Int = 3,
-      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame = {
-    val c = graft.Graft.ensureParallelism(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dim = c.select(size(col("vec"))).head.getInt(0)
-    val sub = dim / m
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame =
+    ivfPqTopK(queries, pqIndex(corpus, idCol, vecCol, m, nCodes, iterations),
+      idCol, vecCol, topK, nCells, nProbe)
+
+  /** IVF-PQ over a prebuilt [[PqIndex]] — the coarse quantizer (cells)
+    * is built here from the index's corpus; the PQ half is reused.
+    */
+  def ivfPqTopK(queries: DataFrame, idx: PqIndex,
+      idCol: String, vecCol: String, topK: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
+    val c = idx.corpus
     val cents = lowestIdCentroids(c, "id", "vec", nCells)
     val cells = assignToCells(c, "id", "vec", cents, keep = 1)
       .select("id", "cell")
@@ -572,11 +601,11 @@ object Similarity {
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
       "qid", "qvec", cents, keep = nProbe).select("qid", "cell")
     val cand = cells.join(broadcast(probes), Seq("cell")).select("qid", "id")
-    val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations)
-    val codes = assignToCodes(subVectors(c, "id", "vec", m, sub), cb)
+    val cb = idx.codebooks
+    val codes = idx.codes
     val qsv = subVectors(
       queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", m, sub).withColumnRenamed("id", "qid")
+      "id", "vec", idx.m, idx.sub).withColumnRenamed("id", "qid")
     val dtab = qsv.join(cb, Seq("s"))
       .select(col("qid"), col("s"), col("code"),
         floor(l2sq(col("sv"), col("cw")) * lit(1048576d)).as("dq"))
