@@ -235,6 +235,18 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(mismatched == 0, "streamed session not present in batch result")
   }
 
+  test("stream definition on an empty source directory falls back to the legacy schema") {
+    // the normal file-stream deployment order: the query starts BEFORE
+    // the producer writes the first file — schema inference has no
+    // footers to read and must not fail the stream definition
+    val empty = java.nio.file.Files.createTempDirectory("events_empty")
+    val stream = EventStream.read(spark, empty.toString)
+    assert(stream.isStreaming)
+    // eventTime still normalizes the legacy nanos-long ts to a timestamp
+    assert(stream.schema("ts").dataType.typeName.startsWith("timestamp"),
+      s"ts surfaced as ${stream.schema("ts").dataType}")
+  }
+
   test("checkpointed restart: state restored, redeliveries dropped, new rows flow") {
     // The failure-recovery contract a 100 TB stream lives on: the
     // checkpoint persists source offsets, watermark, AND dedup state, so
