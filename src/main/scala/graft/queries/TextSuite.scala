@@ -35,9 +35,14 @@ object TextSuite {
         Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
             k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
           .localCheckpoint(true))
-    def clusters(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    def clusters(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      // pairs() is resolved BEFORE entering computeIfAbsent: a nested
+      // computeIfAbsent on the same map throws "Recursive update"
+      // whenever the two keys share a hash bin
+      val p = pairs(s, dir)
       memo.computeIfAbsent(key(s, dir, "clusters"), _ =>
-        Dedup.dupClusters(pairs(s, dir)).localCheckpoint(true))
+        Dedup.dupClusters(p).localCheckpoint(true))
+    }
   }
 
   // DuckDB fragment: whitespace tokens of trimmed text.
