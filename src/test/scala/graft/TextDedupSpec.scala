@@ -408,6 +408,32 @@ class TextDedupSpec extends SparkSpec {
       (16L, 0.0, 4), (1L, 32.0, 5)))
   }
 
+  test("PqIndex round-trips through parquet: codes at rest answer queries") {
+    // the production split pqIndex exists for: train/encode at ingest,
+    // PERSIST the codebooks + codes, answer later queries from the
+    // reloaded state without touching full vectors (except refine)
+    val vecs = (0L until 20L).map { id =>
+      val k = (id % 4).toInt
+      (id, Array.tabulate(16)(i => if (i % 4 == k) 2f else 0f))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndex(vecs, "vec_id", "embedding",
+      m = 4, nCodes = 4, iterations = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_at_rest")
+    idx.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
+    idx.codes.write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+    val reloaded = Similarity.PqIndex(
+      vecs.select($"vec_id".as("id"), $"embedding".as("vec")),
+      spark.read.parquet(s"$tmp/codebooks.parquet"),
+      spark.read.parquet(s"$tmp/codes.parquet"), idx.m, idx.sub)
+    val q = vecs.filter($"vec_id" === 0)
+    def run(i: Similarity.PqIndex, refine: Int) =
+      Similarity.pqAdcTopK(q, i, "vec_id", "embedding", topK = 5, refine)
+        .orderBy("rn").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(run(reloaded, 1) == run(idx, 1))
+    assert(run(reloaded, 2) == run(idx, 2)) // refine touches full vectors
+  }
+
   test("ivfPqTopK: nProbe=1 prunes candidates to the query's cell") {
     val vecs = (0L until 20L).map { id =>
       val k = (id % 4).toInt
