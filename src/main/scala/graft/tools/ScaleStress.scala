@@ -115,6 +115,16 @@ object ScaleStress {
       t(s"semantic_dedup m=$m nCells=${16 * m}")(
         Similarity.semanticDedup(emb, "vec_id", "embedding",
           threshold = 0.4, nCells = 16 * m).count())
+      // v14 shape: MMR with FIXED queries (copy 0's vec_id < 3) over a
+      // growing corpus. The corpus is touched exactly once, by the
+      // retrieval top-M; every greedy round is per-query bounded (topM
+      // candidates, topM² pair sims) and localCheckpoint-truncated, so
+      // wall-clock must track the retrieval scan — near-linear in m with
+      // a constant rounds overhead, NOT the 2^k re-derivation the
+      // untruncated loop had.
+      t(s"mmr_rerank m=$m")(
+        Similarity.mmrRerank(emb.filter(col("vec_id") < 3), emb,
+          "vec_id", "embedding", topM = 20, k = 5, lambda = 0.7).count())
       spark.catalog.clearCache()
     }
     spark.stop()
