@@ -24,6 +24,16 @@ final case class Q(
     sql: Option[String],
     doc: String = "")
 
+object Q {
+  /** Stable identity for per-session memos (DedupShared/PqShared): the
+    * classic session's UUID when available — identityHashCode can in
+    * principle collide across sessions after GC and hand a memo bound
+    * to a stopped SparkContext to a fresh session.
+    */
+  def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.GraftColumnBridge.sessionKey(s)
+}
+
 /** Core relational surface: SURVEY.md §2.3 (find predicates), §2.4
   * (joins), §2.5 (aggregations), §2.6 (windows), §2.7 (sort/top-k),
   * §2.8 (set ops), §2.9 (restructuring) expressed over the driver

@@ -29,7 +29,7 @@ object TextSuite {
     private val memo =
       new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
     private def key(s: org.apache.spark.sql.SparkSession, dir: String, what: String) =
-      s"${System.identityHashCode(s)}:$dir:$what"
+      s"${Q.sessionKey(s)}:$dir:$what"
     def pairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
       memo.computeIfAbsent(key(s, dir, "pairs"), _ =>
         Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",

@@ -29,7 +29,7 @@ object VectorSuite {
     private val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqIndex]()
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex =
-      memo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      memo.computeIfAbsent(s"${Q.sessionKey(s)}:$dir", _ => {
         val idx = Similarity.pqIndex(table(s, dir, "embeddings"),
           "vec_id", "embedding", m = 8, nCodes = 16, iterations = 1)
         idx.copy(codes = idx.codes.localCheckpoint(true))

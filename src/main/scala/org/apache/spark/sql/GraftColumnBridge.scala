@@ -34,6 +34,16 @@ object GraftColumnBridge {
         "docroot" -> "https://spark.apache.org/docs/latest"))
   }
 
+  /** Stable session identity for per-session memos: the classic
+    * session's `sessionUUID` (a `private[sql]` member, hence bridged
+    * here) — identityHashCode can in principle collide across sessions
+    * after GC.
+    */
+  def sessionKey(s: SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
+
   /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter`
     * (`writeTo` bytes) with a LONG-valued column — the same
     * `BloomFilterMightContain` predicate Spark's runtime-filter rewrite
