@@ -97,6 +97,52 @@ object Graft {
     if (estBytes < BigInt(perPartition) * target) df.repartition(target) else df
   }
 
+  /** Truncate a DataFrame's lineage — the iterative-algorithm /
+    * session-memo primitive (dupClusters rounds, MMR rounds, the shared
+    * dedup/PQ memos).
+    *
+    * Default mode is `localCheckpoint`: blocks live in executor storage,
+    * no filesystem round-trip — right for local[*] and for clusters
+    * without preemption. Local checkpoints are deliberately
+    * NON-RELIABLE: losing an executor makes the truncated plan
+    * unrecoverable and fails the job. When `graft.checkpoint.dir` is
+    * set, lineage is truncated with a RELIABLE `checkpoint()` against
+    * that directory instead (HDFS/object storage on a real cluster), so
+    * executor loss at 100×-with-preemption scale recomputes from the
+    * checkpoint files rather than killing the job. Same plan either
+    * way — the conf only picks the durability of the cut point.
+    */
+  def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    val dir =
+      try s.conf.get("graft.checkpoint.dir", "") catch { case _: Throwable => "" }
+    if (dir.isEmpty) df.localCheckpoint(eager)
+    else {
+      val sc = s.sparkContext
+      // setCheckpointDir mints a fresh UUID subdir per call — only
+      // (re)apply when the conf actually changed
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      df.checkpoint(eager)
+    }
+  }
+
+  /** The checkpointed RDDs backing a truncated DataFrame (plan-walk for
+    * `LogicalRDD` leaves) — used to release their storage on memo
+    * eviction and by specs asserting the checkpoint mode.
+    */
+  def truncatedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Release the block-manager storage of a truncated DataFrame (no-op
+    * for reliable checkpoints, whose files the context cleaner owns).
+    */
+  def releaseTruncated(df: DataFrame): Unit =
+    truncatedRdds(df).foreach { r =>
+      try r.unpersist(false) catch { case _: Throwable => () }
+    }
+
   /** Read one testdata table: `$dir/$name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)

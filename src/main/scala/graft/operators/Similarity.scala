@@ -198,18 +198,35 @@ object Similarity {
     centroids
   }
 
+  /** The trained coarse quantizer alone — the ingest-time half of IVF,
+    * exposed so sessions can train once (an IvfShared-style memo) and
+    * answer every query from the collected literal centroids. Value is
+    * bounded algorithm state (nCells·dim floats), not data.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmeansIterations: Int = 0): DataFrame = {
+    val c = graft.Graft.ensureParallelism(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (kmeansIterations > 0)
+      kmeansCentroids(c, "id", "vec", nCells, kmeansIterations)
+    else lowestIdCentroids(c, "id", "vec", nCells)
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false,
-      kmeansIterations: Int = 0): DataFrame = {
-    val c = graft.Graft.ensureParallelism(candidates)
+      kmeansIterations: Int = 0,
+      prebuiltCentroids: Option[DataFrame] = None): DataFrame = {
+    val c0 = graft.Graft.ensureParallelism(candidates)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-      // read by every k-means iteration AND the final assignment pass
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val centroids =
+    // persisted only when training runs here (every Lloyd iteration
+    // re-reads it); with prebuilt centroids the corpus is read once
+    val needTrain = prebuiltCentroids.isEmpty && kmeansIterations > 0
+    val c = if (needTrain) c0.persist(StorageLevel.MEMORY_AND_DISK) else c0
+    val centroids = prebuiltCentroids.getOrElse(
       if (kmeansIterations > 0)
         kmeansCentroids(c, "vec_id", "cvec", nCells, kmeansIterations)
-      else lowestIdCentroids(c, "vec_id", "cvec", nCells)
+      else lowestIdCentroids(c, "vec_id", "cvec", nCells))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       assignToCells(df, id, vec, centroids, keep)
     val assigned = assign(c, "vec_id", "cvec", keep = 1)
@@ -584,11 +601,101 @@ object Similarity {
       idCol: String, vecCol: String, topK: Int,
       nCells: Int = 16, nProbe: Int = 3,
       m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame =
-    ivfPqTopK(queries, pqIndex(corpus, idCol, vecCol, m, nCodes, iterations),
-      idCol, vecCol, topK, nCells, nProbe)
+    ivfPqTopK(queries,
+      ivfPqIndex(corpus, idCol, vecCol, nCells, m, nCodes, iterations),
+      idCol, vecCol, topK, nProbe)
 
-  /** IVF-PQ over a prebuilt [[PqIndex]] — the coarse quantizer (cells)
-    * is built here from the index's corpus; the PQ half is reused.
+  /** The at-rest state of residual-encoded IVF-PQ (IVFADC — Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", §III):
+    * coarse centroids, and the corpus PQ-encoded as RESIDUALS
+    * `vec − centroid(cell)` with the cell id stored inline with the
+    * codes (the inverted-list layout — query-time needs no id-join).
+    * Residuals concentrate around zero with smaller per-subspace
+    * variance than raw vectors, so the same code budget (m bytes/vec)
+    * quantizes finer and buys materially better recall — measured by
+    * `tools/ProfilePqRecall` against the raw-encoding form below.
+    */
+  final case class IvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, m: Int, sub: Int)
+
+  /** Train the coarse quantizer + residual codebooks and encode the
+    * corpus — the ingest-time half of IVFADC. Codes and cells are
+    * eagerly lineage-truncated (they are the persisted index artifact;
+    * Graft.truncate picks local vs reliable by conf), and the builder's
+    * transient caches are dropped before returning.
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
+      iterations: Int = 1): IvfPqIndex = {
+    val c = graft.Graft.ensureParallelism(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("vec"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = lowestIdCentroids(c, "id", "vec", nCells)
+    // residuals: vec − centroid(cell), exact double differences of
+    // floats — engine-replicable elementwise arithmetic
+    val res = assignToCells(c, "id", "vec", cents, keep = 1)
+      .join(cents, "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("vec"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebooks(res, "id", "rvec", m, nCodes, iterations)
+    val codes = graft.Graft.truncate(
+      assignToCodes(subVectors(res, "id", "rvec", m, sub), cb)
+        .join(res.select(col("id"), col("cell")), Seq("id")),
+      eager = true)
+    res.unpersist(false)
+    c.unpersist(false)
+    IvfPqIndex(c, cents, cb, codes, m, sub)
+  }
+
+  /** IVF-PQ top-k over a prebuilt residual [[IvfPqIndex]] — the
+    * query-time half. Each query probes its `nProbe` nearest cells and
+    * builds one distance table PER PROBED CELL from its residual there
+    * (`q − centroid(cell)` — the IVFADC asymmetric form); the ADC join
+    * then streams only the probed cells' codes (cell is inline in the
+    * codes — no corpus-wide id-join) and partial-aggregates map-side.
+    * The distance tables total nQueries·nProbe·m·nCodes rows —
+    * broadcast. Integer-grid quantized entries keep the per-pair sum
+    * exact BIGINT arithmetic, deterministic under any partitioning.
+    */
+  def ivfPqTopK(queries: DataFrame, idx: IvfPqIndex,
+      idCol: String, vecCol: String, topK: Int, nProbe: Int): DataFrame = {
+    val probes = assignToCells(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", idx.centroids, keep = nProbe)
+    val qres = probes.join(idx.centroids, "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qvec"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rvec"))
+    val qsv = qres
+      .select(col("qid"), col("cell"), col("rvec"),
+        explode(sequence(lit(0), lit(idx.m - 1))).as("s"))
+      .select(col("qid"), col("cell"), col("s"),
+        slice(col("rvec"), col("s") * lit(idx.sub) + lit(1), lit(idx.sub)).as("sv"))
+    val dtab = qsv.join(idx.codebooks, Seq("s"))
+      .select(col("qid"), col("cell"), col("s"), col("code"),
+        floor(l2sq(col("sv"), col("cw")) * lit(1048576d)).as("dq"))
+    val adc = idx.codes.join(broadcast(dtab), Seq("cell", "s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id")
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("id").as("vec_id"),
+        (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
+        col("rn"))
+  }
+
+  /** RAW-encoding IVF-PQ over a flat [[PqIndex]] — kept as the
+    * measurement baseline residual encoding is compared against
+    * (ProfilePqRecall) : the coarse quantizer prunes candidates but
+    * codes quantize the raw vectors, so one global codebook serves all
+    * cells at lower recall.
     */
   def ivfPqTopK(queries: DataFrame, idx: PqIndex,
       idCol: String, vecCol: String, topK: Int,
@@ -651,31 +758,33 @@ object Similarity {
         col("b.vec_id").as("j"),
         Vectors.cosine(col("a.cv"), col("b.cv")).as("psim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Lineage is TRUNCATED each round (eager localCheckpoint — one tiny
-    // job per round, the dupClusters pattern at Dedup.dupClusters): round
-    // t references sel(t-1) twice (penalty join + anti-join), so an
-    // un-truncated plan re-derives every earlier round's window+joins
-    // ~2^k times. Each checkpoint holds ≤ |queries| rows.
+    // Lineage is TRUNCATED each round (eager, one tiny job per round —
+    // the dupClusters pattern at Dedup.dupClusters): round t references
+    // sel(t-1) twice (penalty join + anti-join), so an un-truncated plan
+    // re-derives every earlier round's window+joins ~2^k times. Each
+    // checkpoint holds ≤ |queries| rows. Graft.truncate picks local vs
+    // reliable checkpointing by `graft.checkpoint.dir`.
     val first = cands.filter(col("rn") === 1)
       .select(col("qid"), lit(1).as("step"), col("vec_id"),
         (lit(lambda) * col("sim")).as("mmr"))
-      .localCheckpoint(true)
-    var sel = first.select("qid", "vec_id")
-    var out = first
+    val firstT = graft.Graft.truncate(first, eager = true)
+    var sel = firstT.select("qid", "vec_id")
+    var out = firstT
     for (t <- 2 to k) {
       val pen = pairs
         .join(sel.select(col("qid"), col("vec_id").as("j")), Seq("qid", "j"))
         .groupBy("qid", "i").agg(max("psim").as("pen"))
         .withColumnRenamed("i", "vec_id")
-      val picked = cands.join(sel, Seq("qid", "vec_id"), "left_anti")
-        .join(pen, Seq("qid", "vec_id"))
-        .select(col("qid"), col("vec_id"),
-          (lit(lambda) * col("sim") - lit(1 - lambda) * col("pen")).as("mmr"))
-        .withColumn("rn2", row_number().over(
-          Window.partitionBy("qid").orderBy(col("mmr").desc, col("vec_id").asc)))
-        .filter(col("rn2") === 1)
-        .select(col("qid"), lit(t).as("step"), col("vec_id"), col("mmr"))
-        .localCheckpoint(true)
+      val picked = graft.Graft.truncate(
+        cands.join(sel, Seq("qid", "vec_id"), "left_anti")
+          .join(pen, Seq("qid", "vec_id"))
+          .select(col("qid"), col("vec_id"),
+            (lit(lambda) * col("sim") - lit(1 - lambda) * col("pen")).as("mmr"))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("qid").orderBy(col("mmr").desc, col("vec_id").asc)))
+          .filter(col("rn2") === 1)
+          .select(col("qid"), lit(t).as("step"), col("vec_id"), col("mmr")),
+        eager = true)
       out = out.unionByName(picked)
       sel = sel.unionByName(picked.select("qid", "vec_id"))
     }

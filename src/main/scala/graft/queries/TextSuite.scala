@@ -18,30 +18,32 @@ object TextSuite {
     * connected-component closure — the pipeline x7/x18/x27/x28 all
     * consume. Per-query isolation was re-running the identical
     * shingle→minhash→band→verify computation four times (~100 s of the
-    * cold bench); the memoized frames are `localCheckpoint`ed, so each
-    * is computed once per session and downstream queries reference a
-    * truncated (in-memory) plan. Deterministic pipeline + fixed inputs
-    * ⇒ caching cannot change any query's result. x35 intentionally does
-    * NOT share: its audit runs on a 50% id-sample by design, and x30's
-    * cross-corpus banding has no within-side pairs to reuse.
+    * cold bench); the memoized frames are lineage-truncated
+    * (Graft.truncate), so each is computed once per session and
+    * downstream queries reference a truncated plan. Deterministic
+    * pipeline + fixed inputs ⇒ caching cannot change any query's
+    * result. Lifecycle (eviction on session end / data change / idle
+    * TTL) is SessionMemo's. x35 intentionally does NOT share: its audit
+    * runs on a 50% id-sample by design, and x30's cross-corpus banding
+    * has no within-side pairs to reuse.
     */
   private object DedupShared {
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-    private def key(s: org.apache.spark.sql.SparkSession, dir: String, what: String) =
-      s"${Q.sessionKey(s)}:$dir:$what"
+    import graft.{Graft, SessionMemo}
     def pairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-      memo.computeIfAbsent(key(s, dir, "pairs"), _ =>
-        Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
-            k = 32, bands = 16, shingleSize = 3, threshold = 0.5)
-          .localCheckpoint(true))
+      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "minhash-pairs") {
+        Graft.truncate(
+          Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+            k = 32, bands = 16, shingleSize = 3, threshold = 0.5),
+          eager = true)
+      }(Graft.releaseTruncated)
     def clusters(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      // pairs() is resolved BEFORE entering computeIfAbsent: a nested
-      // computeIfAbsent on the same map throws "Recursive update"
-      // whenever the two keys share a hash bin
+      // pairs() resolved BEFORE the clusters slot computes (kept from the
+      // computeIfAbsent era; also saves a wasted duplicate pairs run when
+      // two first-lookups race on the clusters slot)
       val p = pairs(s, dir)
-      memo.computeIfAbsent(key(s, dir, "clusters"), _ =>
-        Dedup.dupClusters(p).localCheckpoint(true))
+      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "minhash-clusters") {
+        Graft.truncate(Dedup.dupClusters(p), eager = true)
+      }(Graft.releaseTruncated)
     }
   }
 
