@@ -461,8 +461,16 @@ object Similarity {
     *
     * Output: (s, code, cw) — `m` × `nCodes` rows.
     */
+  /** `seedOffset` skips the first ids when seeding (rank window
+    * [seedOffset, seedOffset+nCodes) of the id order) — the residual
+    * path MUST skip the coarse-centroid ids: a centroid's own residual
+    * is the zero vector, so seeding from ids 0..nCodes-1 there would
+    * start every codeword identical and collapse the codebook to one
+    * effective code.
+    */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame = {
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1,
+      seedOffset: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dim = c.select(size(col("vec"))).head.getInt(0)
@@ -472,7 +480,7 @@ object Similarity {
     // encode pass — one corpus-wide subvector explode, cached
     val sv = subVectors(c, "id", "vec", m, sub)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seeds = c.orderBy(col("id").asc).limit(nCodes)
+    val seeds = c.orderBy(col("id").asc).offset(seedOffset).limit(nCodes)
     var cb = broadcast(subVectors(seeds, "id", "vec", m, sub)
       .select(col("s"), col("id").as("code"), col("sv").as("cw")))
     val meanCols = (1 to sub).map(i =>
@@ -626,14 +634,21 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
-      iterations: Int = 1): IvfPqIndex = {
+      iterations: Int = 1, coarseKmeansIterations: Int = 0): IvfPqIndex = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dim = c.select(size(col("vec"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val cents = lowestIdCentroids(c, "id", "vec", nCells)
+    // residual magnitude is what the PQ budget spends on — Lloyd-refined
+    // MEAN centroids (vs raw sample vectors) shrink it: vec − mean(cell)
+    // removes the cell's explained variance, while vec − sample_vec on
+    // near-random data roughly DOUBLES it
+    val cents =
+      if (coarseKmeansIterations > 0)
+        kmeansCentroids(c, "id", "vec", nCells, coarseKmeansIterations)
+      else lowestIdCentroids(c, "id", "vec", nCells)
     // residuals: vec − centroid(cell), exact double differences of
     // floats — engine-replicable elementwise arithmetic
     val res = assignToCells(c, "id", "vec", cents, keep = 1)
@@ -642,7 +657,8 @@ object Similarity {
         zip_with(col("vec"), col("centroid"),
           (x, y) => x.cast("double") - y.cast("double")).as("rvec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cb = pqCodebooks(res, "id", "rvec", m, nCodes, iterations)
+    val cb = pqCodebooks(res, "id", "rvec", m, nCodes, iterations,
+      seedOffset = nCells)
     val codes = graft.Graft.truncate(
       assignToCodes(subVectors(res, "id", "rvec", m, sub), cb)
         .join(res.select(col("id"), col("cell")), Seq("id")),

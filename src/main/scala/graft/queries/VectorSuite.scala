@@ -74,7 +74,7 @@ object VectorSuite {
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index") {
         Similarity.ivfPqIndex(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16, m = 8, nCodes = 16,
-          iterations = 1)
+          iterations = 1, coarseKmeansIterations = 2)
       }(t => Graft.releaseTruncated(t.codes))
   }
 
@@ -466,42 +466,101 @@ object VectorSuite {
       "PQ ADC top-k: 8x16 codebooks (one Lloyd refinement), 8-byte codes, " +
         "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN"),
 
-    // --- IVF-PQ top-k ---------------------------------------------------
-    // The production ANN composition (FAISS IVF*,PQ*): the IVF coarse
-    // quantizer prunes to nProbe/nCells of the corpus, PQ codes answer
-    // distances inside the probed cells. The oracle rebuilds BOTH
-    // stages: cosine cell assignment (the v6/v10 mirror) restricting
-    // the candidate pairs, and the v11 PQ pipeline for the ADC ranks.
+    // --- IVF-PQ top-k (residual encoding — IVFADC) ----------------------
+    // The production ANN composition (FAISS IVF*,PQ* / Jégou et al.
+    // §III): the IVF coarse quantizer prunes to nProbe/nCells of the
+    // corpus, and PQ codes quantize RESIDUALS `vec − centroid(cell)` —
+    // residuals concentrate around zero with smaller per-subspace
+    // variance, so the same 8-byte code budget buys materially better
+    // recall than raw-vector codes (measured in ProfilePqRecall). Each
+    // query builds one distance table per probed cell from its residual
+    // there (the asymmetric IVFADC form). The oracle rebuilds BOTH
+    // stages end to end: cosine cell assignment (the v6/v10 mirror),
+    // residual computation, residual codebook training (one DECIMAL-mean
+    // Lloyd refinement), corpus encoding, per-(query, cell) distance
+    // tables, and the exact-BIGINT ADC ranks.
     "v12_ivfpq_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
-        Similarity.ivfPqTopK(q, PqShared.index(s, dir), "vec_id",
-            "embedding", topK = 5, nCells = 16, nProbe = 3)
+        Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir), "vec_id",
+            "embedding", topK = 5, nProbe = 3)
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH cent AS (
+      Some {
+        val means = (1 to 8).map(i =>
+          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+        val kMeans64 = (1 to 64).map(i =>
+          s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+        def kAssign(cents: String) =
+          s"""SELECT vec_id, vec, cell FROM (
+          |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
+          |      PARTITION BY e.vec_id
+          |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+          |    FROM embeddings e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
+        def assign(cbName: String) =
+          s"""SELECT id, s, code FROM (
+          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
+          |      PARTITION BY sv.id, sv.s
+          |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
+          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
+        s"""WITH kseed AS (
         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
         |  ORDER BY vec_id ASC LIMIT 16),
+        |ka1 AS (${kAssign("kseed")}),
+        |kc1 AS (SELECT cell, [$kMeans64] AS centroid FROM ka1 GROUP BY cell),
+        |ka2 AS (${kAssign("kc1")}),
+        |cent AS (SELECT cell, [$kMeans64] AS centroid FROM ka2 GROUP BY cell),
         |cells AS (
-        |  SELECT id, cell FROM (
-        |    SELECT e.vec_id AS id, c.cell, row_number() OVER (
+        |  SELECT id, vec, cell FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS vec, c.cell, row_number() OVER (
         |      PARTITION BY e.vec_id
         |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
         |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |res AS (
+        |  SELECT cl.id, cl.cell,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(cl.vec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
+        |  FROM cells cl JOIN cent c ON c.cell = cl.cell),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |sv AS (
+        |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
+        |  FROM res CROSS JOIN ss),
+        |seeds AS (
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16 OFFSET 16),
+        |cb0 AS (
+        |  SELECT s, sv.id AS code, sv.sv AS cw
+        |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
+        |a1 AS (${assign("cb0")}),
+        |cb1 AS (
+        |  SELECT s, code, [$means] AS cw
+        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+        |codes AS (${assign("cb1")}),
         |probes AS (
         |  SELECT qid, cell FROM (
         |    SELECT qq.vec_id AS qid, c.cell, row_number() OVER (
         |      PARTITION BY qq.vec_id
         |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
         |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
-        |$sqlPqCtes
+        |qres AS (
+        |  SELECT p.qid, p.cell,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
+        |  FROM probes p
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  JOIN cent c ON c.cell = p.cell),
+        |qsv AS (
+        |  SELECT qid, cell, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
+        |  FROM qres CROSS JOIN ss),
+        |dtab AS (
+        |  SELECT qid, qsv.cell, cb.s, cb.code,
+        |    CAST(FLOOR(${sqlL2Sub("qsv.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
+        |  FROM qsv JOIN cb1 cb USING (s)),
         |adc AS (
         |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
         |  FROM codes c
         |  JOIN cells cl ON cl.id = c.id
-        |  JOIN probes p ON p.cell = cl.cell
-        |  JOIN dtab d ON d.qid = p.qid AND d.s = c.s AND d.code = c.code
+        |  JOIN dtab d ON d.cell = cl.cell AND d.s = c.s AND d.code = c.code
         |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
         |ranked AS (
         |  SELECT qid, vec_id, adc, row_number() OVER (
@@ -510,9 +569,11 @@ object VectorSuite {
         |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
         |  CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin),
-      "IVF-PQ top-k: coarse cells prune to nProbe/nCells of the corpus, " +
-        "PQ codes answer ADC distances inside the probed cells"),
+        |ORDER BY qid, rn""".stripMargin
+      },
+      "IVFADC top-k: coarse cells prune to nProbe/nCells, PQ codes " +
+        "quantize residuals vec-centroid(cell) — better recall at the " +
+        "same 8-byte code budget"),
 
     // --- PQ + exact refine ----------------------------------------------
     // The two-tier memory design ANN runs in production (FAISS refine /

@@ -60,14 +60,33 @@ object ProfilePqRecall {
         f"recall@$k=${recall(shortlist)}%.3f")
       spark.catalog.clearCache()
     }
+    // IVF-PQ: raw-vector codes (one global codebook; the pre-round-6
+    // form) vs RESIDUAL codes (IVFADC — codes quantize vec−centroid).
+    // Same nCells/m/nCodes budget; residual should dominate.
     for (probe <- Seq(1, 2, 3, 4, 8)) {
-      val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", topK = k,
-          nCells = 16, nProbe = probe, m = 8, nCodes = 16, iterations = 1)
+      val raw = Similarity.ivfPqTopK(q,
+          Similarity.pqIndex(emb, "vec_id", "embedding",
+            m = 8, nCodes = 16, iterations = 1),
+          "vec_id", "embedding", topK = k, nCells = 16, nProbe = probe)
         .select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"[pq-recall] IVFPQ nCells=16 nProbe=$probe  " +
-        f"recall@$k=${recall(got)}%.3f  scanFrac=${probe / 16.0}%.3f")
       spark.catalog.clearCache()
+      def residual(coarseIters: Int): Set[(Long, Long)] = {
+        val got = Similarity.ivfPqTopK(q,
+            Similarity.ivfPqIndex(emb, "vec_id", "embedding", nCells = 16,
+              m = 8, nCodes = 16, iterations = 1,
+              coarseKmeansIterations = coarseIters),
+            "vec_id", "embedding", topK = k, nProbe = probe)
+          .select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache()
+        got
+      }
+      val res = residual(0)
+      val resKm = residual(2)
+      println(f"[pq-recall] IVFPQ nCells=16 nProbe=$probe  " +
+        f"raw=${recall(raw)}%.3f  residual=${recall(res)}%.3f  " +
+        f"residual+kmeans=${recall(resKm)}%.3f  scanFrac=${probe / 16.0}%.3f")
     }
     spark.stop()
   }
