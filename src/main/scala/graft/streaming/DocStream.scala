@@ -54,4 +54,25 @@ object DocStream {
     enrich(docs)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch twin of [[cleanFeed]] over the stored documents table: the
+    * SAME `enrich` column expressions, the same id-derived event time as
+    * [[read]], and exact dedup on the fingerprint keeping the EARLIEST
+    * arrival — which is what the stream's within-watermark dedup
+    * retains for redeliveries arriving inside the watermark (the only
+    * redeliveries the streaming half is responsible for; older
+    * re-crawls belong to the batch incremental path, x25/x29). This is
+    * the declared, oracle-checked face of the DocStream semantics
+    * (e9_docfeed_clean).
+    */
+  def cleanFeedBatch(docs: DataFrame): DataFrame = {
+    val withTs = docs.withColumn("ts",
+      timestamp_seconds(lit(1577836800L) + col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("ts").asc, col("doc_id").asc)
+    enrich(withTs)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

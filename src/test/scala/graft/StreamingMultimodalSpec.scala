@@ -91,12 +91,20 @@ class StreamingMultimodalSpec extends SparkSpec {
     val got = spark.table("docfeed_out")
     val batchIn = spark.read.schema(DocStream.storedSchema)
       .parquet(stage.toString)
-    val batch = DocStream.enrich(batchIn).dropDuplicates("fp")
+    // the DECLARED batch twin (e9's dataflow): same enrichment, exact
+    // dedup keeping the earliest arrival
+    val batch = DocStream.cleanFeedBatch(batchIn)
     val staged = batchIn.count() // both copies: every doc arrived twice
     assert(got.count() == batch.count())
     assert(keyset(got) == keyset(batch))
     assert(got.count() <= staged / 2, // every doc arrived twice: at least
       s"redeliveries not dropped: ${got.count()} of $staged staged rows")
+    // the batch twin keeps the EARLIEST arrival deterministically:
+    // every survivor's doc_id is its fingerprint group's minimum
+    val minIds = DocStream.enrich(batchIn)
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    assert(batch.join(minIds, Seq("fp", "doc_id"), "left_anti").count() == 0,
+      "cleanFeedBatch must keep the min-doc_id (earliest) row per fingerprint")
   }
 
   test("stream-stream interval join matches the batch twin (e8)") {
