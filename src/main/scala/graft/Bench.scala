@@ -57,6 +57,37 @@ object Bench {
     val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
     val results = p1.map { case (k, v) =>
       k -> (v +: extras.flatMap(_.get(k))).min }
+    // ---- sf1 scale-regression section --------------------------------
+    // One pass at 10× the primary SF (synthesized by ScaleUp — key-
+    // shifted independent shards, similarity structure preserved), so
+    // the per-round artifact carries scale headroom, not just sf0.1
+    // correctness-scale timing. Scale-critical families (v*/x*/m*) run
+    // first so a clipped pass still covers them; a hard deadline keeps
+    // the whole bench inside the driver's patience.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/dev/shm/graft-sf1")
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
+    val sf1Deadline = t0 + ((budget + 60) * 1e9).toLong
+    val sf1Results: Map[String, Double] =
+      if (!sf1Enabled || (System.nanoTime() - t0) / 1e9 > budget - 150) Map.empty
+      else try {
+        graft.tools.ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
+        SparkEntry.queries.toSeq
+          .sortBy { case (n, _) =>
+            (if ("vxm".contains(n.head)) 0 else 1, n) }
+          .flatMap { case (name, fn) =>
+            if (System.nanoTime() > sf1Deadline) None
+            else {
+              val q0 = System.nanoTime()
+              try { fn(spark, sf1Dir).count() } catch { case _: Throwable => () }
+              val dt = (System.nanoTime() - q0) / 1e9
+              System.err.println(f"[sf1] $name%-28s $dt%8.2f s")
+              spark.catalog.clearCache()
+              Some(name -> dt)
+            }
+          }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
     // The driver captures a bounded ~2000-char TAIL of stdout: r02/r03
     // artifacts came back with "parsed": null because the one-line JSON
     // with all per-query entries (~3 KB even at 2-decimal resolution for
@@ -71,17 +102,37 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Per-query times for these entries measure WARM shared-memo state
+    // (the first family member executed pays the index/pipeline build) —
+    // totals stay honest; cross-round per-query comparison should read
+    // the family together.
+    val memoShared = SparkEntry.memoSharedQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf1Section =
+      if (sf1Results.isEmpty) ""
+      else {
+        val q1 = sf1Results.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString("{", ",", "}")
+        val complete = sf1Results.size == SparkEntry.queries.size
+        s""","sf1":{"dir":"$sf1Dir","total":${r2(sf1Results.values.sum)},""" +
+          s""""n_queries":${sf1Results.size},"complete":$complete,"queries":$q1}"""
+      }
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    val sf1Summary =
+      if (sf1Results.isEmpty) ""
+      else s""""sf1_total":${r2(sf1Results.values.sum)},""" +
+        s""""sf1_n":${sf1Results.size},"""
     val summary =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${results.size},"slowest":$top,""" +
+        s""""n_queries":${results.size},"slowest":$top,$sf1Summary""" +
         s""""queries_file":"BENCH_LAST.json"}"""
     spark.stop()
     println(line)

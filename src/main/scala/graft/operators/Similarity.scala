@@ -212,11 +212,20 @@ object Similarity {
     else lowestIdCentroids(c, "id", "vec", nCells)
   }
 
+  /** `prebuiltCells` — a precomputed corpus assignment (id, vec, cell),
+    * e.g. a session memo of [[quantizerCells]]: the ingest-time half of
+    * IVF (quantizer training + corpus assignment both happen once at
+    * index build); query time is then probe-assignment + the cell
+    * equi-join only. Must have been built with the SAME quantizer the
+    * probe side uses (pass its centroids via `prebuiltCentroids` when
+    * they aren't the deterministic seeds).
+    */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       nCells: Int = 16, nProbe: Int = 2, exact: Boolean = false,
       kmeansIterations: Int = 0,
-      prebuiltCentroids: Option[DataFrame] = None): DataFrame = {
+      prebuiltCentroids: Option[DataFrame] = None,
+      prebuiltCells: Option[DataFrame] = None): DataFrame = {
     val c0 = graft.Graft.ensureParallelism(candidates)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     // persisted only when training runs here (every Lloyd iteration
@@ -229,7 +238,9 @@ object Similarity {
       else lowestIdCentroids(c, "vec_id", "cvec", nCells))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       assignToCells(df, id, vec, centroids, keep)
-    val assigned = assign(c, "vec_id", "cvec", keep = 1)
+    val assigned = prebuiltCells
+      .map(_.select(col("id").as("vec_id"), col("vec").as("cvec"), col("cell")))
+      .getOrElse(assign(c, "vec_id", "cvec", keep = 1))
     val probes = assign(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
       "qid", "qvec", keep = nProbe)
@@ -252,11 +263,34 @@ object Similarity {
     * declared without the O(n²) corpus product.
     */
   def quantizerCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): DataFrame = {
+      nCells: Int, centroids: Option[DataFrame] = None): DataFrame = {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     assignToCells(c, "id", "vec",
-      lowestIdCentroids(c, "id", "vec", nCells), keep = 1)
+      centroids.getOrElse(lowestIdCentroids(c, "id", "vec", nCells)), keep = 1)
+  }
+
+  /** The multi-table IVF blocking assignment [[cosineNearDupsIvf]] pairs
+    * over — `tables` independent quantizers (table t seeded from the
+    * nCells lowest ids after skipping t·nCells), every vector
+    * multi-assigned to its `nProbe` nearest cells in each. Exposed as
+    * the ingest-time half of blocked near-dup detection so sessions can
+    * assign once (a session memo) and every near-dup pass reads the
+    * shared (id, vec, table, cell) frame — the inverted-list layout.
+    */
+  def multiQuantizerCells(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int, tables: Int): DataFrame = {
+    // no internal persist: each of the `tables` branches re-reads `df` —
+    // callers evaluating this more than once (or building eagerly for a
+    // memo) persist the input themselves and own its release
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    (0 until tables).map { t =>
+      val centroids = lowestIdCentroids(c, "id", "vec", nCells,
+        offset = t * nCells)
+      assignToCells(c, "id", "vec", centroids, keep = nProbe)
+        .select(col("id"), col("vec"), lit(t).as("table"), col("cell"))
+    }.reduce(_ unionAll _)
   }
 
   /** Exact embedding-cosine near-duplicate pairs above `threshold`
@@ -308,22 +342,21 @@ object Similarity {
     */
   def cosineNearDupsIvf(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,
-      tables: Int = 1): DataFrame = {
-    val c = graft.Graft.ensureParallelism(df)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      tables: Int = 1, prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
     // `tables` independent quantizers (disjoint centroid sets — table t
     // takes the nCells lowest ids after skipping t*nCells): recall
     // compounds as 1-(1-p)^T while pair-generation cost only adds
     // linearly (T·nProbe²/nCells of brute force) — strictly better
     // recall-per-cost than raising nProbe on one table when p is
     // moderate, which is exactly the low-threshold regime.
-    val assigned = (0 until tables).map { t =>
-      val centroids = lowestIdCentroids(c, "id", "vec", nCells,
-        offset = t * nCells)
-      assignToCells(c, "id", "vec", centroids, keep = nProbe)
-        .select(col("id"), col("vec"), lit(t).as("table"), col("cell"))
-    }.reduce(_ unionAll _)
+    // `prebuiltAssigned` (a session memo of [[multiQuantizerCells]])
+    // skips straight to pair generation — the at-rest index split.
+    val assigned = prebuiltAssigned.getOrElse {
+      val c = graft.Graft.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      multiQuantizerCells(c, "id", "vec", nCells, nProbe, tables)
+    }
     val l = assigned.as("l")
     val r = assigned.as("r")
     l.join(r, col("l.table") === col("r.table") &&
@@ -356,12 +389,19 @@ object Similarity {
     * survivors come from one left-anti join on id. Returns
     * (cell, n_members, n_dropped, n_kept) per cell.
     */
+  /** `prebuiltCells` — a session memo of [[quantizerCells]] (id, vec,
+    * cell) under the same seed quantizer: skips the corpus assignment
+    * pass (ingest-time state); centroids are still the cheap
+    * lowest-id broadcast, joined only for the centroid-distance rule.
+    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16): DataFrame = {
+      threshold: Double, nCells: Int = 16,
+      prebuiltCells: Option[DataFrame] = None): DataFrame = {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = lowestIdCentroids(c, "id", "vec", nCells)
-    val sims = assignToCells(c, "id", "vec", centroids, keep = 1)
+    val sims = prebuiltCells.getOrElse(
+        assignToCells(c, "id", "vec", centroids, keep = 1))
       .join(centroids, "cell")
       .select(col("id"), col("vec"), col("cell"),
         Vectors.cosineFast(col("vec"), col("centroid")).as("centsim"))

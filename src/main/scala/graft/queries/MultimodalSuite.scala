@@ -71,6 +71,11 @@ object MultimodalSuite {
     }
   }
 
+  /** Queries reading the per-session ChunkShared memo (see Bench's
+    * memo_shared disclosure).
+    */
+  val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups")
+
   val queries: Map[String, Q] = Map(
 
     // --- decode + content-integrity stats -----------------------------

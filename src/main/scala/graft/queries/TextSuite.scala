@@ -63,6 +63,22 @@ object TextSuite {
   private val sqlBpe =
     "regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+', 0)"
 
+  /** x8b's fixed-size shard bound — ONE constant feeding both the Spark
+    * filter and the oracle scope (a drifted duplicate would silently
+    * diverge the two sides until correctness-run time). `final` makes it
+    * a compile-time constant — and it must in any case be initialized
+    * BEFORE the `queries` val below, which reads it.
+    */
+  private final val X8bShardBound = 16384
+
+  /** Queries that read the per-session DedupShared memo — disclosed in
+    * the bench artifact (the first family member executed pays the
+    * MinHash pipeline; the rest read shared state).
+    */
+  val memoShared: Set[String] = Set(
+    "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
+    "x28_dedup_apply")
+
   val queries: Map[String, Q] = Map(
 
     // --- BPE-ish subword counting -------------------------------------
@@ -283,12 +299,11 @@ object TextSuite {
     "x8b_simhash_radius16" -> Q(
       (s, dir) =>
         Dedup.simhashNearDups(
-            table(s, dir, "documents").filter(col("doc_id") < 16384),
+            table(s, dir, "documents").filter(col("doc_id") < X8bShardBound),
             "doc_id", "text", maxHamming = 16)
           .orderBy("id1", "id2"),
-      Some(sqlSimhashMirror(maxHamming = 16, cap = 256).replace(
-        "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id < 16384)")),
+      Some(sqlSimhashMirror(maxHamming = 16, cap = 256,
+        scope = s"(SELECT * FROM documents WHERE doc_id < $X8bShardBound)")),
       "SimHash radius-16 recall-heavy variant on a fixed-size shard " +
         "(radius 16 is for bounded scopes; x8c is the corpus-scale path)"),
 
@@ -1531,7 +1546,12 @@ object TextSuite {
       |ORDER BY id1, id2""".stripMargin
   }
 
-  private def sqlSimhashMirror(maxHamming: Int, cap: Int): String = {
+  /** `scope` replaces the `documents` source relation — pass a derived
+    * table (e.g. x8b's fixed-size shard) instead of post-hoc string
+    * surgery on the rendered SQL.
+    */
+  private def sqlSimhashMirror(maxHamming: Int, cap: Int,
+      scope: String = "documents"): String = {
     val M = "2147483648"
     def fin(x: String) =
       s"((((($x) * 2654435761 + 2654435769) % $M) * 2654435761 + 40503) % $M)"
@@ -1553,7 +1573,7 @@ object TextSuite {
       |  SELECT doc_id AS id,
       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS BIGINT[][])
       |         ELSE $hashed END AS hs
-      |  FROM documents),
+      |  FROM $scope),
       |sigs AS (
       |  SELECT id, CAST(COALESCE(${half(1, 0)}, 0) + COALESCE(${half(2, 31)}, 0) AS BIGINT) AS sig
       |  FROM hashed),

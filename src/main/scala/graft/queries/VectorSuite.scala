@@ -63,6 +63,54 @@ object VectorSuite {
       }(_ => ())
   }
 
+  /** Per-(session, dir) memos of the corpus CELL ASSIGNMENTS — the other
+    * half of IVF's ingest-time state. Training the quantizer is cheap
+    * (or already memoized above); what every IVF-family query used to
+    * re-pay per execution is the corpus×centroids assignment pass.
+    * Production builds the inverted lists once at index time; these
+    * memos are that split: (id, vec, cell) frames, lineage-truncated so
+    * they survive cache clears, released via SessionMemo's lifecycle.
+    *   - `seed16`: the deterministic 16-cell seed quantizer — read by
+    *     v5 (one cell's members), v6 (ivfTopK corpus side), and v10
+    *     (SemDeDup cells);
+    *   - `kmeans16`: the same corpus under the Lloyd-refined quantizer —
+    *     v8's corpus side (probes still assign per query);
+    *   - `multi32x4`: the 4-table nProbe-2 blocking assignment v7 pairs
+    *     over.
+    */
+  private object CellsShared {
+    import graft.{Graft, SessionMemo}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    private def memo(s: SparkSession, dir: String, what: String)(
+        build: => DataFrame): DataFrame =
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", what) {
+        Graft.truncate(build, eager = true)
+      }(Graft.releaseTruncated)
+    def seed16(s: SparkSession, dir: String): DataFrame =
+      memo(s, dir, "ivf-cells16-seed")(
+        Similarity.quantizerCells(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16))
+    def kmeans16(s: SparkSession, dir: String): DataFrame =
+      memo(s, dir, "ivf-cells16-kmeans2")(
+        Similarity.quantizerCells(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16,
+          centroids = Some(IvfShared.kmeans16(s, dir))))
+    def multi32x4(s: SparkSession, dir: String): DataFrame =
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+          "ivf-cells32x4-probe2") {
+        // the 4 assignment branches each read the corpus — persist it
+        // for the one eager build, drop the transient cache after
+        val emb = table(s, dir, "embeddings")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = Graft.truncate(
+          Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
+            nCells = 32, nProbe = 2, tables = 4),
+          eager = true)
+        emb.unpersist(false)
+        t
+      }(Graft.releaseTruncated)
+  }
+
   /** Per-(session, dir) memo of the residual-encoded IVF-PQ index
     * (IVFADC) v12 reads — coarse centroids + residual codebooks +
     * cell-inline codes, trained/encoded once per session. Codes are
@@ -106,6 +154,16 @@ object VectorSuite {
       |      CAST($v[d] AS DOUBLE) * (CAST($mixed AS DOUBLE) / 2147483648.0 - 0.5))) >= 0
       |    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
   }
+
+  /** Queries that read per-session memoized index state (PqShared /
+    * IvfShared / IvfPqShared / CellsShared) — disclosed in the bench
+    * artifact so warm per-query numbers aren't mistaken for standalone
+    * query cost: the first family member executed pays the build.
+    */
+  val memoShared: Set[String] = Set(
+    "v5_cosine_neardups", "v6_ivf_ann_topk", "v7_cosine_neardups_ivf",
+    "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
+    "v12_ivfpq_topk", "v13_pq_refine_topk")
 
   val queries: Map[String, Q] = Map(
 
@@ -212,7 +270,8 @@ object VectorSuite {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = 16, nProbe = 3, exact = true)
+            nCells = 16, nProbe = 3, exact = true,
+            prebuiltCells = Some(CellsShared.seed16(s, dir)))
           .orderBy("qid", "rn")
       },
       Some(s"""WITH cent AS (
@@ -251,8 +310,7 @@ object VectorSuite {
     // TextDedupSpec recall measurement for v7 compares against it).
     "v5_cosine_neardups" -> Q(
       (s, dir) => {
-        val cells = Similarity.quantizerCells(
-          table(s, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+        val cells = CellsShared.seed16(s, dir)
         val target = cells.agg(min(col("cell")).as("cell"))
         val members = cells.join(broadcast(target), "cell")
         Similarity.cosineNearDups(members, "id", "vec", threshold = 0.4)
@@ -291,7 +349,8 @@ object VectorSuite {
       (s, dir) =>
         Similarity.cosineNearDupsIvf(table(s, dir, "embeddings"), "vec_id",
             "embedding", threshold = 0.4, nCells = 32, nProbe = 2,
-            tables = 4)
+            tables = 4,
+            prebuiltAssigned = Some(CellsShared.multi32x4(s, dir)))
           .orderBy("id1", "id2"),
       Some(s"""WITH ranked AS (
         |  SELECT vec_id AS cell, embedding AS centroid,
@@ -329,7 +388,8 @@ object VectorSuite {
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
             nCells = 16, nProbe = 3, exact = true, kmeansIterations = 2,
-            prebuiltCentroids = Some(IvfShared.kmeans16(s, dir)))
+            prebuiltCentroids = Some(IvfShared.kmeans16(s, dir)),
+            prebuiltCells = Some(CellsShared.kmeans16(s, dir)))
           .orderBy("qid", "rn")
       },
       Some {
@@ -377,7 +437,8 @@ object VectorSuite {
     "v10_semantic_dedup" -> Q(
       (s, dir) =>
         Similarity.semanticDedup(table(s, dir, "embeddings"), "vec_id",
-            "embedding", threshold = 0.4, nCells = 16)
+            "embedding", threshold = 0.4, nCells = 16,
+            prebuiltCells = Some(CellsShared.seed16(s, dir)))
           .orderBy("cell"),
       Some(s"""WITH cent AS (
         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings

@@ -35,10 +35,43 @@ object EventStream {
   def storedSchemaOf(spark: SparkSession, dir: String): StructType =
     try spark.read.parquet(dir).schema
     catch {
+      // Match the stable error CLASS, not a message substring (which is
+      // locale/version-brittle), and adopt the legacy schema only when
+      // the directory truly has no data files yet — a directory of
+      // unreadable/non-parquet files should keep failing loudly instead
+      // of silently mismatching downstream.
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null && e.getMessage.contains("infer schema") =>
+          if inferFailureConditions.contains(e.getCondition) &&
+            dirHasNoDataFiles(dir) =>
         storedSchema
     }
+
+  /** The stable error conditions "no footers to infer from" surfaces as
+    * (Spark 4.1 raises the _LEGACY form from DataSource.resolveRelation;
+    * the named form is its non-legacy registration).
+    */
+  private val inferFailureConditions =
+    Set("UNABLE_TO_INFER_SCHEMA", "_LEGACY_ERROR_TEMP_1134")
+
+  /** True when `dir` is absent, empty, or holds only hidden/metadata
+    * entries (`_spark_metadata`, `.crc`, …) — the pre-producer state of
+    * a file-stream directory.
+    */
+  private def dirHasNoDataFiles(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(
+      dir.stripPrefix("file:").stripPrefix("//"))
+    if (!java.nio.file.Files.isDirectory(p)) true
+    else {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.forall { f =>
+          val n = f.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+      } finally s.close()
+    }
+  }
 
   /** ts (whatever its stored encoding: nanos long or timestamp) as the
     * session-zoned TIMESTAMP event-time column streaming state expects.

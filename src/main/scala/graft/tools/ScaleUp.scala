@@ -36,6 +36,24 @@ object ScaleUp {
     val spark = Graft.builder("local[16]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.tune(spark)
+    synthesize(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** True when `out` already holds a complete synthesis (every table
+    * written — `embeddings` is last, so its _SUCCESS marker suffices).
+    */
+  def present(out: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS"))
+
+  /** Idempotent: reuses an existing complete synthesis at `out`. */
+  def ensure(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit =
+    if (!present(out)) synthesize(spark, src, out, factor)
+
+  def synthesize(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
 
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
@@ -79,7 +97,5 @@ object ScaleUp {
       else df.withColumn("embedding", concat(
         slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
         slice(col("embedding"), lit(1), lit(i)))))
-
-    spark.stop()
   }
 }

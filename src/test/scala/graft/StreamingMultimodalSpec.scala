@@ -253,6 +253,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     // eventTime still normalizes the legacy nanos-long ts to a timestamp
     assert(stream.schema("ts").dataType.typeName.startsWith("timestamp"),
       s"ts surfaced as ${stream.schema("ts").dataType}")
+    // hidden/metadata entries (_spark_metadata, .crc) still count as
+    // "no data yet" — the fallback must survive them
+    java.nio.file.Files.createDirectory(empty.resolve("_spark_metadata"))
+    java.nio.file.Files.write(empty.resolve(".keep"), Array[Byte]())
+    assert(EventStream.storedSchemaOf(spark, empty.toString) ==
+      EventStream.storedSchema)
+    // but a directory with an actual (unreadable) DATA file is not the
+    // pre-producer state: adopting the legacy schema there would mask a
+    // corrupt/foreign directory — it must fail loudly instead
+    val junk = java.nio.file.Files.createTempDirectory("events_junk")
+    java.nio.file.Files.write(junk.resolve("part-0000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      EventStream.storedSchemaOf(spark, junk.toString)
+    }
   }
 
   test("checkpointed restart: state restored, redeliveries dropped, new rows flow") {
