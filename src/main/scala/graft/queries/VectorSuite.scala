@@ -17,8 +17,20 @@ import graft.operators.Similarity
   */
 object VectorSuite {
 
-  /** Per-(session, dir) memo of the PQ index (m=8, nCodes=16, one Lloyd
-    * iteration over the embeddings corpus) shared by v11/v13 — the
+  /** The PQ family's codebook size, feeding BOTH the Spark builders and
+    * the SQL mirrors (declared before `queries`, which reads it).
+    * 64 codewords per subspace is the profiled recall optimum at the
+    * same at-rest budget — codes store as one byte per subspace either
+    * way (6-bit vs 4-bit codewords packed), and ProfilePqRecall measures
+    * recall@10 0.262 (nCodes=16) → 0.372 (nCodes=64) unrefined on the
+    * worst-case near-random corpus, 0.93 at refine=10. Training cost
+    * (4× the assignment work) is paid once per session by the PqShared /
+    * IvfPqShared memos.
+    */
+  private final val PqCodes = 64
+
+  /** Per-(session, dir) memo of the PQ index (m=8, nCodes=[[PqCodes]],
+    * one Lloyd iteration over the embeddings corpus) shared by v11/v13 — the
     * at-rest train-once/encode-once state every PQ query in production
     * reads. Codes AND the normalized corpus are lineage-truncated
     * (Graft.truncate) so the memoized frames survive the bench's
@@ -33,7 +45,7 @@ object VectorSuite {
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "pq-index") {
         val idx = Similarity.pqIndex(table(s, dir, "embeddings"),
-          "vec_id", "embedding", m = 8, nCodes = 16, iterations = 1)
+          "vec_id", "embedding", m = 8, nCodes = PqCodes, iterations = 1)
         val t = idx.copy(
           codes = Graft.truncate(idx.codes, eager = true),
           corpus = Graft.truncate(idx.corpus, eager = true))
@@ -121,7 +133,7 @@ object VectorSuite {
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfPqIndex =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index") {
         Similarity.ivfPqIndex(table(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16, m = 8, nCodes = 16,
+          "vec_id", "embedding", nCells = 16, m = 8, nCodes = PqCodes,
           iterations = 1, coarseKmeansIterations = 2)
       }(t => Graft.releaseTruncated(t.codes))
   }
@@ -502,7 +514,7 @@ object VectorSuite {
 
     // --- product-quantization ADC top-k --------------------------------
     // The memory side of corpus-scale ANN (Jégou et al., "Product
-    // Quantization for Nearest Neighbor Search"): 8 subspaces × 16
+    // Quantization for Nearest Neighbor Search"): 8 subspaces × 64
     // codewords turn each 256 B vector into 8 bytes of codes (32×), and
     // queries scan CODES via a per-query distance table, never vectors.
     // Everything is engine-replicable: squared-L2 terms are exact in
@@ -524,7 +536,7 @@ object VectorSuite {
         |  CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "PQ ADC top-k: 8x16 codebooks (one Lloyd refinement), 8-byte codes, " +
+      s"PQ ADC top-k: 8x$PqCodes codebooks (one Lloyd refinement), 8-byte codes, " +
         "integer-quantized distance tables — 32x memory reduction for corpus-scale ANN"),
 
     // --- IVF-PQ top-k (residual encoding — IVFADC) ----------------------
@@ -588,7 +600,7 @@ object VectorSuite {
         |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
         |  FROM res CROSS JOIN ss),
         |seeds AS (
-        |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16 OFFSET 16),
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes OFFSET 16),
         |cb0 AS (
         |  SELECT s, sv.id AS code, sv.sv AS cw
         |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
@@ -774,7 +786,7 @@ object VectorSuite {
     |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM embeddings CROSS JOIN ss),
     |seeds AS (
-    |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes),
     |cb0 AS (
     |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
     |  FROM seeds CROSS JOIN ss),
