@@ -293,6 +293,47 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** k-NN GRAPH construction: the k nearest neighbors of EVERY corpus
+    * row (the all-rows batch form of ANN — the substrate for
+    * graph-based clustering, label propagation, and kNN-classifier
+    * curation), blocked by the same multi-table IVF assignment as
+    * [[cosineNearDupsIvf]] so no corpus product ever materializes.
+    *
+    * Candidates are the per-(table, cell) self-join — O(n²·nProbe²·
+    * tables/nCells), never O(n²) — deduped on (qid, nid), scored with
+    * the exact-decimal cosine, and ranked per qid by a window that
+    * only ever sees that row's bounded candidate list. Approximate by
+    * construction: a true neighbor sharing no probed cell is missed
+    * (recall grows as 1-(1-p)^tables like the near-dup path); rows
+    * whose candidate lists run short return fewer than k edges.
+    *
+    * `prebuiltAssigned` — the [[multiQuantizerCells]] session memo —
+    * makes this a pure read of the at-rest inverted-list index.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, topK: Int,
+      nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,
+      prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
+    val assigned = prebuiltAssigned.getOrElse {
+      val c = graft.Graft.ensureParallelism(df)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      multiQuantizerCells(c, "id", "vec", nCells, nProbe, tables)
+    }
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    val cands = l.join(r, col("l.table") === col("r.table") &&
+        col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("qid"), col("r.id").as("nid"),
+        col("l.vec").as("qv"), col("r.vec").as("nv"))
+      .distinct()
+    val scored = cands.select(col("qid"), col("nid"),
+      Vectors.cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select("qid", "nid", "sim", "rn")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above `threshold`
     * WITHIN THE GIVEN FRAME — the exact parity witness for the blocked
     * pipelines, intended for a bounded scope (one quantizer cell, a

@@ -1440,7 +1440,105 @@ object TextSuite {
         |  COUNT(*) AS n_docs
         |FROM keyed GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
       "Leakage-safe train/eval split: near-dup clusters move as units, " +
-        "keyed by canonical id through the reproducible LCG")
+        "keyed by canonical id through the reproducible LCG"),
+
+    // --- duplicate-span extraction (exact-substring dedup) ---------------
+    // The window-granular form of Lee et al.'s exact-substring dedup
+    // (arXiv:2107.06499 §2.2): fixed-width (8-token) fingerprinted
+    // windows replace the suffix array; any window seen in >= 2 distinct
+    // docs is duplicated text, and overlapping/adjacent duplicated
+    // windows merge (gaps-and-islands) into maximal per-doc spans.
+    // Distinct from x32 (high-df boilerplate, strips ALL occurrences)
+    // and x22 (coverage fraction only). Scale: one (md5, id, pos) row
+    // per token, a combinable count-distinct per fingerprint, a
+    // per-document window for the merge — text never shuffles, no doc
+    // pair materializes.
+    "x36_dup_spans" -> Q(
+      (s, dir) =>
+        graft.operators.Dedup.dupSpans(
+            table(s, dir, "documents"), "doc_id", "text", width = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "span_start"),
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, $sqlTokens AS toks FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS b, i + 7 AS e,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS f
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        |        FROM docs)),
+        |dupf AS (
+        |  SELECT f FROM (
+        |    SELECT f, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY f)
+        |  WHERE nd >= 2),
+        |dup AS (SELECT doc_id, b, e FROM wins JOIN dupf USING (f)),
+        |marked AS (
+        |  SELECT doc_id, b, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY b
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM dup),
+        |grouped AS (
+        |  SELECT doc_id, b, e,
+        |    SUM(CASE WHEN b > COALESCE(pm, -1) + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |      AS g
+        |  FROM marked)
+        |SELECT doc_id, MIN(b) AS span_start, MAX(e) AS span_end,
+        |  MAX(e) - MIN(b) + 1 AS span_tokens
+        |FROM grouped GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin),
+      "Exact-substring duplicate spans: 8-token fingerprinted windows, " +
+        "cross-doc match, gaps-and-islands merge to maximal spans"),
+
+    // --- keep-first duplicate-span removal (the APPLY side of x36) -------
+    // Lee et al.'s all-but-one semantics: for every window fingerprint
+    // occurring >= 2 times anywhere (cross- OR within-doc), the globally
+    // first occurrence (min packed id*2^20+pos — an associative MIN, not
+    // a row_number window that would single-task on hot boilerplate
+    // fingerprints) survives; every other occurrence's token range is
+    // deleted and the doc re-assembled.
+    "x37_dedup_spans_keep_first" -> Q(
+      (s, dir) =>
+        graft.operators.Dedup.dedupSpansKeepFirst(
+            table(s, dir, "documents"), "doc_id", "text", width = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, $sqlTokens AS toks FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS b,
+        |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS f
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        |        FROM docs)),
+        |keeper AS (
+        |  SELECT f, COUNT(*) AS n, MIN(doc_id * 1048576 + b) AS keep
+        |  FROM wins GROUP BY f),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.b + d.d AS p
+        |  FROM wins w JOIN keeper k USING (f)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
+        |  WHERE k.n >= 2 AND w.doc_id * 1048576 + w.b <> k.keep),
+        |toksb AS (
+        |  SELECT doc_id, unnest(toks) AS t,
+        |    unnest(generate_series(1, len(toks))) AS p
+        |  FROM docs),
+        |kept AS (
+        |  SELECT tb.doc_id,
+        |    string_agg(CASE WHEN c.p IS NULL THEN tb.t END, ' ' ORDER BY tb.p)
+        |      AS cleaned,
+        |    COUNT(c.p) AS n_removed
+        |  FROM toksb tb LEFT JOIN cov c ON c.doc_id = tb.doc_id AND c.p = tb.p
+        |  GROUP BY tb.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.cleaned, '') AS cleaned
+        |FROM docs d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+      "Keep-first exact-substring dedup apply: globally-first window " +
+        "occurrence survives, later occurrences' token ranges stripped")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

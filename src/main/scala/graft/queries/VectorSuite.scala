@@ -175,7 +175,7 @@ object VectorSuite {
   val memoShared: Set[String] = Set(
     "v5_cosine_neardups", "v6_ivf_ann_topk", "v7_cosine_neardups_ivf",
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
-    "v12_ivfpq_topk", "v13_pq_refine_topk")
+    "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph")
 
   val queries: Map[String, Q] = Map(
 
@@ -750,7 +750,79 @@ object VectorSuite {
         |ORDER BY qid, step""".stripMargin
       },
       "MMR diversified top-5 of 20 retrieval candidates (lambda=0.7): " +
-        "k unrolled greedy steps, per-query-bounded state, exact scores")
+        "k unrolled greedy steps, per-query-bounded state, exact scores"),
+
+    // --- k-NN graph over the whole corpus ------------------------------
+    // The all-rows batch form of ANN (the substrate for graph
+    // clustering / label propagation / kNN-classifier curation): every
+    // row's 5 nearest neighbors, candidates blocked by the SAME 4-table
+    // nProbe-2 IVF assignment v7 pairs over (one more consumer of the
+    // CellsShared.multi32x4 session memo — zero extra index builds).
+    // The oracle rebuilds the identical quantizers, multi-assignments,
+    // per-cell candidate sets, exact-decimal scores, and ranking.
+    "v15_knn_graph" -> Q(
+      (s, dir) =>
+        Similarity.knnGraph(table(s, dir, "embeddings"), "vec_id",
+            "embedding", topK = 5, nCells = 32, nProbe = 2, tables = 4,
+            prebuiltAssigned = Some(CellsShared.multi32x4(s, dir)))
+          .orderBy("qid", "rn"),
+      Some(s"""WITH ranked AS (
+        |  SELECT vec_id AS cell, embedding AS centroid,
+        |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(rk // 32 AS BIGINT) AS tbl, cell, centroid
+        |  FROM ranked WHERE rk < 128),
+        |assigned AS (
+        |  SELECT vec_id, vec, tbl, cell FROM (
+        |    SELECT e.vec_id, e.embedding AS vec, c.tbl, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id, c.tbl
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 2),
+        |cands AS (
+        |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid,
+        |    l.vec AS qv, r.vec AS nv
+        |  FROM assigned l JOIN assigned r
+        |    ON l.tbl = r.tbl AND l.cell = r.cell AND l.vec_id <> r.vec_id),
+        |scored AS (SELECT qid, nid, ${sqlCos("qv", "nv")} AS sim FROM cands),
+        |rankedk AS (
+        |  SELECT qid, nid, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, nid, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
+      "kNN graph for every corpus row: IVF-blocked candidates, exact " +
+        "re-score, per-row bounded ranking window"),
+
+    // --- attribute-filtered ANN ---------------------------------------
+    // Production retrieval is almost never unfiltered: the predicate
+    // (here label = 2) is applied BEFORE scoring, so the scan prunes to
+    // the qualifying slice (pushed to parquet) and the score/rank cost
+    // is proportional to the filtered corpus, not the full one. Filter-
+    // then-search is exact over the slice; at selectivities where the
+    // slice still needs an index, the same predicate composes with the
+    // IVF path (cells carry the filter column).
+    "v16_filtered_ann_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(q,
+            emb.filter(col("label") === 2), "vec_id", "embedding", topK = 5)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, ${sqlCos("q.qvec", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label = 2 AND q.qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
+      "Attribute-filtered ANN: predicate pushed to the scan before " +
+        "scoring — cost proportional to the qualifying slice")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------

@@ -553,4 +553,81 @@ class TextDedupSpec extends SparkSpec {
     }.toSet
     assert(picked == expected)
   }
+
+  test("dupSpans: cross-doc shared run merges to one maximal span") {
+    // docs 1/2 share the 10-token run s1..s10 (3 overlapping width-8
+    // windows each -> ONE merged span); doc 3 repeats a run WITHIN
+    // itself only (count distinct docs = 1 -> no cross-doc span);
+    // doc 4 shares nothing.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 x y z $shared"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6 b7 b8 b9 b10"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "entirely unrelated prose with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: s1..s10 at positions 14..23; doc 2: at positions 3..12
+    assert(spans.toSeq == Seq((1L, 14L, 23L, 10L), (2L, 3L, 12L, 10L)))
+  }
+
+  test("dupSpans: a 1-token gap keeps two spans apart; contiguity merges") {
+    val runA = (1 to 8).map(i => s"p$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"q$i").mkString(" ")
+    val gapped = Seq(
+      (1L, s"$runA gap $runB"),
+      (2L, s"u1 u2 u3 $runA u4 u5 u6 $runB u7"))
+      .toDF("doc_id", "text")
+    val g = Dedup.dupSpans(gapped, "doc_id", "text", width = 8)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(g.sorted.toSeq == Seq((1L, 8L), (10L, 17L))) // two spans
+    val contiguous = Seq(
+      (1L, s"$runA $runB"),
+      (2L, s"w1 w2 w3 $runA w4 w5 w6 $runB w7"))
+      .toDF("doc_id", "text")
+    val c = Dedup.dupSpans(contiguous, "doc_id", "text", width = 8)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(c.toSeq == Seq((1L, 16L))) // adjacent runs merge
+  }
+
+  test("dedupSpansKeepFirst: globally-first occurrence survives, later stripped") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3"),
+      (2L, s"b1 $shared b2 b3"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the keeper (min id) -> untouched
+    assert(out(1L) == ((11L, 0L, s"a1 a2 $shared a3")))
+    // doc 2's occurrence (positions 2..9) stripped
+    assert(out(2L) == ((11L, 8L, "b1 b2 b3")))
+    // doc 3: WITHIN-doc repeat — second copy (positions 9..16) stripped
+    assert(out(3L) == ((16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
+  }
+
+  test("knnGraph: every row gets neighbors; nearest is brute-force-correct for most") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 3,
+        nCells = 8, nProbe = 2, tables = 2)
+      .collect()
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size == 500) // every corpus row has at least one edge
+    assert(g.forall(_.getInt(3) <= 3))
+    // spot-check top-1 agreement with brute force on the first 10 rows
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 1,
+        exact = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = byQ.view.filterKeys(_ < 10).mapValues(
+      _.minBy(_.getInt(3)).getLong(1)).toMap
+    val agree = bf.count { case (qid, nn) => top1.get(qid).contains(nn) }
+    assert(agree >= 6, s"knnGraph top-1 agreement $agree/10 too low")
+  }
 }
