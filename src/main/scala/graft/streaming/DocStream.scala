@@ -75,4 +75,124 @@ object DocStream {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Streaming NEAR-dup ingest — the `foreachBatch` composition of the
+    * batch incremental operators into a continuously-running pipeline.
+    * Per micro-batch: (1) the feed arrives already exact-deduped within
+    * the watermark ([[cleanFeed]]); (2) within-batch near-dups collapse
+    * to their cluster canonicals (MinHash pairs → connected components
+    * → keep-canonical, the x18/x28 stages); (3) survivors are checked
+    * against the ACCUMULATED at-rest index with the cross-corpus
+    * banding (the x30 operator — index×batch candidates only, no
+    * index-side self-pairs); (4) novel docs append to the index,
+    * near-dup arrivals land in the quarantine with their match.
+    *
+    * Exactly-once effect without a transactional sink: both writes are
+    * partitioned by micro-batch id under DYNAMIC partition overwrite,
+    * so a replayed batch (foreachBatch is at-least-once after failure)
+    * overwrites its own partition instead of double-appending.
+    *
+    * State posture at scale: in-stream state is only the within-
+    * watermark fingerprint set; the near-dup index lives in parquet —
+    * per-batch cost is the x30 dataflow (banded index×batch equi-join,
+    * bucket-capped), never index-resident memory.
+    */
+  def nearDupIngest(spark: SparkSession, feedDir: String, indexDir: String,
+      quarantineDir: String, checkpointDir: String,
+      threshold: Double = 0.5, watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cleanFeed(read(spark, feedDir), watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexDir, quarantineDir, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[nearDupIngest]] (exposed for direct testing —
+    * semantics are batch-deterministic, the stream only schedules it).
+    */
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, quarantineDir: String, threshold: Double): Unit = {
+    import graft.Graft
+    import graft.operators.Dedup
+    import org.apache.spark.storage.StorageLevel
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val b0 = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Dedup.minhashNearDups(b0, "doc_id", "text",
+        k = 32, bands = 16, shingleSize = 3, threshold = threshold)
+      val clusters = Dedup.dupClusters(pairs)
+      val localSurvivors = Dedup.keepCanonical(b0, "doc_id", clusters)
+      val localDropped = b0
+        .join(clusters.filter(col("canonical_id") =!= col("member_id"))
+            .select(col("member_id").as("doc_id"), col("canonical_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("canonical_id").as("matched_id"),
+          lit(null).cast("double").as("jaccard"),
+          lit("within_batch").as("reason"))
+      // exclude THIS batch's own partition from the index view: a
+      // replayed batch (failure after the index write, before the
+      // checkpoint commit) must see the same prior-state index as the
+      // original run — otherwise it matches its own docs and
+      // quarantines the whole batch instead of rewriting it.
+      val (novel, crossDropped) = existingIndex(s, indexDir)
+          .map(_.filter(col("ingest_batch") =!= lit(batchId))) match {
+        case Some(idx) =>
+          val cross = Dedup.minhashNearDupsCross(idx, localSurvivors,
+            "doc_id", "text", k = 32, bands = 16, shingleSize = 3,
+            threshold = threshold)
+          // a batch doc can match several index docs — quarantine one
+          // row per doc, best match by (jaccard, lowest index id)
+          val dropped = cross.groupBy(col("batch_id").as("doc_id"))
+            .agg(max_by(col("index_id"),
+                struct(col("jaccard"), -col("index_id"))).as("matched_id"),
+              max(col("jaccard")).as("jaccard"))
+            .withColumn("reason", lit("index_near_dup"))
+          (localSurvivors.join(dropped.select("doc_id"),
+            Seq("doc_id"), "left_anti"), dropped)
+        case None =>
+          (localSurvivors,
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              localDropped.schema))
+      }
+      // MATERIALIZE both outputs before writing: `novel` still reads
+      // indexDir through the cross-dedup lineage, and Spark refuses (or
+      // worse, races) an overwrite of a path the plan also scans.
+      val novelT = Graft.truncate(
+        novel.withColumn("ingest_batch", lit(batchId)), eager = true)
+      val quarT = Graft.truncate(
+        localDropped.unionByName(crossDropped)
+          .withColumn("ingest_batch", lit(batchId)), eager = true)
+      try {
+        novelT.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(indexDir)
+        quarT.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(quarantineDir)
+      } finally {
+        Graft.releaseTruncated(novelT)
+        Graft.releaseTruncated(quarT)
+      }
+    } finally {
+      b0.unpersist(false)
+      // minhashNearDups/Cross persist signature intermediates per batch;
+      // release them through the CacheManager (RDD-only unpersist leaks
+      // plan entries that tax every later batch's analysis)
+      s.catalog.clearCache()
+    }
+  }
+
+  private def existingIndex(s: SparkSession,
+      dir: String): Option[DataFrame] =
+    try {
+      val df = s.read.parquet(dir)
+      if (df.columns.contains("doc_id")) Some(df) else None
+    } catch {
+      // missing dir on the first batch / not-yet-written empty dir
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 }

@@ -345,4 +345,65 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"expected exactly-once output ${total + 5}, got ${out.count()}")
     assert(out.select("event_id").distinct().count() == total + 5)
   }
+
+  test("nearDupIngest: within-batch canonicals, cross-batch quarantine, idempotent replay") {
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("ndi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("ndi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("ndi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ndi_ckpt").toString
+    def doc(id: Long, text: String) = (id, text, "en", "crawl", text.length.toLong)
+    def stage(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ndi_stage")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // batch 0: docs 1/2 are near-dups of each other, doc 3 unique
+    stage("a.parquet", Seq(
+      doc(1L, base),
+      doc(2L, base.dropRight(3) + "zzz"),
+      doc(3L, (1 to 30).map(i => s"u$i").mkString(" "))))
+    val q = DocStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx1 == Set(1L, 3L), s"batch-0 index: $idx1")
+      // batch 1: doc 10 near-dups INDEXED doc 1; doc 11 is novel
+      stage("b.parquet", Seq(
+        doc(10L, base.dropRight(3) + "yyy"),
+        doc(11L, (1 to 30).map(i => s"v$i").mkString(" "))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("doc_id", "text", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet,
+      spark.read.parquet(quarDir)
+        .select("doc_id", "matched_id", "reason", "ingest_batch")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(1L, 3L, 11L), s"final index: $idx")
+    assert(quar.map(t => (t._1, t._2, t._3)) == Set(
+      (2L, 1L, "within_batch"), (10L, 1L, "index_near_dup")), s"quarantine: $quar")
+    val j = spark.read.parquet(quarDir)
+      .filter(col("doc_id") === 10L).select("jaccard").as[Double].collect()(0)
+    assert(j >= 0.5, s"cross-batch match jaccard $j")
+    // REPLAY batch 1 (foreachBatch is at-least-once): dynamic partition
+    // overwrite + own-partition exclusion must leave both sinks unchanged
+    val replayIn = DocStream.cleanFeedBatch(
+      spark.read.schema(DocStream.storedSchema)
+        .parquet(feed.resolve("b.parquet").toString))
+    // file b's micro-batch id = the partition doc 11 landed in (the
+    // stream may interleave empty batches, so it isn't always 1)
+    val bBatch = idx.collectFirst { case (11L, _, p) => p.toLong }.get
+    DocStream.ingestBatch(replayIn, bBatch, indexDir, quarDir, threshold = 0.5)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
 }
