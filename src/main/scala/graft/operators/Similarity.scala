@@ -162,8 +162,17 @@ object Similarity {
     * turns each assignment into a broadcast of literals instead of a
     * recomputed subplan.
     */
+  /** `trainCap` bounds every Lloyd TRAINING pass to the rows with
+    * `id < trainCap` (the FAISS practice: quantizer quality saturates at
+    * a bounded training sample long before corpus size, so training is
+    * O(trainCap·nCells·iterations) at ANY corpus scale — 100 TB included
+    * — while assignment, the caller's job, still covers everything).
+    * Deterministic and oracle-mirrorable (`WHERE id < cap`); assumes
+    * ids dense from 0 — pass Int.MaxValue to train on the full corpus.
+    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iterations: Int = 2, seedOffset: Int = 0): DataFrame = {
+      nCells: Int, iterations: Int = 2, seedOffset: Int = 0,
+      trainCap: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
     // every Lloyd iteration re-reads the corpus for its assignment pass —
     // cache the (id, vec) projection once instead of rebuilding the scan
@@ -183,9 +192,10 @@ object Similarity {
     val meanCols = (1 to dim).map(i =>
       (sum(element_at(col("vec"), i).cast("double").cast("decimal(30,12)"))
         .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
+    val train = c.filter(col("id") < trainCap)
     var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
     for (_ <- 1 to iterations) {
-      val assigned = assignToCells(c, "id", "vec", centroids, keep = 1)
+      val assigned = assignToCells(train, "id", "vec", centroids, keep = 1)
       val means = assigned.groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .select(col("cell"),
           array((1 to dim).map(i => col(s"_m$i")): _*).as("centroid"))
@@ -204,11 +214,13 @@ object Similarity {
     * bounded algorithm state (nCells·dim floats), not data.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, kmeansIterations: Int = 0): DataFrame = {
+      nCells: Int, kmeansIterations: Int = 0,
+      trainCap: Int = 2048): DataFrame = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     if (kmeansIterations > 0)
-      kmeansCentroids(c, "id", "vec", nCells, kmeansIterations)
+      kmeansCentroids(c, "id", "vec", nCells, kmeansIterations,
+        trainCap = trainCap)
     else lowestIdCentroids(c, "id", "vec", nCells)
   }
 
@@ -549,9 +561,14 @@ object Similarity {
     * start every codeword identical and collapse the codebook to one
     * effective code.
     */
+  /** `trainCap`: like [[kmeansCentroids]], Lloyd refinement reads only
+    * the `id < trainCap` training slice — codebook training cost is
+    * bounded at any corpus scale; the caller's encode pass still covers
+    * every vector.
+    */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, nCodes: Int = 16, iterations: Int = 1,
-      seedOffset: Int = 0): DataFrame = {
+      seedOffset: Int = 0, trainCap: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dim = c.select(size(col("vec"))).head.getInt(0)
@@ -568,8 +585,9 @@ object Similarity {
       (sum(element_at(col("sv"), i).cast("double").cast("decimal(30,12)"))
         .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
     import scala.jdk.CollectionConverters._
+    val svt = sv.filter(col("id") < trainCap)
     for (_ <- 1 to iterations) {
-      val means = assignToCodes(sv, cb).join(sv, Seq("id", "s"))
+      val means = assignToCodes(svt, cb).join(svt, Seq("id", "s"))
         .groupBy("s", "code").agg(meanCols.head, meanCols.tail: _*)
         .select(col("s"), col("code"),
           array((1 to sub).map(i => col(s"_m$i")): _*).as("cw"))
@@ -620,13 +638,15 @@ object Similarity {
 
   /** Train codebooks and encode `corpus` — the ingest-time half of PQ. */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): PqIndex = {
+      m: Int = 8, nCodes: Int = 16, iterations: Int = 1,
+      trainCap: Int = 2048): PqIndex = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dim = c.select(size(col("vec"))).head.getInt(0)
     val sub = dim / m
-    val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations)
+    val cb = pqCodebooks(c, "id", "vec", m, nCodes, iterations,
+      trainCap = trainCap)
     val codes = assignToCodes(subVectors(c, "id", "vec", m, sub), cb)
     PqIndex(c, cb, codes, m, sub)
   }
@@ -715,7 +735,8 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
-      iterations: Int = 1, coarseKmeansIterations: Int = 0): IvfPqIndex = {
+      iterations: Int = 1, coarseKmeansIterations: Int = 0,
+      trainCap: Int = 2048): IvfPqIndex = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -728,7 +749,8 @@ object Similarity {
     // near-random data roughly DOUBLES it
     val cents =
       if (coarseKmeansIterations > 0)
-        kmeansCentroids(c, "id", "vec", nCells, coarseKmeansIterations)
+        kmeansCentroids(c, "id", "vec", nCells, coarseKmeansIterations,
+          trainCap = trainCap)
       else lowestIdCentroids(c, "id", "vec", nCells)
     // residuals: vec − centroid(cell), exact double differences of
     // floats — engine-replicable elementwise arithmetic
@@ -739,7 +761,7 @@ object Similarity {
           (x, y) => x.cast("double") - y.cast("double")).as("rvec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cb = pqCodebooks(res, "id", "rvec", m, nCodes, iterations,
-      seedOffset = nCells)
+      seedOffset = nCells, trainCap = trainCap)
     val codes = graft.Graft.truncate(
       assignToCodes(subVectors(res, "id", "rvec", m, sub), cb)
         .join(res.select(col("id"), col("cell")), Seq("id")),

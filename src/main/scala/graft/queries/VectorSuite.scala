@@ -29,6 +29,17 @@ object VectorSuite {
     */
   private final val PqCodes = 64
 
+  /** Bounded quantizer-training sample (the FAISS practice): every Lloyd
+    * pass — coarse k-means and PQ codebooks — trains on the `vec_id <
+    * TrainCap` slice only, so training cost is corpus-size-independent.
+    * ONE constant feeding both the Spark operators and the SQL mirrors
+    * (at every tested SF the corpus fits under the cap, so the mirrors
+    * stay value-identical with or without it — the filter is mirrored
+    * anyway so the oracle replicates the ENGINE, not just its output
+    * here). Encoding/assignment always covers the full corpus.
+    */
+  private final val TrainCap = 2048
+
   /** Per-(session, dir) memo of the PQ index (m=8, nCodes=[[PqCodes]],
     * one Lloyd iteration over the embeddings corpus) shared by v11/v13 — the
     * at-rest train-once/encode-once state every PQ query in production
@@ -45,7 +56,8 @@ object VectorSuite {
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "pq-index") {
         val idx = Similarity.pqIndex(table(s, dir, "embeddings"),
-          "vec_id", "embedding", m = 8, nCodes = PqCodes, iterations = 1)
+          "vec_id", "embedding", m = 8, nCodes = PqCodes, iterations = 1,
+          trainCap = TrainCap)
         val t = idx.copy(
           codes = Graft.truncate(idx.codes, eager = true),
           corpus = Graft.truncate(idx.corpus, eager = true))
@@ -71,7 +83,8 @@ object VectorSuite {
     def kmeans16(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivf-kmeans16") {
         Similarity.ivfCentroids(table(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16, kmeansIterations = 2)
+          "vec_id", "embedding", nCells = 16, kmeansIterations = 2,
+          trainCap = TrainCap)
       }(_ => ())
   }
 
@@ -134,7 +147,7 @@ object VectorSuite {
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index") {
         Similarity.ivfPqIndex(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16, m = 8, nCodes = PqCodes,
-          iterations = 1, coarseKmeansIterations = 2)
+          iterations = 1, coarseKmeansIterations = 2, trainCap = TrainCap)
       }(t => Graft.releaseTruncated(t.codes))
   }
 
@@ -407,18 +420,19 @@ object VectorSuite {
       Some {
         val means = (1 to 64).map(i =>
           s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def assign(cents: String, keep: Int) =
+        def assign(cents: String, keep: Int, src: String = "embeddings") =
           s"""SELECT vec_id, vec, cell FROM (
           |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
           |      PARTITION BY e.vec_id
           |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-          |    FROM embeddings e CROSS JOIN $cents c) WHERE rk <= $keep"""
+          |    FROM $src e CROSS JOIN $cents c) WHERE rk <= $keep"""
         s"""WITH seed AS (
         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
         |  ORDER BY vec_id ASC LIMIT 16),
-        |a1 AS (${assign("seed", 1)}),
+        |train AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
+        |a1 AS (${assign("seed", 1, "train")}),
         |c1 AS (SELECT cell, [$means] AS centroid FROM a1 GROUP BY cell),
-        |a2 AS (${assign("c1", 1)}),
+        |a2 AS (${assign("c1", 1, "train")}),
         |c2 AS (SELECT cell, [$means] AS centroid FROM a2 GROUP BY cell),
         |assigned AS (${assign("c2", 1)}),
         |probes AS (
@@ -565,24 +579,25 @@ object VectorSuite {
           s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
         val kMeans64 = (1 to 64).map(i =>
           s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def kAssign(cents: String) =
+        def kAssign(cents: String, src: String = "embeddings") =
           s"""SELECT vec_id, vec, cell FROM (
           |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
           |      PARTITION BY e.vec_id
           |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-          |    FROM embeddings e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
-        def assign(cbName: String) =
+          |    FROM $src e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
+        def assign(cbName: String, src: String = "sv") =
           s"""SELECT id, s, code FROM (
           |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
           |      PARTITION BY sv.id, sv.s
           |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
-          |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
+          |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
         s"""WITH kseed AS (
         |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
         |  ORDER BY vec_id ASC LIMIT 16),
-        |ka1 AS (${kAssign("kseed")}),
+        |ktrain AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
+        |ka1 AS (${kAssign("kseed", "ktrain")}),
         |kc1 AS (SELECT cell, [$kMeans64] AS centroid FROM ka1 GROUP BY cell),
-        |ka2 AS (${kAssign("kc1")}),
+        |ka2 AS (${kAssign("kc1", "ktrain")}),
         |cent AS (SELECT cell, [$kMeans64] AS centroid FROM ka2 GROUP BY cell),
         |cells AS (
         |  SELECT id, vec, cell FROM (
@@ -601,13 +616,14 @@ object VectorSuite {
         |  FROM res CROSS JOIN ss),
         |seeds AS (
         |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes OFFSET 16),
+        |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
         |cb0 AS (
         |  SELECT s, sv.id AS code, sv.sv AS cw
         |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
-        |a1 AS (${assign("cb0")}),
+        |a1 AS (${assign("cb0", "svt")}),
         |cb1 AS (
         |  SELECT s, code, [$means] AS cw
-        |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+        |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
         |codes AS (${assign("cb1")}),
         |probes AS (
         |  SELECT qid, cell FROM (
@@ -839,12 +855,12 @@ object VectorSuite {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
-  private def sqlPqAssign(cbName: String): String =
+  private def sqlPqAssign(cbName: String, src: String = "sv"): String =
     s"""SELECT id, s, code FROM (
     |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
     |      PARTITION BY sv.id, sv.s
     |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
-    |    FROM sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
+    |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
 
   /** The PQ trunk: subvectors, lowest-id seed codebooks, one
     * DECIMAL-mean Lloyd refinement, corpus codes, and the per-query
@@ -857,15 +873,16 @@ object VectorSuite {
     |sv AS (
     |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM embeddings CROSS JOIN ss),
+    |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
     |seeds AS (
     |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes),
     |cb0 AS (
     |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
     |  FROM seeds CROSS JOIN ss),
-    |a1 AS (${sqlPqAssign("cb0")}),
+    |a1 AS (${sqlPqAssign("cb0", "svt")}),
     |cb1 AS (
     |  SELECT s, code, [$means] AS cw
-    |  FROM a1 JOIN sv USING (id, s) GROUP BY s, code),
+    |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
     |codes AS (${sqlPqAssign("cb1")}),
     |dtab AS (
     |  SELECT q.id AS qid, cb.s, cb.code,

@@ -46,8 +46,11 @@ class PlanGuardSpec extends SparkSpec {
   //   v14 — MMR's retrieval stage is the same v2 shape (query side
   //     filtered to vec_id < 3); everything downstream is per-query
   //     bounded (topM candidates, topM² pairs)
+  //   v16 — filtered ANN is the v2 shape again (5 broadcast queries);
+  //     the label predicate further prunes the scored side
   private val boundedBySemantics =
-    Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank")
+    Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank",
+      "v16_filtered_ann_topk")
 
   /** Flatten across the wrappers AQE puts between logical operators. */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
