@@ -312,9 +312,11 @@ object Similarity {
     * [[cosineNearDupsIvf]] so no corpus product ever materializes.
     *
     * Candidates are the per-(table, cell) self-join — O(n²·nProbe²·
-    * tables/nCells), never O(n²) — deduped on (qid, nid), scored with
-    * the exact-decimal cosine, and ranked per qid by a window that
-    * only ever sees that row's bounded candidate list. Approximate by
+    * tables/nCells), never O(n²) — deduped on (qid, nid) as THIN id
+    * pairs, ranked per qid on the codegen'd double cosine by a window
+    * that only ever sees that row's bounded candidate list, with the
+    * exact-decimal cosine re-scoring only the ≤ topK survivors.
+    * Approximate by
     * construction: a true neighbor sharing no probed cell is missed
     * (recall grows as 1-(1-p)^tables like the near-dup path); rows
     * whose candidate lists run short return fewer than k edges.
@@ -333,17 +335,32 @@ object Similarity {
     }
     val l = assigned.as("l")
     val r = assigned.as("r")
+    // THIN pairs through dedup + ranking: candidates dedupe on the two
+    // ids alone (16 B/row — the multi-table assignment would otherwise
+    // drag two 64-float vectors through the distinct's shuffle), the
+    // ranking decision runs on the codegen'd double cosine (the same
+    // double-decides/exact-reports split every assignment path uses —
+    // in-row folds are order-deterministic on both engines), and only
+    // the ≤ topK survivors per row pay the exact-decimal re-score.
     val cands = l.join(r, col("l.table") === col("r.table") &&
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("qid"), col("r.id").as("nid"),
-        col("l.vec").as("qv"), col("r.vec").as("nv"))
+      .select(col("l.id").as("qid"), col("r.id").as("nid"))
       .distinct()
-    val scored = cands.select(col("qid"), col("nid"),
-      Vectors.cosine(col("qv"), col("nv")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w).cast("int"))
+    val corp = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val scored = cands
+      .join(corp.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .join(corp.select(col("id").as("nid"), col("vec").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Vectors.cosineFast(col("qv"), col("nv")).as("simd"))
+    val w = Window.partitionBy("qid").orderBy(col("simd").desc, col("nid").asc)
+    val ranked = scored.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= topK)
-      .select("qid", "nid", "sim", "rn")
+      .select("qid", "nid", "rn")
+    ranked
+      .join(corp.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .join(corp.select(col("id").as("nid"), col("vec").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("nv")).as("sim"), col("rn"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs above `threshold`

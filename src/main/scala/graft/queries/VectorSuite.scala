@@ -796,16 +796,25 @@ object VectorSuite {
         |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
         |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 2),
         |cands AS (
-        |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid,
-        |    l.vec AS qv, r.vec AS nv
+        |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
         |  FROM assigned l JOIN assigned r
         |    ON l.tbl = r.tbl AND l.cell = r.cell AND l.vec_id <> r.vec_id),
-        |scored AS (SELECT qid, nid, ${sqlCos("qv", "nv")} AS sim FROM cands),
+        |scored AS (
+        |  SELECT c.qid, c.nid,
+        |    ${sqlCosD("q.embedding", "n.embedding")} AS simd
+        |  FROM cands c
+        |  JOIN embeddings q ON q.vec_id = c.qid
+        |  JOIN embeddings n ON n.vec_id = c.nid),
         |rankedk AS (
-        |  SELECT qid, nid, sim, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY simd DESC, nid ASC) AS rn
         |  FROM scored)
-        |SELECT qid, nid, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
+        |SELECT k.qid, k.nid, ${sqlCos("q.embedding", "n.embedding")} AS sim,
+        |  CAST(k.rn AS INT) AS rn
+        |FROM rankedk k
+        |JOIN embeddings q ON q.vec_id = k.qid
+        |JOIN embeddings n ON n.vec_id = k.nid
+        |WHERE k.rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "kNN graph for every corpus row: IVF-blocked candidates, exact " +
         "re-score, per-row bounded ranking window"),

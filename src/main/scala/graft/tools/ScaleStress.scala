@@ -97,6 +97,17 @@ object ScaleStress {
             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
           .count()
       }
+      // x36/x37 shape: duplicate-span extraction is one (md5, id, pos)
+      // row per token + a combinable count-distinct per fingerprint +
+      // per-document merge windows. Disjoint copy token spaces keep
+      // each copy's span structure intact, so span counts are exactly
+      // linear in m and wall-clock must track them — superlinear drift
+      // here would mean the fingerprint groupBy or the islands window
+      // stopped combining map-side.
+      t(s"dup_spans m=$m")(
+        Dedup.dupSpans(docs, "doc_id", "text", width = 8).count())
+      t(s"dedup_spans_keep_first m=$m")(
+        Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8).count())
       spark.catalog.clearCache()
     }
 
