@@ -323,6 +323,13 @@ object Similarity {
     *
     * `prebuiltAssigned` — the [[multiQuantizerCells]] session memo —
     * makes this a pure read of the at-rest inverted-list index.
+    *
+    * SCALE CONTRACT: `nCells` must grow with the corpus (the IVF rule —
+    * callers pin cell SIZE ≈ n·nProbe/nCells, not cell count). A kNN
+    * graph ranks every candidate pair, so with fixed cells the
+    * per-cell product grows quadratically in n (measured 3.6 s → 451 s
+    * for a 10× corpus at nCells=32); with cells ∝ n the candidate
+    * volume is linear. The declared v15 derives nCells from count().
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, topK: Int,
       nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,

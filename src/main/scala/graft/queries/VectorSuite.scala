@@ -121,15 +121,21 @@ object VectorSuite {
           "vec_id", "embedding", nCells = 16,
           centroids = Some(IvfShared.kmeans16(s, dir))))
     def multi32x4(s: SparkSession, dir: String): DataFrame =
+      multiDyn(s, dir, 32)
+    /** The same 4-table nProbe-2 blocking assignment at any cell count —
+      * one memo entry per (session, dir, nCells), so v15's corpus-scaled
+      * nCells (≠ 32 past ~2k vectors) warms across executions too.
+      */
+    def multiDyn(s: SparkSession, dir: String, nCells: Int): DataFrame =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
-          "ivf-cells32x4-probe2") {
+          s"ivf-cells${nCells}x4-probe2") {
         // the 4 assignment branches each read the corpus — persist it
         // for the one eager build, drop the transient cache after
         val emb = table(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val t = Graft.truncate(
           Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
-            nCells = 32, nProbe = 2, tables = 4),
+            nCells = nCells, nProbe = 2, tables = 4),
           eager = true)
         emb.unpersist(false)
         t
@@ -771,24 +777,36 @@ object VectorSuite {
     // --- k-NN graph over the whole corpus ------------------------------
     // The all-rows batch form of ANN (the substrate for graph
     // clustering / label propagation / kNN-classifier curation): every
-    // row's 5 nearest neighbors, candidates blocked by the SAME 4-table
-    // nProbe-2 IVF assignment v7 pairs over (one more consumer of the
-    // CellsShared.multi32x4 session memo — zero extra index builds).
-    // The oracle rebuilds the identical quantizers, multi-assignments,
-    // per-cell candidate sets, exact-decimal scores, and ranking.
+    // row's 5 nearest neighbors, candidates blocked by the v7-style
+    // 4-table nProbe-2 IVF assignment. nCells SCALES WITH THE CORPUS
+    // (max(32, ceil(n/64)) — cell size pinned at ~n·nProbe/nCells ≈ 128
+    // members), because a kNN graph ranks EVERY candidate pair: with
+    // fixed cells the per-cell product grows quadratically (measured:
+    // 3.6 s at sf0.1 → 451 s at sf1 with nCells pinned at 32; linear
+    // again once cells scale). At the tested SFs the formula lands on
+    // exactly 32, so the CellsShared.multi32x4 memo is reused there
+    // (zero extra index builds) and the oracle — which computes the
+    // same cell count from COUNT(*) — is value-identical.
     "v15_knn_graph" -> Q(
-      (s, dir) =>
-        Similarity.knnGraph(table(s, dir, "embeddings"), "vec_id",
-            "embedding", topK = 5, nCells = 32, nProbe = 2, tables = 4,
-            prebuiltAssigned = Some(CellsShared.multi32x4(s, dir)))
-          .orderBy("qid", "rn"),
-      Some(s"""WITH ranked AS (
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val nc = math.max(32L,
+          math.ceil(emb.count() / 64.0).toLong).toInt
+        Similarity.knnGraph(emb, "vec_id",
+            "embedding", topK = 5, nCells = nc, nProbe = 2, tables = 4,
+            prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ranked AS (
         |  SELECT vec_id AS cell, embedding AS centroid,
         |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
         |  FROM embeddings),
         |cent AS (
-        |  SELECT CAST(rk // 32 AS BIGINT) AS tbl, cell, centroid
-        |  FROM ranked WHERE rk < 128),
+        |  SELECT CAST(rk // (SELECT v FROM nc) AS BIGINT) AS tbl, cell, centroid
+        |  FROM ranked WHERE rk < 4 * (SELECT v FROM nc)),
         |assigned AS (
         |  SELECT vec_id, vec, tbl, cell FROM (
         |    SELECT e.vec_id, e.embedding AS vec, c.tbl, c.cell, row_number() OVER (
