@@ -106,8 +106,12 @@ object ScaleStress {
       // stopped combining map-side.
       t(s"dup_spans m=$m")(
         Dedup.dupSpans(docs, "doc_id", "text", width = 8).count())
+      // NOT count(): the final left join's right side is an aggregate
+      // keyed by id, so Catalyst proves it non-expanding and ELIMINATES
+      // it for a bare count — sum(n_removed) forces the real pipeline
       t(s"dedup_spans_keep_first m=$m")(
-        Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8).count())
+        Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8)
+          .agg(sum(col("n_removed"))).head.getLong(0))
       spark.catalog.clearCache()
     }
 
