@@ -194,7 +194,8 @@ object VectorSuite {
   val memoShared: Set[String] = Set(
     "v5_cosine_neardups", "v6_ivf_ann_topk", "v7_cosine_neardups_ivf",
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
-    "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph")
+    "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
+    "v17_ann_recall_audit")
 
   val queries: Map[String, Q] = Map(
 
@@ -865,7 +866,81 @@ object VectorSuite {
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "Attribute-filtered ANN: predicate pushed to the scan before " +
-        "scoring — cost proportional to the qualifying slice")
+        "scoring — cost proportional to the qualifying slice"),
+
+    // --- ANN recall audit (the x35 pattern for vectors) ----------------
+    // The measurement that decides whether an index's recall is good
+    // enough to skip exact search, AS a first-class declared query:
+    // IVF top-5 (v6's exact configuration, shared seed16 cells memo)
+    // scored against the brute-force exact top-5 over 20 query rows.
+    // Per-query n_hit/recall — both pipelines are existing mirrors, so
+    // the oracle composes them and replays the same semi-join count.
+    "v17_ann_recall_audit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+            "embedding", topK = 5).select("qid", "vec_id")
+        val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+            topK = 5, nCells = 16, nProbe = 3, exact = true,
+            prebuiltCells = Some(CellsShared.seed16(s, dir)))
+          .select("qid", "vec_id")
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        q.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit(5L).as("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |  WHERE vec_id < 20),
+        |bscored AS (
+        |  SELECT q.qid, e.vec_id, ${sqlCos("q.qvec", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE q.qid <> e.vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM bscored) WHERE rn <= 5),
+        |cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cvec, cell FROM (
+        |    SELECT e.vec_id, e.embedding AS cvec, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
+        |      PARTITION BY qq.vec_id
+        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 20) WHERE rk <= 3),
+        |iscored AS (
+        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM iscored) WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.qid, COUNT(*) AS n_hit
+        |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid)
+        |SELECT q.qid, CAST(5 AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM q LEFT JOIN hits h ON h.qid = q.qid
+        |ORDER BY q.qid""".stripMargin),
+      "ANN recall audit as a declared query: IVF top-5 vs the exact " +
+        "top-5 per query — the measurement that licenses skipping " +
+        "exact search")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------

@@ -48,9 +48,11 @@ class PlanGuardSpec extends SparkSpec {
   //     bounded (topM candidates, topM² pairs)
   //   v16 — filtered ANN is the v2 shape again (5 broadcast queries);
   //     the label predicate further prunes the scored side
+  //   v17 — the recall audit's exact arm is the v2 shape over 20
+  //     broadcast queries; the IVF arm is cell-blocked
   private val boundedBySemantics =
     Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank",
-      "v16_filtered_ann_topk")
+      "v16_filtered_ann_topk", "v17_ann_recall_audit")
 
   /** Flatten across the wrappers AQE puts between logical operators. */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
