@@ -259,6 +259,62 @@ object EventSuite {
       },
       "Document-feed ingest twin: DocStream enrichment (fingerprint, " +
         "tokens, quality, event time) + earliest-arrival exact dedup, " +
-        "per-language rollup")
+        "per-language rollup"),
+
+    // --- ordered funnel (view → click → purchase) ----------------------
+    // Classic sequential-funnel analytics with STRICT ordering: per
+    // user, the first view, then the first click strictly after it,
+    // then the first purchase strictly after that — three min-
+    // aggregations chained by time predicates (each is a partial-
+    // aggregating groupBy + same-key join, so the whole funnel shuffles
+    // on user_id once per stage and nothing is quadratic). stage =
+    // 1..3 is how far the user got.
+    "e10_funnel" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select("user_id", "event_type", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .join(views, "user_id")
+          .filter(col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .join(clicks, "user_id")
+          .filter(col("ts") > col("click_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+        views
+          .join(clicks.select("user_id", "click_ts"), Seq("user_id"), "left")
+          .join(buys.select("user_id", "purchase_ts"), Seq("user_id"), "left")
+          .select(col("user_id"), col("view_ts"), col("click_ts"),
+            col("purchase_ts"),
+            (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+              + when(col("purchase_ts").isNotNull, 1).otherwise(0))
+              .cast("int").as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS INT)
+        |    AS stage
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin),
+      "Strict-order funnel view→click→purchase: chained first-match " +
+        "min-aggregations, per-stage user_id shuffles only")
   )
 }
