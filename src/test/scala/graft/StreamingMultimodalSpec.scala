@@ -405,5 +405,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     val bBatch = idx.collectFirst { case (11L, _, p) => p.toLong }.get
     DocStream.ingestBatch(replayIn, bBatch, indexDir, quarDir, threshold = 0.5)
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+    // same replay under RELIABLE checkpointing (the preemptible-cluster
+    // conf): the ingest's pre-write materialization must route through
+    // checkpoint() and still leave both sinks unchanged
+    val ckDir = java.nio.file.Files.createTempDirectory("ndi_reliable").toString
+    spark.conf.set("graft.checkpoint.dir", ckDir)
+    try {
+      DocStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+        threshold = 0.5)
+      assert(snapshot() == ((idx, quar)),
+        "reliable-checkpoint replay changed the sinks")
+      assert(new java.io.File(ckDir).listFiles != null &&
+        new java.io.File(ckDir).listFiles.nonEmpty,
+        "reliable mode must write checkpoint files under the conf dir")
+    } finally spark.conf.unset("graft.checkpoint.dir")
   }
 }
