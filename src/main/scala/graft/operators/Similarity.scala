@@ -330,6 +330,14 @@ object Similarity {
     * per-cell product grows quadratically in n (measured 3.6 s → 451 s
     * for a 10× corpus at nCells=32); with cells ∝ n the candidate
     * volume is linear. The declared v15 derives nCells from count().
+    * The remaining super-linear term is the FLAT corpus×centroid
+    * assignment itself — O(n·nCells) = O(n²/cellSize) once cells scale.
+    * The standard production fix is hierarchical (two-level) coarse
+    * quantization — assign to √nCells super-cells, then within — which
+    * cuts assignment to O(n·√nCells) and slots into
+    * [[multiQuantizerCells]] without changing the pair-generation
+    * dataflow; at the bench scales the flat form is the measured-cheaper
+    * choice and keeps the oracle mirror exact.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, topK: Int,
       nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,
