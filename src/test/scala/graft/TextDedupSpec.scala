@@ -612,6 +612,35 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
   }
 
+  test("span ops on the real corpus: disjoint maximal spans, removal arithmetic") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", width = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "the synthetic corpus plants shared runs")
+    spans.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, b, e, n) =>
+        assert(e >= b && n == e - b + 1 && n >= 8) }
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._2 > w(0)._3 + 1,
+          "adjacent/overlapping spans must have merged")
+      }
+    }
+    val rem = Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8)
+      .select(col("n_tokens"), col("n_removed"),
+        size(split(col("cleaned"), " ")).as("nc"),
+        length(col("cleaned")).as("len"))
+      .collect()
+    assert(rem.exists(_.getLong(1) > 0), "some occurrences must be stripped")
+    rem.foreach { r =>
+      val (nt, nr) = (r.getLong(0), r.getLong(1))
+      assert(nr <= nt)
+      val actual = if (r.getInt(3) == 0) 0L else r.getInt(2).toLong
+      assert(actual == nt - nr,
+        s"cleaned token count $actual != n_tokens($nt) - n_removed($nr)")
+    }
+  }
+
   test("knnGraph: every row gets neighbors; nearest is brute-force-correct for most") {
     val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 3,
