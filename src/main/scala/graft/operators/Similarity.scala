@@ -137,12 +137,18 @@ object Similarity {
       joined.groupBy(col(id)).agg(max_by(payload, ord).as("__p"))
         .select(col(id) +: (carry :+ "cell").map(c => col(s"__p.$c").as(c)): _*)
     } else {
+      // the rank window must not sort the vector payload: ranked on the
+      // THIN (id, cell, sim) projection — ~24 B/row instead of the
+      // ~260 B assignment row (measured 29 s → ~8 s for the sf1 313-cell
+      // 4-table build) — then one same-key join re-attaches the payload
+      // to the keep·n survivors.
       val w = Window.partitionBy(col(id))
         .orderBy(col("__csim").desc, col("cell").asc)
-      joined
+      val kept = joined.select(col(id), col("cell"), col("__csim"))
         .withColumn("__rank", row_number().over(w))
         .filter(col("__rank") <= keep)
-        .drop("__csim", "__rank", "centroid")
+        .select(col(id), col("cell"))
+      df.join(kept, Seq(id))
     }
   }
 
@@ -350,25 +356,23 @@ object Similarity {
     }
     val l = assigned.as("l")
     val r = assigned.as("r")
-    // THIN pairs through dedup + ranking: candidates dedupe on the two
-    // ids alone (16 B/row — the multi-table assignment would otherwise
-    // drag two 64-float vectors through the distinct's shuffle), the
-    // ranking decision runs on the codegen'd double cosine (the same
-    // double-decides/exact-reports split every assignment path uses —
-    // in-row folds are order-deterministic on both engines), and only
-    // the ≤ topK survivors per row pay the exact-decimal re-score.
+    // Score INSIDE the cell join, where both vectors are already
+    // co-located — the join shuffles only the n·nProbe·tables assignment
+    // rows, never a per-pair vector payload — then dedup the multi-table
+    // duplicates as a thin (qid, nid, simd) aggregate (min of identical
+    // values — deterministic). The ranking decision runs on the
+    // codegen'd double cosine (the same double-decides/exact-reports
+    // split every assignment path uses — in-row folds are
+    // order-deterministic on both engines); only the ≤ topK survivors
+    // per row re-attach vectors for the exact-decimal re-score.
     val cands = l.join(r, col("l.table") === col("r.table") &&
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("qid"), col("r.id").as("nid"))
-      .distinct()
+      .select(col("l.id").as("qid"), col("r.id").as("nid"),
+        Vectors.cosineFast(col("l.vec"), col("r.vec")).as("simd"))
+      .groupBy("qid", "nid").agg(min(col("simd")).as("simd"))
     val corp = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val scored = cands
-      .join(corp.select(col("id").as("qid"), col("vec").as("qv")), "qid")
-      .join(corp.select(col("id").as("nid"), col("vec").as("nv")), "nid")
-      .select(col("qid"), col("nid"),
-        Vectors.cosineFast(col("qv"), col("nv")).as("simd"))
     val w = Window.partitionBy("qid").orderBy(col("simd").desc, col("nid").asc)
-    val ranked = scored.withColumn("rn", row_number().over(w).cast("int"))
+    val ranked = cands.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= topK)
       .select("qid", "nid", "rn")
     ranked
@@ -444,6 +448,13 @@ object Similarity {
     }
     val l = assigned.as("l")
     val r = assigned.as("r")
+    // NOTE the shape difference vs knnGraph: here the fat distinct
+    // (vectors in the dedup key) is the measured-faster form, because
+    // the multi-table duplicate factor is high at these parameters —
+    // deduping FIRST means the cosine runs once per unique pair
+    // (score-in-join ran it per duplicate: measured 6.5 s → 39 s at sf1
+    // when tried). knnGraph's parameters (cells ∝ n) have a low dup
+    // factor and the opposite trade-off.
     l.join(r, col("l.table") === col("r.table") &&
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
