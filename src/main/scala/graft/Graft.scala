@@ -97,6 +97,62 @@ object Graft {
     if (estBytes < BigInt(perPartition) * target) df.repartition(target) else df
   }
 
+  /** Scoped release of operator-INTERNAL transient persists.
+    *
+    * Operators like `Dedup.minhashNearDups` persist intermediates
+    * (shingle-hash sets, signatures) that only live for the duration of
+    * one logical computation. A caller that runs such operators
+    * repeatedly in a long-lived session (the DocStream micro-batch loop)
+    * must release exactly those intermediates afterwards — a session-wide
+    * `catalog.clearCache()` would also evict caches and memo state owned
+    * by OTHER streams/queries sharing the session.
+    *
+    * `cacheScope { body }` collects every [[trackedPersist]] the current
+    * thread performs inside `body` and unpersists them (through the
+    * CacheManager — `Dataset.unpersist`, so no stale plan entries tax
+    * later analysis) when the scope exits. The caller is responsible for
+    * materializing its results (eager truncate / write) BEFORE the scope
+    * closes. Scopes are thread-local: concurrent streams each release
+    * only their own intermediates. Outside any scope, [[trackedPersist]]
+    * is a plain `persist` — batch callers keep today's semantics.
+    */
+  def cacheScope[T](body: => T): T = {
+    val prev = cacheScopeTL.get()
+    val coll = new java.util.ArrayList[DataFrame]()
+    cacheScopeTL.set(coll)
+    try body
+    finally {
+      cacheScopeTL.set(prev)
+      coll.forEach { df =>
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** Persist `df`, registering it with the innermost active
+    * [[cacheScope]] on this thread (plain persist when none is active).
+    */
+  def trackedPersist(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    val coll = cacheScopeTL.get()
+    if (coll != null) coll.add(p)
+    p
+  }
+
+  private val cacheScopeTL = new ThreadLocal[java.util.ArrayList[DataFrame]]()
+
+  /** Run `body` with any active [[cacheScope]] suspended — used by
+    * SessionMemo so a memoized build triggered inside someone else's
+    * scope doesn't get its long-lived state released at scope exit.
+    */
+  def withoutCacheScope[T](body: => T): T = {
+    val prev = cacheScopeTL.get()
+    cacheScopeTL.set(null)
+    try body finally cacheScopeTL.set(prev)
+  }
+
   /** Truncate a DataFrame's lineage — the iterative-algorithm /
     * session-memo primitive (dupClusters rounds, MMR rounds, the shared
     * dedup/PQ memos).

@@ -60,11 +60,68 @@ object SessionMemo {
     org.apache.spark.sql.GraftColumnBridge.sessionKey(s)
 
   /** Cheap change-detection fingerprint of a data directory (or file):
-    * regular-file count, total bytes, max mtime. Walks the local
-    * filesystem — the testdata/bench layout; on a cluster the same role
-    * is played by a snapshot/commit id in the key.
+    * regular-file count, total bytes, max mtime. On a cluster the same
+    * role is played by a snapshot/commit id in the key.
+    *
+    * The recursive walk is NOT paid per lookup: its result is cached
+    * behind a SHALLOW signature — the path's own (mtime, size) plus each
+    * direct child's (name, mtime, size), one directory listing — and
+    * only re-walked when that signature changes. Any write layout Spark
+    * produces moves the shallow signature: flat tables change child file
+    * entries directly, and partitioned tables change a partition
+    * directory's own mtime when files inside it are created/replaced
+    * (POSIX bumps a directory's mtime on entry create/delete/rename).
+    * So a many-thousand-file table costs one O(direct-entries) listing
+    * per lookup instead of an O(files) stat storm.
     */
   def fingerprint(path: String): String = {
+    val sh = shallowSignature(path)
+    val cur = fpCache.get(path)
+    if (cur != null && cur._1 == sh) cur._2
+    else {
+      val fp = deepFingerprint(path)
+      fpCache.put(path, (sh, fp))
+      fp
+    }
+  }
+
+  private val fpCache = new ConcurrentHashMap[String, (String, String)]()
+
+  /** Deep-walk count — spec hook asserting lookups with unchanged data
+    * do not re-walk the tree.
+    */
+  @volatile var deepWalks: Long = 0L
+
+  private def shallowSignature(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val self = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (!java.nio.file.Files.isDirectory(p))
+        s"f:$self:${java.nio.file.Files.size(p)}"
+      else {
+        val sb = new StringBuilder(s"d:$self")
+        val stream = java.nio.file.Files.list(p)
+        try {
+          val it = stream.sorted().iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            val sz =
+              if (java.nio.file.Files.isRegularFile(f))
+                java.nio.file.Files.size(f)
+              else -1L
+            sb.append('|').append(f.getFileName.toString).append(':')
+              .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+              .append(':').append(sz)
+          }
+        } finally stream.close()
+        sb.toString()
+      }
+    }
+  }
+
+  private def deepFingerprint(path: String): String = {
+    deepWalks += 1
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) s"absent"
     else {
@@ -105,7 +162,10 @@ object SessionMemo {
       val ttl = math.max(1L,
         (try s.conf.get("graft.memo.ttlSeconds", "1800").toLong
          catch { case _: Throwable => 1800L }) * 1000L)
-      val v = compute
+      // memoized builds run OUTSIDE any active cacheScope: their persists
+      // are long-lived memo state owned by this lifecycle, and must not
+      // be drained when a scoped caller (a micro-batch loop) exits
+      val v = Graft.withoutCacheScope(compute)
       val e = new Entry(fp, new WeakReference(s), ttl, v, () => release(v))
       val prev = entries.putIfAbsent(k, e)
       if (prev == null) v

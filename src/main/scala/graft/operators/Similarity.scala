@@ -115,6 +115,21 @@ object Similarity {
     broadcast(c.orderBy(col(idName).asc).offset(offset).limit(nCells)
       .select(col(idName).as("cell"), col(vecName).as("centroid")))
 
+  /** The bounded Lloyd training slice (`id < trainCap`), guarded: if the
+    * corpus's id layout leaves the slice EMPTY (ids offset from 0,
+    * hashed, snowflake — anything not dense from 0), training falls back
+    * to the full frame rather than silently fitting nothing. The check
+    * is one `isEmpty` job per TRAINING call — training runs once per
+    * session behind the index memos, so the guard never sits on a
+    * per-query path. Declared queries keep ids dense from 0, so their
+    * oracle mirrors (`WHERE id < cap`) are unaffected.
+    */
+  private def trainSlice(c: DataFrame, idName: String,
+      trainCap: Int): DataFrame = {
+    val sliced = c.filter(col(idName) < trainCap)
+    if (sliced.isEmpty) c else sliced
+  }
+
   /** Assign each row to its `keep` nearest centroid cells (broadcast
     * cross join; ties broken on cell id).
     *
@@ -175,6 +190,12 @@ object Similarity {
     * — while assignment, the caller's job, still covers everything).
     * Deterministic and oracle-mirrorable (`WHERE id < cap`); assumes
     * ids dense from 0 — pass Int.MaxValue to train on the full corpus.
+    *
+    * GUARD (see [[trainSlice]]): an id layout that leaves the slice
+    * empty (offset/hashed/snowflake ids) falls back to the FULL corpus
+    * instead of silently training on nothing — an empty slice would
+    * otherwise produce empty centroids and therefore empty query
+    * results with no error anywhere.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iterations: Int = 2, seedOffset: Int = 0,
@@ -198,7 +219,7 @@ object Similarity {
     val meanCols = (1 to dim).map(i =>
       (sum(element_at(col("vec"), i).cast("double").cast("decimal(30,12)"))
         .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
-    val train = c.filter(col("id") < trainCap)
+    val train = trainSlice(c, "id", trainCap)
     var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
     for (_ <- 1 to iterations) {
       val assigned = assignToCells(train, "id", "vec", centroids, keep = 1)
@@ -348,12 +369,23 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, topK: Int,
       nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,
       prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
-    val assigned = prebuiltAssigned.getOrElse {
-      val c = graft.Graft.ensureParallelism(df)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      multiQuantizerCells(c, "id", "vec", nCells, nProbe, tables)
-    }
+    // Self-build path: the (id, vec) projection is persisted only for
+    // the duration of THIS call — the result is materialized eagerly
+    // (lineage-truncated; O(n·topK) thin edge rows) and the transient
+    // cache released before returning, so repeated self-build calls
+    // don't accrete cached projections for the session's lifetime.
+    // Callers that run the build once per session pass a
+    // [[multiQuantizerCells]] memo via `prebuiltAssigned` instead (the
+    // declared v15 path) and own ITS lifecycle through SessionMemo.
+    val selfBuilt = prebuiltAssigned.isEmpty
+    val owned =
+      if (selfBuilt)
+        Some(graft.Graft.ensureParallelism(df)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+    val assigned = prebuiltAssigned.getOrElse(
+      multiQuantizerCells(owned.get, "id", "vec", nCells, nProbe, tables))
     val l = assigned.as("l")
     val r = assigned.as("r")
     // Score INSIDE the cell join, where both vectors are already
@@ -375,11 +407,18 @@ object Similarity {
     val ranked = cands.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= topK)
       .select("qid", "nid", "rn")
-    ranked
+    val out = ranked
       .join(corp.select(col("id").as("qid"), col("vec").as("qv")), "qid")
       .join(corp.select(col("id").as("nid"), col("vec").as("nv")), "nid")
       .select(col("qid"), col("nid"),
         Vectors.cosine(col("qv"), col("nv")).as("sim"), col("rn"))
+    owned match {
+      case Some(c) =>
+        val t = graft.Graft.truncate(out, eager = true)
+        c.unpersist(false)
+        t
+      case None => out
+    }
   }
 
   /** Exact embedding-cosine near-duplicate pairs above `threshold`
@@ -628,7 +667,7 @@ object Similarity {
       (sum(element_at(col("sv"), i).cast("double").cast("decimal(30,12)"))
         .cast("double") / count(lit(1)).cast("double")).cast("float").as(s"_m$i"))
     import scala.jdk.CollectionConverters._
-    val svt = sv.filter(col("id") < trainCap)
+    val svt = trainSlice(sv, "id", trainCap)
     for (_ <- 1 to iterations) {
       val means = assignToCodes(svt, cb).join(svt, Seq("id", "s"))
         .groupBy("s", "code").agg(meanCols.head, meanCols.tail: _*)

@@ -121,6 +121,14 @@ object DocStream {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val b0 = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    // cacheScope: the dedup operators' internal persists (shingle sets,
+    // signatures — registered via Graft.trackedPersist) are released at
+    // scope exit THROUGH the CacheManager, and ONLY those — caches and
+    // memo entries owned by other streams/queries sharing this session
+    // survive the batch (a clearCache() here would evict everything).
+    // Both outputs are eagerly truncated + written inside the scope, so
+    // nothing read later depends on the dropped caches.
+    Graft.cacheScope {
     try {
       val pairs = Dedup.minhashNearDups(b0, "doc_id", "text",
         k = 32, bands = 16, shingleSize = 3, threshold = threshold)
@@ -176,13 +184,14 @@ object DocStream {
       } finally {
         Graft.releaseTruncated(novelT)
         Graft.releaseTruncated(quarT)
+        // dupClusters' final label round is lineage-truncated; its blocks
+        // are dead once novelT/quarT materialized — release per batch
+        // rather than waiting on GC + ContextCleaner
+        Graft.releaseTruncated(clusters)
       }
     } finally {
       b0.unpersist(false)
-      // minhashNearDups/Cross persist signature intermediates per batch;
-      // release them through the CacheManager (RDD-only unpersist leaks
-      // plan entries that tax every later batch's analysis)
-      s.catalog.clearCache()
+    }
     }
   }
 

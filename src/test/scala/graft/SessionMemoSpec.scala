@@ -75,6 +75,28 @@ class SessionMemoSpec extends SparkSpec {
     SessionMemo.endSession(s2)
   }
 
+  test("unchanged data is fingerprinted without re-walking the tree") {
+    val s2 = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("memo-walk").toString
+    val tbl = s"$dir/documents.parquet"
+    writeDocs(tbl, "w")
+    def lookup() = SessionMemo.getOrCompute(s2, tbl, "spec") {
+      Graft.truncate(s2.read.parquet(tbl), eager = true)
+    }(Graft.releaseTruncated).count()
+    lookup() // first lookup: one deep walk to prime the cache
+    val walks = SessionMemo.deepWalks
+    (1 to 5).foreach(_ => lookup())
+    assert(SessionMemo.deepWalks == walks,
+      "repeated lookups over unchanged data must reuse the cached deep " +
+        "fingerprint (shallow directory-level signature only)")
+    Thread.sleep(5)
+    writeDocs(tbl, "w2")
+    lookup()
+    assert(SessionMemo.deepWalks > walks,
+      "a changed table dir must invalidate the cached walk")
+    SessionMemo.endSession(s2)
+  }
+
   test("idle entries are swept after their TTL") {
     val s2 = spark.newSession()
     s2.conf.set("graft.memo.ttlSeconds", "60")

@@ -403,8 +403,22 @@ class StreamingMultimodalSpec extends SparkSpec {
     // file b's micro-batch id = the partition doc 11 landed in (the
     // stream may interleave empty batches, so it isn't always 1)
     val bBatch = idx.collectFirst { case (11L, _, p) => p.toLong }.get
+    // an UNRELATED cached relation (another workload sharing the session)
+    // must survive the micro-batch: ingest releases only its own
+    // operator-internal persists (Graft.cacheScope), never clearCache()
+    val bystander = spark.range(0, 16).toDF("n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bystander.count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     DocStream.ingestBatch(replayIn, bBatch, indexDir, quarDir, threshold = 0.5)
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+    assert(bystander.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+      "ingestBatch must not evict caches it does not own")
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore,
+      "ingestBatch must release its own operator-internal persists " +
+        "(minhash shingle sets/signatures) at scope exit")
+    bystander.unpersist(false)
     // same replay under RELIABLE checkpointing (the preemptible-cluster
     // conf): the ingest's pre-write materialization must route through
     // checkpoint() and still leave both sinks unchanged
