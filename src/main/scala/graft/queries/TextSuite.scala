@@ -1494,10 +1494,14 @@ object TextSuite {
     // --- keep-first duplicate-span removal (the APPLY side of x36) -------
     // Lee et al.'s all-but-one semantics: for every window fingerprint
     // occurring >= 2 times anywhere (cross- OR within-doc), the globally
-    // first occurrence (min packed id*2^20+pos — an associative MIN, not
-    // a row_number window that would single-task on hot boilerplate
-    // fingerprints) survives; every other occurrence's token range is
-    // deleted and the doc re-assembled.
+    // first occurrence (MIN over the (id, pos) STRUCT — an associative
+    // MIN, not a row_number window that would single-task on hot
+    // boilerplate fingerprints; the struct has no packing bound, so any
+    // document length and id range elect the right keeper) survives;
+    // every other occurrence's token range is deleted and the doc
+    // re-assembled. Removed coverage is merged SPANS per doc (the x36
+    // islands merge), so per-doc state is span-count-bounded even for a
+    // boilerplate-heavy 1M-token document.
     "x37_dedup_spans_keep_first" -> Q(
       (s, dir) =>
         graft.operators.Dedup.dedupSpansKeepFirst(
@@ -1507,35 +1511,54 @@ object TextSuite {
       Some(s"""WITH docs AS (
         |  SELECT doc_id, $sqlTokens AS toks FROM documents),
         |wins AS (
-        |  SELECT doc_id, i AS b,
+        |  SELECT doc_id, i AS b, i + 7 AS e,
         |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS f
         |  FROM (SELECT doc_id, toks,
         |          unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
         |        FROM docs)),
         |keeper AS (
-        |  SELECT f, COUNT(*) AS n, MIN(doc_id * 1048576 + b) AS keep
+        |  SELECT f, COUNT(*) AS n, MIN(ROW(doc_id, b)) AS keep
         |  FROM wins GROUP BY f),
-        |cov AS (
-        |  SELECT DISTINCT w.doc_id, w.b + d.d AS p
+        |rmw AS (
+        |  SELECT w.doc_id, w.b, w.e
         |  FROM wins w JOIN keeper k USING (f)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
-        |  WHERE k.n >= 2 AND w.doc_id * 1048576 + w.b <> k.keep),
+        |  WHERE k.n >= 2 AND ROW(w.doc_id, w.b) <> k.keep),
+        |marked AS (
+        |  SELECT doc_id, b, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY b
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM rmw),
+        |grouped AS (
+        |  SELECT doc_id, b, e,
+        |    SUM(CASE WHEN b > COALESCE(pm, -1) + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |      AS g
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, MIN(b) AS s, MAX(e) AS e
+        |  FROM grouped GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM spans GROUP BY doc_id),
         |toksb AS (
         |  SELECT doc_id, unnest(toks) AS t,
         |    unnest(generate_series(1, len(toks))) AS p
         |  FROM docs),
         |kept AS (
         |  SELECT tb.doc_id,
-        |    string_agg(CASE WHEN c.p IS NULL THEN tb.t END, ' ' ORDER BY tb.p)
-        |      AS cleaned,
-        |    COUNT(c.p) AS n_removed
-        |  FROM toksb tb LEFT JOIN cov c ON c.doc_id = tb.doc_id AND c.p = tb.p
+        |    string_agg(CASE WHEN sp.doc_id IS NULL THEN tb.t END,
+        |      ' ' ORDER BY tb.p) AS cleaned
+        |  FROM toksb tb LEFT JOIN spans sp
+        |    ON sp.doc_id = tb.doc_id AND tb.p >= sp.s AND tb.p <= sp.e
         |  GROUP BY tb.doc_id)
         |SELECT d.doc_id,
         |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
         |  COALESCE(k.cleaned, '') AS cleaned
-        |FROM docs d LEFT JOIN kept k USING (doc_id)
+        |FROM docs d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
       "Keep-first exact-substring dedup apply: globally-first window " +
         "occurrence survives, later occurrences' token ranges stripped")

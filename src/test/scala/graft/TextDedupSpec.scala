@@ -612,6 +612,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
   }
 
+  test("dedupSpansKeepFirst: keeper election is exact past 2^20 tokens per doc") {
+    // doc 1 carries the duplicated phrase at a position ABOVE 2^20, doc 2
+    // carries it at position 2. "Globally first" = min (id, pos) → doc 1
+    // keeps, doc 2 strips. The retired packed key id·2²⁰+pos compared
+    // 1·2²⁰+(2²⁰+93) > 2·2²⁰+2 here and silently elected doc 2 — the
+    // struct MIN must not.
+    val nFill = (1 << 20) + 100
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val bigDoc = new StringBuilder
+    (1 to nFill).foreach { i => bigDoc.append('f').append(i).append(' ') }
+    bigDoc.append(shared)
+    val docs = Seq(
+      (1L, bigDoc.toString),
+      (2L, s"b1 $shared b2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8)
+      .select("id", "n_tokens", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (((nFill + 8).toLong, 0L)),
+      "the globally-first occurrence (doc 1, past the 2^20 boundary) must survive")
+    assert(out(2L) == ((10L, 8L)),
+      "doc 2's later occurrence must be the one stripped")
+  }
+
   test("span ops on the real corpus: disjoint maximal spans, removal arithmetic") {
     val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
     val spans = Dedup.dupSpans(docs, "doc_id", "text", width = 8).collect()
