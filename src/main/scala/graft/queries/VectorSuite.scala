@@ -195,7 +195,7 @@ object VectorSuite {
     "v5_cosine_neardups", "v6_ivf_ann_topk", "v7_cosine_neardups_ivf",
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
     "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
-    "v17_ann_recall_audit")
+    "v17_ann_recall_audit", "v18_pq_recall_audit")
 
   val queries: Map[String, Q] = Map(
 
@@ -940,7 +940,75 @@ object VectorSuite {
         |ORDER BY q.qid""".stripMargin),
       "ANN recall audit as a declared query: IVF top-5 vs the exact " +
         "top-5 per query — the measurement that licenses skipping " +
-        "exact search")
+        "exact search"),
+
+    // --- PQ-refine recall audit (v17's pattern down the index ladder) ---
+    // The recall claim behind v13's two-tier design (ADC shortlist ->
+    // exact re-rank), promoted from a tool printout (ProfilePqRecall) to
+    // an oracled artifact: PQ top-5 at refine=10 (exactly v13's
+    // configuration, same shared PqShared index) scored against the
+    // brute-force exact cosine top-5 over 20 query rows. Both pipelines
+    // are existing mirrors — the oracle composes the PQ trunk (qid < 20)
+    // with the v13 refine tail and the v2 brute-force CTEs, and replays
+    // the same semi-join hit count. The top-k sets compare by ID, so the
+    // metric difference (ADC/L2 vs cosine) is part of what is audited:
+    // on unit-normalized-ish synthetic embeddings L2 and cosine rank
+    // near-identically, and recall quantifies the rest.
+    "v18_pq_recall_audit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+            "embedding", topK = 5).select("qid", "vec_id")
+        val approx = Similarity.pqAdcTopK(q, PqShared.index(s, dir),
+            "vec_id", "embedding", topK = 5, refine = 10)
+          .select("qid", "vec_id")
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        q.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit(5L).as("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH bq AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |  WHERE vec_id < 20),
+        |bscored AS (
+        |  SELECT bq.qid, e.vec_id, ${sqlCos("bq.qvec", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE bq.qid <> e.vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM bscored) WHERE rn <= 5),
+        |${sqlPqCtes(20)}
+        |$sqlPqAdcRanked,
+        |short AS (SELECT qid, vec_id FROM ranked WHERE rn <= 50),
+        |resc AS (
+        |  SELECT sh.qid, sh.vec_id, ${sqlL2Full("qe.embedding", "ce.embedding")} AS l2
+        |  FROM short sh
+        |  JOIN embeddings qe ON qe.vec_id = sh.qid
+        |  JOIN embeddings ce ON ce.vec_id = sh.vec_id),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY l2 ASC, vec_id ASC) AS rn
+        |    FROM resc) WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.qid, COUNT(*) AS n_hit
+        |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid)
+        |SELECT bq.qid, CAST(5 AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM bq LEFT JOIN hits h ON h.qid = bq.qid
+        |ORDER BY bq.qid""".stripMargin),
+      "PQ-refine recall audit as a declared query: v13's ADC+exact-" +
+        "re-rank top-5 vs the exact top-5 — the recall ladder " +
+        "(0.37 unrefined -> ~0.93 at refine=10) as an oracled artifact")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
@@ -966,9 +1034,11 @@ object VectorSuite {
 
   /** The PQ trunk: subvectors, lowest-id seed codebooks, one
     * DECIMAL-mean Lloyd refinement, corpus codes, and the per-query
-    * integer-quantized distance table (queries = vec_id < 5).
+    * integer-quantized distance table (queries = vec_id < `maxQid`).
     */
-  private def sqlPqCtes: String = {
+  private def sqlPqCtes: String = sqlPqCtes(5)
+
+  private def sqlPqCtes(maxQid: Int): String = {
     val means = (1 to 8).map(i =>
       s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
     s"""ss AS (SELECT unnest(range(0, 8)) AS s),
@@ -989,7 +1059,7 @@ object VectorSuite {
     |dtab AS (
     |  SELECT q.id AS qid, cb.s, cb.code,
     |    CAST(FLOOR(${sqlL2Sub("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
-    |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < 5),""".stripMargin
+    |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < $maxQid),""".stripMargin
   }
 
   /** Full-corpus ADC sum + rank (the v11 tail; v13 re-ranks its top 50). */
