@@ -309,6 +309,19 @@ object Similarity {
       centroids.getOrElse(lowestIdCentroids(c, "id", "vec", nCells)), keep = 1)
   }
 
+  /** The IVF cell-count rule: pin cell SIZE, scale cell COUNT with the
+    * corpus — `max(minCells, ceil(n / cellSize))`. Pair-generating
+    * consumers (near-dup blocking, kNN graphs) rank every within-cell
+    * pair, so a FIXED nCells turns per-cell products quadratic in n
+    * (measured 3.6 s → 451 s at 10× with nCells pinned at 32); with
+    * cells ∝ n the candidate volume stays linear. One helper so every
+    * IVF consumer derives its count the same way its SQL mirror does
+    * (`GREATEST(minCells, CEIL(COUNT(*) / cellSize))`).
+    */
+  def cellsFor(n: Long, cellSize: Int = 64, minCells: Int = 32): Int =
+    math.max(minCells.toLong,
+      math.ceil(n.toDouble / cellSize).toLong).toInt
+
   /** The multi-table IVF blocking assignment [[cosineNearDupsIvf]] pairs
     * over — `tables` independent quantizers (table t seeded from the
     * nCells lowest ids after skipping t·nCells), every vector
@@ -316,12 +329,88 @@ object Similarity {
     * the ingest-time half of blocked near-dup detection so sessions can
     * assign once (a session memo) and every near-dup pass reads the
     * shared (id, vec, table, cell) frame — the inverted-list layout.
+    *
+    * Assignment is HIERARCHICAL (two-level coarse quantization — the
+    * standard production fix for flat assignment's O(n·nCells) cost
+    * once cells scale with the corpus): within each table, the
+    * ceil(√nCells) lowest-id leaf centroids double as SUPER-centroids;
+    * every leaf centroid maps to its nearest super, every vector first
+    * finds its `superProbe` nearest supers (O(√nCells) comparisons) and
+    * then its `nProbe` nearest leaves among those supers' leaves
+    * (O(superProbe·√nCells) average) — O(n·√nCells) total where flat
+    * assignment is O(n·nCells) = O(n²/cellSize) under the [[cellsFor]]
+    * rule. The output contract is unchanged: (id, vec, table, cell),
+    * leaf cell labels = centroid ids. Approximate like every coarse
+    * quantizer: a vector whose true nearest leaf hangs off an unprobed
+    * super lands in its best probed-super leaf instead — recall is
+    * measured against flat and brute force in ProfileIvfRecall /
+    * TextDedupSpec (v7 config T=4/nCells=32/nProbe=2 on the fixture
+    * corpus: 0.955 two-level vs 0.970 flat at superProbe=3, the
+    * measured default), and the multi-table union compounds it.
+    *
+    * All arithmetic is the engine-replicable double cosine with
+    * deterministic id tiebreaks, so SQL oracles rebuild the identical
+    * two-level assignment (v7/v15 mirrors).
     */
   def multiQuantizerCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, nProbe: Int, tables: Int): DataFrame = {
+      nCells: Int, nProbe: Int, tables: Int,
+      superProbe: Int = 3): DataFrame = {
     // no internal persist: each of the `tables` branches re-reads `df` —
     // callers evaluating this more than once (or building eagerly for a
     // memo) persist the input themselves and own its release
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    (0 until tables).map { t =>
+      val leaves = lowestIdCentroids(c, "id", "vec", nCells,
+        offset = t * nCells)
+      // supers = this table's nSuper lowest-id leaves (no extra seeds)
+      val supers = broadcast(leaves.orderBy(col("cell").asc).limit(nSuper)
+        .select(col("cell").as("sid"), col("centroid").as("scentroid")))
+      // leaf → nearest super (tie → lowest sid): nCells·nSuper rows,
+      // the assignToCells partial-aggregating argmax shape
+      val leafSuper = leaves.crossJoin(supers)
+        .groupBy("cell")
+        .agg(max_by(col("sid"), struct(
+          Vectors.cosineFast(col("centroid"), col("scentroid")).as("__ss"),
+          (col("sid") * lit(-1L)).as("__ns"))).as("sid"))
+      val leavesWithSuper = broadcast(leaves.join(leafSuper, "cell"))
+      // vector → superProbe nearest supers: cosine computed map-side
+      // against the broadcast supers, the rank window sees only the
+      // THIN (id, sid, sim) projection — vectors never sort
+      val wS = Window.partitionBy(col("id"))
+        .orderBy(col("__ssim").desc, col("sid").asc)
+      val vsup = c.crossJoin(supers)
+        .select(col("id"), col("sid"),
+          Vectors.cosineFast(col("vec"), col("scentroid")).as("__ssim"))
+        .withColumn("__rs", row_number().over(wS))
+        .filter(col("__rs") <= superProbe)
+        .select("id", "sid")
+      // vector → nProbe nearest leaves among the probed supers' leaves:
+      // the broadcast leaf join expands map-side, the rank window again
+      // ranks thin rows, and the surviving (id, cell) pairs re-attach
+      // the vector payload with one same-key join
+      val wL = Window.partitionBy(col("id"))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      val kept = c.join(vsup, Seq("id"))
+        .join(leavesWithSuper, Seq("sid"))
+        .select(col("id"), col("cell"),
+          Vectors.cosineFast(col("vec"), col("centroid")).as("__csim"))
+        .withColumn("__rk", row_number().over(wL))
+        .filter(col("__rk") <= nProbe)
+        .select("id", "cell")
+      c.join(kept, Seq("id"))
+        .select(col("id"), col("vec"), lit(t).as("table"), col("cell"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The FLAT corpus×centroid assignment the hierarchical form replaces
+    * — kept as the measurement baseline (ScaleStress/ProfileIvfRecall
+    * contrast it for cost and recall). O(n·nCells) cosines: fine at
+    * fixed small nCells, quadratic once cells scale with the corpus.
+    */
+  def multiQuantizerCellsFlat(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int, tables: Int): DataFrame = {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     (0 until tables).map { t =>
@@ -352,19 +441,15 @@ object Similarity {
     * makes this a pure read of the at-rest inverted-list index.
     *
     * SCALE CONTRACT: `nCells` must grow with the corpus (the IVF rule —
-    * callers pin cell SIZE ≈ n·nProbe/nCells, not cell count). A kNN
-    * graph ranks every candidate pair, so with fixed cells the
-    * per-cell product grows quadratically in n (measured 3.6 s → 451 s
-    * for a 10× corpus at nCells=32); with cells ∝ n the candidate
-    * volume is linear. The declared v15 derives nCells from count().
-    * The remaining super-linear term is the FLAT corpus×centroid
-    * assignment itself — O(n·nCells) = O(n²/cellSize) once cells scale.
-    * The standard production fix is hierarchical (two-level) coarse
-    * quantization — assign to √nCells super-cells, then within — which
-    * cuts assignment to O(n·√nCells) and slots into
-    * [[multiQuantizerCells]] without changing the pair-generation
-    * dataflow; at the bench scales the flat form is the measured-cheaper
-    * choice and keeps the oracle mirror exact.
+    * callers pin cell SIZE ≈ n·nProbe/nCells via [[cellsFor]], not cell
+    * count). A kNN graph ranks every candidate pair, so with fixed
+    * cells the per-cell product grows quadratically in n (measured
+    * 3.6 s → 451 s for a 10× corpus at nCells=32); with cells ∝ n the
+    * candidate volume is linear. The declared v15 derives nCells from
+    * count(). Assignment itself is the HIERARCHICAL two-level
+    * [[multiQuantizerCells]] — O(n·√nCells), retiring the flat form's
+    * O(n·nCells) = O(n²/cellSize) term — so the whole graph build is
+    * sub-quadratic end to end (ScaleStress measures both).
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, topK: Int,
       nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,
@@ -524,10 +609,16 @@ object Similarity {
     * survivors come from one left-anti join on id. Returns
     * (cell, n_members, n_dropped, n_kept) per cell.
     */
-  /** `prebuiltCells` — a session memo of [[quantizerCells]] (id, vec,
-    * cell) under the same seed quantizer: skips the corpus assignment
+  /** `prebuiltCells` — a session memo of the cell assignment (id, vec,
+    * cell) under the same quantizer: skips the corpus assignment
     * pass (ingest-time state); centroids are still the cheap
     * lowest-id broadcast, joined only for the centroid-distance rule.
+    *
+    * Self-build assignment is the TWO-LEVEL [[multiQuantizerCells]]
+    * (tables=1, nProbe=1) — O(n·√nCells), which matters because the
+    * SemDeDup contract scales nCells with the corpus (pinned cell
+    * size; pass [[cellsFor]]'s output) to keep the per-cell pair
+    * product linear.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16,
@@ -536,7 +627,8 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = lowestIdCentroids(c, "id", "vec", nCells)
     val sims = prebuiltCells.getOrElse(
-        assignToCells(c, "id", "vec", centroids, keep = 1))
+        multiQuantizerCells(c, "id", "vec", nCells, nProbe = 1, tables = 1)
+          .select("id", "vec", "cell"))
       .join(centroids, "cell")
       .select(col("id"), col("vec"), col("cell"),
         Vectors.cosineFast(col("vec"), col("centroid")).as("centsim"))

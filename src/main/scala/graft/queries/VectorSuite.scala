@@ -120,22 +120,37 @@ object VectorSuite {
         Similarity.quantizerCells(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16,
           centroids = Some(IvfShared.kmeans16(s, dir))))
-    def multi32x4(s: SparkSession, dir: String): DataFrame =
-      multiDyn(s, dir, 32)
-    /** The same 4-table nProbe-2 blocking assignment at any cell count —
-      * one memo entry per (session, dir, nCells), so v15's corpus-scaled
-      * nCells (≠ 32 past ~2k vectors) warms across executions too.
+    /** The 4-table nProbe-2 TWO-LEVEL blocking assignment at any cell
+      * count — one memo entry per (session, dir, nCells); v7 and v15
+      * derive the same corpus-scaled nCells (Similarity.cellsFor), so
+      * they SHARE this entry (one assignment pass per session).
       */
     def multiDyn(s: SparkSession, dir: String, nCells: Int): DataFrame =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
-          s"ivf-cells${nCells}x4-probe2") {
-        // the 4 assignment branches each read the corpus — persist it
+          s"ivf-cells${nCells}x4-probe2-hier3") {
+        // the assignment branches each read the corpus — persist it
         // for the one eager build, drop the transient cache after
         val emb = table(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val t = Graft.truncate(
           Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
             nCells = nCells, nProbe = 2, tables = 4),
+          eager = true)
+        emb.unpersist(false)
+        t
+      }(Graft.releaseTruncated)
+    /** Single-table keep-1 two-level assignment (the SemDeDup cell
+      * build at corpus-scaled nCells) — (id, vec, cell), v10's memo.
+      */
+    def hierDyn(s: SparkSession, dir: String, nCells: Int): DataFrame =
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+          s"ivf-cells${nCells}-hier3") {
+        val emb = table(s, dir, "embeddings")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = Graft.truncate(
+          Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
+            nCells = nCells, nProbe = 1, tables = 1)
+            .select("id", "vec", "cell"),
           eager = true)
         emb.unpersist(false)
         t
@@ -185,6 +200,55 @@ object VectorSuite {
       |      CAST($v[d] AS DOUBLE) * (CAST($mixed AS DOUBLE) / 2147483648.0 - 0.5))) >= 0
       |    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
   }
+
+  /** DuckDB mirror of the two-level (hierarchical) multi-table coarse
+    * quantizer assignment `Similarity.multiQuantizerCells` runs —
+    * O(n·√nCells) instead of flat O(n·nCells). Expects a prior CTE
+    * `nc(v)` holding the cell count; emits ns → ranked → cent → sup →
+    * leafmap → vsup → assigned, where `assigned` is (vec_id, vec, tbl,
+    * cell): table t's leaves are ranks [t·nc, (t+1)·nc) of the id
+    * order, its supers the ceil(√nc) lowest of those, every leaf maps
+    * to its nearest super, every vector probes its `superProbe` nearest
+    * supers and keeps its `nProbe` nearest leaves among them — all on
+    * the plain-double cosine with id tiebreaks, bit-replicating the
+    * Spark assignment.
+    */
+  private def sqlHierAssigned(tables: Int, nProbe: Int,
+      superProbe: Int = 3): String =
+    s"""ns AS (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
+    |ranked AS (
+    |  SELECT vec_id AS cell, embedding AS centroid,
+    |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
+    |  FROM embeddings),
+    |cent AS (
+    |  SELECT CAST(rk // (SELECT v FROM nc) AS BIGINT) AS tbl, cell, centroid,
+    |    rk % (SELECT v FROM nc) AS lrk
+    |  FROM ranked WHERE rk < $tables * (SELECT v FROM nc)),
+    |sup AS (
+    |  SELECT tbl, cell AS sid, centroid AS scentroid FROM cent
+    |  WHERE lrk < (SELECT v FROM ns)),
+    |leafmap AS (
+    |  SELECT tbl, cell, sid FROM (
+    |    SELECT c.tbl, c.cell, s.sid, row_number() OVER (
+    |      PARTITION BY c.tbl, c.cell
+    |      ORDER BY ${sqlCosD("c.centroid", "s.scentroid")} DESC, s.sid ASC) AS rk
+    |    FROM cent c JOIN sup s ON s.tbl = c.tbl) WHERE rk = 1),
+    |vsup AS (
+    |  SELECT vec_id, tbl, sid FROM (
+    |    SELECT e.vec_id, s.tbl, s.sid, row_number() OVER (
+    |      PARTITION BY e.vec_id, s.tbl
+    |      ORDER BY ${sqlCosD("e.embedding", "s.scentroid")} DESC, s.sid ASC) AS rk
+    |    FROM embeddings e CROSS JOIN sup s) WHERE rk <= $superProbe),
+    |assigned AS (
+    |  SELECT vec_id, vec, tbl, cell FROM (
+    |    SELECT e.vec_id, e.embedding AS vec, lm.tbl, lm.cell, row_number() OVER (
+    |      PARTITION BY e.vec_id, lm.tbl
+    |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, lm.cell ASC) AS rk
+    |    FROM vsup v
+    |    JOIN embeddings e ON e.vec_id = v.vec_id
+    |    JOIN leafmap lm ON lm.tbl = v.tbl AND lm.sid = v.sid
+    |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
+      .stripMargin
 
   /** Queries that read per-session memoized index state (PqShared /
     * IvfShared / IvfPqShared / CellsShared) — disclosed in the bench
@@ -372,31 +436,29 @@ object VectorSuite {
     // --- IVF-blocked low-threshold near-dups (v5's scale path) --------
     // Pair generation is per-(table, cell) over 4 independent
     // quantizers (multi-assigned to the 2 nearest cells in each), never
-    // the O(n²) corpus product — measured recall 0.97 at 0.50× the
-    // brute-force pair-generation cost on this corpus (ProfileIvfRecall).
-    // The oracle rebuilds the identical quantizers (table t = ranks
-    // [t*32, (t+1)*32) of the id order), assignments, per-cell pairs,
-    // double-cosine threshold cut, and exact-decimal re-score in SQL.
+    // the O(n²) corpus product — measured recall 0.955 at 0.50× the
+    // brute-force pair-generation cost on this corpus with the
+    // two-level assignment (flat was 0.970; ProfileIvfRecall measures
+    // both). nCells scales with the corpus (Similarity.cellsFor — the
+    // same rule as v15, so both share one multiDyn assignment memo),
+    // and the assignment is the hierarchical O(n·√nCells) quantizer.
+    // The oracle rebuilds the identical two-level quantizers,
+    // assignments, per-cell pairs, double-cosine threshold cut, and
+    // exact-decimal re-score in SQL.
     "v7_cosine_neardups_ivf" -> Q(
-      (s, dir) =>
-        Similarity.cosineNearDupsIvf(table(s, dir, "embeddings"), "vec_id",
-            "embedding", threshold = 0.4, nCells = 32, nProbe = 2,
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count())
+        Similarity.cosineNearDupsIvf(emb, "vec_id",
+            "embedding", threshold = 0.4, nCells = nc, nProbe = 2,
             tables = 4,
-            prebuiltAssigned = Some(CellsShared.multi32x4(s, dir)))
-          .orderBy("id1", "id2"),
-      Some(s"""WITH ranked AS (
-        |  SELECT vec_id AS cell, embedding AS centroid,
-        |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
+            prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
         |  FROM embeddings),
-        |cent AS (
-        |  SELECT CAST(rk // 32 AS BIGINT) AS tbl, cell, centroid
-        |  FROM ranked WHERE rk < 128),
-        |assigned AS (
-        |  SELECT vec_id, vec, tbl, cell FROM (
-        |    SELECT e.vec_id, e.embedding AS vec, c.tbl, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id, c.tbl
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 2),
+        |${sqlHierAssigned(tables = 4, nProbe = 2)},
         |pairs AS (
         |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
         |    l.vec AS v1, r.vec AS v2
@@ -405,7 +467,8 @@ object VectorSuite {
         |SELECT id1, id2, ${sqlCos("v1", "v2")} AS sim
         |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
         |ORDER BY id1, id2""".stripMargin),
-      "IVF-cell-blocked cosine near-dups: multi-table per-cell pairs + exact re-score"),
+      "IVF-cell-blocked cosine near-dups: two-level multi-table " +
+        "per-cell pairs + exact re-score"),
 
     // --- IVF ANN with k-means refined centroids -----------------------
     // The quantizer is 2 Lloyd iterations from the deterministic seeds:
@@ -463,25 +526,28 @@ object VectorSuite {
     // --- SemDeDup-style semantic dedup ---------------------------------
     // The named web-scale curation shape (Abbas et al. 2023): quantizer
     // cells, within-cell near-dup pairs, drop the pair member CLOSER to
-    // the cell centroid so the more diverse member survives. The oracle
-    // rebuilds the identical cells, centroid similarities, drop set, and
-    // per-cell survivor counts in SQL; pair generation is per-cell (the
-    // v7 blocking shape), never O(n²).
+    // the cell centroid so the more diverse member survives. nCells
+    // scales with the corpus (Similarity.cellsFor at cell size 128 —
+    // per-cell pair volume is the cost, and a fixed count would revert
+    // quadratic at 100× data) and the assignment is the two-level
+    // hierarchical quantizer. The oracle rebuilds the identical
+    // two-level cells, centroid similarities, drop set, and per-cell
+    // survivor counts in SQL; pair generation is per-cell (the v7
+    // blocking shape), never O(n²).
     "v10_semantic_dedup" -> Q(
-      (s, dir) =>
-        Similarity.semanticDedup(table(s, dir, "embeddings"), "vec_id",
-            "embedding", threshold = 0.4, nCells = 16,
-            prebuiltCells = Some(CellsShared.seed16(s, dir)))
-          .orderBy("cell"),
-      Some(s"""WITH cent AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |assigned AS (
-        |  SELECT vec_id, vec, cell FROM (
-        |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
+        Similarity.semanticDedup(emb, "vec_id",
+            "embedding", threshold = 0.4, nCells = nc,
+            prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
+          .orderBy("cell")
+      },
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |${sqlHierAssigned(tables = 1, nProbe = 1)},
         |sims AS (
         |  SELECT a.vec_id, a.vec, a.cell, ${sqlCosD("a.vec", "c.centroid")} AS centsim
         |  FROM assigned a JOIN cent c ON a.cell = c.cell),
@@ -780,19 +846,20 @@ object VectorSuite {
     // clustering / label propagation / kNN-classifier curation): every
     // row's 5 nearest neighbors, candidates blocked by the v7-style
     // 4-table nProbe-2 IVF assignment. nCells SCALES WITH THE CORPUS
-    // (max(32, ceil(n/64)) — cell size pinned at ~n·nProbe/nCells ≈ 128
-    // members), because a kNN graph ranks EVERY candidate pair: with
-    // fixed cells the per-cell product grows quadratically (measured:
-    // 3.6 s at sf0.1 → 451 s at sf1 with nCells pinned at 32; linear
-    // again once cells scale). At the tested SFs the formula lands on
-    // exactly 32, so the CellsShared.multi32x4 memo is reused there
-    // (zero extra index builds) and the oracle — which computes the
-    // same cell count from COUNT(*) — is value-identical.
+    // (Similarity.cellsFor: max(32, ceil(n/64)) — cell size pinned at
+    // ~n·nProbe/nCells ≈ 128 members), because a kNN graph ranks EVERY
+    // candidate pair: with fixed cells the per-cell product grows
+    // quadratically (measured: 3.6 s at sf0.1 → 451 s at sf1 with
+    // nCells pinned at 32; linear again once cells scale). The
+    // assignment itself is the TWO-LEVEL hierarchical quantizer
+    // (O(n·√nCells) — the flat corpus×centroid pass would be
+    // O(n²/cellSize) once cells scale), mirrored CTE-for-CTE by the
+    // oracle. v7 derives the same nCells, so both share one
+    // CellsShared.multiDyn assignment memo per session.
     "v15_knn_graph" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val nc = math.max(32L,
-          math.ceil(emb.count() / 64.0).toLong).toInt
+        val nc = Similarity.cellsFor(emb.count())
         Similarity.knnGraph(emb, "vec_id",
             "embedding", topK = 5, nCells = nc, nProbe = 2, tables = 4,
             prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
@@ -801,19 +868,7 @@ object VectorSuite {
       Some(s"""WITH nc AS (
         |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
         |  FROM embeddings),
-        |ranked AS (
-        |  SELECT vec_id AS cell, embedding AS centroid,
-        |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT CAST(rk // (SELECT v FROM nc) AS BIGINT) AS tbl, cell, centroid
-        |  FROM ranked WHERE rk < 4 * (SELECT v FROM nc)),
-        |assigned AS (
-        |  SELECT vec_id, vec, tbl, cell FROM (
-        |    SELECT e.vec_id, e.embedding AS vec, c.tbl, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id, c.tbl
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 2),
+        |${sqlHierAssigned(tables = 4, nProbe = 2)},
         |cands AS (
         |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
         |  FROM assigned l JOIN assigned r

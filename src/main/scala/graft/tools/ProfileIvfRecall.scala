@@ -19,14 +19,29 @@ object ProfileIvfRecall {
       Similarity.cosineNearDups(emb, "vec_id", "embedding", threshold = 0.4))
     println(s"[ivf-recall] exact pairs: ${exact.size}")
     for (tables <- Seq(1, 2, 3, 4); cells <- Seq(16, 32); probe <- Seq(2, 3)) {
-      val got = pairs(Similarity.cosineNearDupsIvf(
+      // hier = the two-level assignment cosineNearDupsIvf now self-builds;
+      // flat = the O(n·nCells) baseline it replaced (recall reference)
+      val gotH = pairs(Similarity.cosineNearDupsIvf(
         emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
         tables = tables))
-      val rec = if (exact.isEmpty) 1.0 else
+      val gotH3 = pairs(Similarity.cosineNearDupsIvf(
+        emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
+        tables = tables,
+        prebuiltAssigned = Some(Similarity.multiQuantizerCells(
+          emb, "vec_id", "embedding", cells, probe, tables,
+          superProbe = 3))))
+      val gotF = pairs(Similarity.cosineNearDupsIvf(
+        emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
+        tables = tables,
+        prebuiltAssigned = Some(Similarity.multiQuantizerCellsFlat(
+          emb, "vec_id", "embedding", cells, probe, tables))))
+      def rec(got: Set[(Long, Long)]) = if (exact.isEmpty) 1.0 else
         got.intersect(exact).size.toDouble / exact.size
       val ratio = tables.toDouble * probe * probe / cells
       println(f"[ivf-recall] T=$tables nCells=$cells%3d nProbe=$probe  " +
-        f"recall=$rec%.3f  pairGenCostRatio=$ratio%.2f  pairs=${got.size}")
+        f"recallHier=${rec(gotH)}%.3f recallHierSp3=${rec(gotH3)}%.3f " +
+        f"recallFlat=${rec(gotF)}%.3f  " +
+        f"pairGenCostRatio=$ratio%.2f  pairsH=${gotH.size} pairsF=${gotF.size}")
       spark.catalog.clearCache()
     }
     spark.stop()
