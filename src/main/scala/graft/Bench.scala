@@ -88,6 +88,21 @@ object Bench {
           }.toMap
       } catch { case e: Throwable =>
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
+    // ---- machine-readable scale probes (SCALE_LAST.json) --------------
+    // The ScaleStress linearity measurements as a per-round artifact:
+    // span ops / simhash128 / hier-vs-flat assignment / knnGraph at two
+    // corpus multipliers with growth ratios — a scale regression shows
+    // up as a ratio diff between rounds, not archaeology. Time-gated so
+    // the bench JSON line always lands inside the driver's patience.
+    val scaleEnabled = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1"
+    if (scaleEnabled && (System.nanoTime() - t0) / 1e9 < budget - 100)
+      try {
+        val json = graft.tools.ScaleStress.probeJson(spark, sfDir)
+        java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_LAST.json"),
+          (json + "\n").getBytes("UTF-8"))
+        System.err.println(s"[scale] $json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] skipped: ${e.getMessage}") }
     // The driver captures a bounded ~2000-char TAIL of stdout: r02/r03
     // artifacts came back with "parsed": null because the one-line JSON
     // with all per-query entries (~3 KB even at 2-decimal resolution for

@@ -361,47 +361,59 @@ object Similarity {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
-    (0 until tables).map { t =>
-      val leaves = lowestIdCentroids(c, "id", "vec", nCells,
-        offset = t * nCells)
-      // supers = this table's nSuper lowest-id leaves (no extra seeds)
-      val supers = broadcast(leaves.orderBy(col("cell").asc).limit(nSuper)
-        .select(col("cell").as("sid"), col("centroid").as("scentroid")))
-      // leaf → nearest super (tie → lowest sid): nCells·nSuper rows,
-      // the assignToCells partial-aggregating argmax shape
-      val leafSuper = leaves.crossJoin(supers)
-        .groupBy("cell")
-        .agg(max_by(col("sid"), struct(
-          Vectors.cosineFast(col("centroid"), col("scentroid")).as("__ss"),
-          (col("sid") * lit(-1L)).as("__ns"))).as("sid"))
-      val leavesWithSuper = broadcast(leaves.join(leafSuper, "cell"))
-      // vector → superProbe nearest supers: cosine computed map-side
-      // against the broadcast supers, the rank window sees only the
-      // THIN (id, sid, sim) projection — vectors never sort
-      val wS = Window.partitionBy(col("id"))
-        .orderBy(col("__ssim").desc, col("sid").asc)
-      val vsup = c.crossJoin(supers)
-        .select(col("id"), col("sid"),
-          Vectors.cosineFast(col("vec"), col("scentroid")).as("__ssim"))
-        .withColumn("__rs", row_number().over(wS))
-        .filter(col("__rs") <= superProbe)
-        .select("id", "sid")
-      // vector → nProbe nearest leaves among the probed supers' leaves:
-      // the broadcast leaf join expands map-side, the rank window again
-      // ranks thin rows, and the surviving (id, cell) pairs re-attach
-      // the vector payload with one same-key join
-      val wL = Window.partitionBy(col("id"))
-        .orderBy(col("__csim").desc, col("cell").asc)
-      val kept = c.join(vsup, Seq("id"))
-        .join(leavesWithSuper, Seq("sid"))
-        .select(col("id"), col("cell"),
-          Vectors.cosineFast(col("vec"), col("centroid")).as("__csim"))
-        .withColumn("__rk", row_number().over(wL))
-        .filter(col("__rk") <= nProbe)
-        .select("id", "cell")
-      c.join(kept, Seq("id"))
-        .select(col("id"), col("vec"), lit(t).as("table"), col("cell"))
-    }.reduce(_ unionAll _)
+    // ALL tables in one dataflow (not a per-table union): the whole
+    // hierarchy is tables·nCells broadcast rows, the two rank windows
+    // partition by (id, table), and the corpus re-attaches its vector
+    // payload exactly twice — vs 2 joins × `tables` for a per-table
+    // loop. Leaf seeds: ranks [t·nCells, (t+1)·nCells) of the id order.
+    val wSeed = Window.orderBy(col("cell").asc)
+    val leaves = broadcast(
+      c.orderBy(col("id").asc).limit(tables * nCells)
+        .select(col("id").as("cell"), col("vec").as("centroid"))
+        .withColumn("__rk", row_number().over(wSeed) - 1)
+        .select(expr(s"CAST(__rk div $nCells AS INT)").as("tbl"),
+          col("cell"), col("centroid"),
+          pmod(col("__rk"), lit(nCells)).as("lrk")))
+    // supers = each table's nSuper lowest-rank leaves (no extra seeds)
+    val supers = broadcast(leaves.filter(col("lrk") < nSuper)
+      .select(col("tbl"), col("cell").as("sid"),
+        col("centroid").as("scentroid")))
+    // leaf → nearest super within its table (tie → lowest sid):
+    // tables·nCells·nSuper rows, partial-aggregating argmax
+    val leafSuper = leaves.join(supers, Seq("tbl"))
+      .groupBy("tbl", "cell")
+      .agg(max_by(col("sid"), struct(
+        Vectors.cosineFast(col("centroid"), col("scentroid")).as("__ss"),
+        (col("sid") * lit(-1L)).as("__ns"))).as("sid"))
+    val leavesWithSuper = broadcast(
+      leaves.select("tbl", "cell", "centroid")
+        .join(leafSuper, Seq("tbl", "cell")))
+    // vector → superProbe nearest supers per table: cosines computed
+    // map-side against the broadcast supers; the rank window sees only
+    // the THIN (id, tbl, sid, sim) projection — vectors never sort
+    val wS = Window.partitionBy(col("id"), col("tbl"))
+      .orderBy(col("__ssim").desc, col("sid").asc)
+    val vsup = c.crossJoin(supers)
+      .select(col("id"), col("tbl"), col("sid"),
+        Vectors.cosineFast(col("vec"), col("scentroid")).as("__ssim"))
+      .withColumn("__rs", row_number().over(wS))
+      .filter(col("__rs") <= superProbe)
+      .select("id", "tbl", "sid")
+    // vector → nProbe nearest leaves among the probed supers' leaves:
+    // broadcast leaf join expands map-side, thin rank window, then the
+    // survivors re-attach the vector payload with one same-key join
+    val wL = Window.partitionBy(col("id"), col("tbl"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val kept = c.join(vsup, Seq("id"))
+      .join(leavesWithSuper, Seq("tbl", "sid"))
+      .select(col("id"), col("tbl"), col("cell"),
+        Vectors.cosineFast(col("vec"), col("centroid")).as("__csim"))
+      .withColumn("__rk", row_number().over(wL))
+      .filter(col("__rk") <= nProbe)
+      .select("id", "tbl", "cell")
+    c.join(kept, Seq("id"))
+      .select(col("id"), col("vec"), col("tbl").cast("int").as("table"),
+        col("cell"))
   }
 
   /** The FLAT corpus×centroid assignment the hierarchical form replaces

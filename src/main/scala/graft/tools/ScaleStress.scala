@@ -40,6 +40,17 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // `probes` mode: just the machine-readable artifact rows (the thing
+    // Bench emits per round), printed and written to SCALE_LAST.json
+    if (args.drop(1).headOption.contains("probes")) {
+      val spark = Graft.session()
+      val json = probeJson(spark, sfDir)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_LAST.json"),
+        (json + "\n").getBytes("UTF-8"))
+      println(json)
+      spark.stop()
+      return
+    }
     val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
     val spark = Graft.session()
 
@@ -143,6 +154,112 @@ object ScaleStress {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Machine-readable scale probes — the ScaleStress linearity
+    * measurements as a per-round ARTIFACT (SCALE_rN.json) instead of
+    * README prose, so a scale regression is caught by diffing artifacts.
+    * Each probe runs at two corpus multipliers and reports wall-clock +
+    * result-row growth ratios against the size ratio:
+    *   - span ops (x36/x37 shapes): rows and time must track m;
+    *   - simhash128: pair count exactly linear in m (disjoint copies);
+    *   - assign_hier vs assign_flat: the two-level corpus assignment at
+    *     [[Similarity.cellsFor]]-scaled nCells against the flat
+    *     baseline — flat grows ~size_ratio² (O(n·nCells) with cells ∝
+    *     n), hier must stay well under it (O(n·√nCells));
+    *   - knn_graph: the full v15 build at scaled cells — near-linear.
+    * Returns one JSON object (probes array + ratios).
+    */
+  def probeJson(spark: SparkSession, sfDir: String,
+      mSmall: Int = 1, mLarge: Int = 4): String = {
+    final case class P(name: String, m: Int, n: Long, rows: Long, sec: Double)
+    val out = scala.collection.mutable.ArrayBuffer[P]()
+    var record = true
+    def run(name: String, m: Int, n: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (record)
+        out += P(name, m, n, r, (System.nanoTime() - t0) / 1e9)
+    }
+    // (m, record): the first mSmall pass is an UNTIMED warm-up — codegen
+    // and JIT warming otherwise inflate the small-size numbers and the
+    // growth ratios read sub-linear even for linear operators
+    val passes = Seq((mSmall, false), (mSmall, true), (mLarge, true))
+    passes.foreach { case (m, rec) =>
+      record = rec
+      val docs = corpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      run("dup_spans", m, n)(
+        Dedup.dupSpans(docs, "doc_id", "text", width = 8).count())
+      // sum(n_removed), not count(): a bare count lets Catalyst prune
+      // the final join and measure nothing (653d617's probe-fix lesson)
+      run("dedup_spans_keep_first", m, n)(
+        Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", width = 8)
+          .agg(coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0))
+      run("simhash128_neardups", m, n)(
+        Dedup.simhashNearDups128(docs, "doc_id", "text", maxHamming = 32)
+          .count())
+      docs.unpersist(false)
+      spark.catalog.clearCache()
+    }
+    passes.foreach { case (m, rec) =>
+      record = rec
+      val emb = embCorpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val nc = Similarity.cellsFor(n)
+      run("assign_hier", m, n)(
+        Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
+          nCells = nc, nProbe = 2, tables = 4).count())
+      run("assign_flat", m, n)(
+        Similarity.multiQuantizerCellsFlat(emb, "vec_id", "embedding",
+          nCells = nc, nProbe = 2, tables = 4).count())
+      run("knn_graph", m, n) {
+        val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 5,
+          nCells = nc, nProbe = 2, tables = 4)
+        val rows = g.count()
+        graft.Graft.releaseTruncated(g)
+        rows
+      }
+      emb.unpersist(false)
+      spark.catalog.clearCache()
+    }
+    // assignment-only extra size (4·mLarge): the flat form's O(n·nCells)
+    // = O(n²/cellSize) term is buried under fixed overhead at small n —
+    // at 16× the hier-vs-flat separation is visible in the ratios
+    // (probe pairing below compares each probe's min-m vs max-m rows)
+    locally {
+      record = true
+      val m = mLarge * 4
+      val emb = embCorpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val nc = Similarity.cellsFor(n)
+      run("assign_hier", m, n)(
+        Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
+          nCells = nc, nProbe = 2, tables = 4).count())
+      run("assign_flat", m, n)(
+        Similarity.multiQuantizerCellsFlat(emb, "vec_id", "embedding",
+          nCells = nc, nProbe = 2, tables = 4).count())
+      emb.unpersist(false)
+      spark.catalog.clearCache()
+    }
+    def r2(v: Double) = f"$v%.2f"
+    val rows = out.groupBy(_.name).toSeq.sortBy(_._1).map { case (name, ps) =>
+      val s = ps.minBy(_.m)
+      val l = ps.maxBy(_.m)
+      val sizeR = l.n.toDouble / math.max(1L, s.n)
+      val timeR = l.sec / math.max(1e-9, s.sec)
+      val rowsR = l.rows.toDouble / math.max(1L, s.rows)
+      s"""{"probe":"$name","n_small":${s.n},"n_large":${l.n},""" +
+        s""""rows_small":${s.rows},"rows_large":${l.rows},""" +
+        s""""sec_small":${r2(s.sec)},"sec_large":${r2(l.sec)},""" +
+        s""""size_ratio":${r2(sizeR)},"time_ratio":${r2(timeR)},""" +
+        s""""rows_ratio":${r2(rowsR)}}"""
+    }
+    s"""{"probes":[${rows.mkString(",")}],"m_small":$mSmall,""" +
+      s""""m_large":$mLarge,"sf":"$sfDir"}"""
   }
 
   /** m deterministic copies of the embeddings table, each circularly
