@@ -259,7 +259,8 @@ object VectorSuite {
     "v5_cosine_neardups", "v6_ivf_ann_topk", "v7_cosine_neardups_ivf",
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
     "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
-    "v17_ann_recall_audit", "v18_pq_recall_audit")
+    "v17_ann_recall_audit", "v18_pq_recall_audit",
+    "v19_ivfpq_recall_audit")
 
   val queries: Map[String, Q] = Map(
 
@@ -647,92 +648,11 @@ object VectorSuite {
             "embedding", topK = 5, nProbe = 3)
           .orderBy("qid", "rn")
       },
-      Some {
-        val means = (1 to 8).map(i =>
-          s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        val kMeans64 = (1 to 64).map(i =>
-          s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def kAssign(cents: String, src: String = "embeddings") =
-          s"""SELECT vec_id, vec, cell FROM (
-          |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
-          |      PARTITION BY e.vec_id
-          |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-          |    FROM $src e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
-        def assign(cbName: String, src: String = "sv") =
-          s"""SELECT id, s, code FROM (
-          |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
-          |      PARTITION BY sv.id, sv.s
-          |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
-          |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
-        s"""WITH kseed AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |ktrain AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
-        |ka1 AS (${kAssign("kseed", "ktrain")}),
-        |kc1 AS (SELECT cell, [$kMeans64] AS centroid FROM ka1 GROUP BY cell),
-        |ka2 AS (${kAssign("kc1", "ktrain")}),
-        |cent AS (SELECT cell, [$kMeans64] AS centroid FROM ka2 GROUP BY cell),
-        |cells AS (
-        |  SELECT id, vec, cell FROM (
-        |    SELECT e.vec_id AS id, e.embedding AS vec, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
-        |res AS (
-        |  SELECT cl.id, cl.cell,
-        |    list_transform(range(1, 65), i ->
-        |      CAST(cl.vec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
-        |  FROM cells cl JOIN cent c ON c.cell = cl.cell),
-        |ss AS (SELECT unnest(range(0, 8)) AS s),
-        |sv AS (
-        |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
-        |  FROM res CROSS JOIN ss),
-        |seeds AS (
-        |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes OFFSET 16),
-        |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
-        |cb0 AS (
-        |  SELECT s, sv.id AS code, sv.sv AS cw
-        |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
-        |a1 AS (${assign("cb0", "svt")}),
-        |cb1 AS (
-        |  SELECT s, code, [$means] AS cw
-        |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
-        |codes AS (${assign("cb1")}),
-        |probes AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT qq.vec_id AS qid, c.cell, row_number() OVER (
-        |      PARTITION BY qq.vec_id
-        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
-        |qres AS (
-        |  SELECT p.qid, p.cell,
-        |    list_transform(range(1, 65), i ->
-        |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
-        |  FROM probes p
-        |  JOIN embeddings q ON q.vec_id = p.qid
-        |  JOIN cent c ON c.cell = p.cell),
-        |qsv AS (
-        |  SELECT qid, cell, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
-        |  FROM qres CROSS JOIN ss),
-        |dtab AS (
-        |  SELECT qid, qsv.cell, cb.s, cb.code,
-        |    CAST(FLOOR(${sqlL2Sub("qsv.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
-        |  FROM qsv JOIN cb1 cb USING (s)),
-        |adc AS (
-        |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
-        |  FROM codes c
-        |  JOIN cells cl ON cl.id = c.id
-        |  JOIN dtab d ON d.cell = cl.cell AND d.s = c.s AND d.code = c.code
-        |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
-        |ranked AS (
-        |  SELECT qid, vec_id, adc, row_number() OVER (
-        |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
-        |  FROM adc)
+      Some(s"""WITH ${sqlIvfPqCtes(5)}
         |SELECT qid, vec_id, CAST(adc AS DOUBLE) / 1048576 AS adc_dist,
         |  CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin
-      },
+        |ORDER BY qid, rn""".stripMargin),
       "IVFADC top-k: coarse cells prune to nProbe/nCells, PQ codes " +
         "quantize residuals vec-centroid(cell) — better recall at the " +
         "same 8-byte code budget"),
@@ -1063,7 +983,59 @@ object VectorSuite {
         |ORDER BY bq.qid""".stripMargin),
       "PQ-refine recall audit as a declared query: v13's ADC+exact-" +
         "re-rank top-5 vs the exact top-5 — the recall ladder " +
-        "(0.37 unrefined -> ~0.93 at refine=10) as an oracled artifact")
+        "(0.37 unrefined -> ~0.93 at refine=10) as an oracled artifact"),
+
+    // --- IVFADC recall audit (completes the ladder: v17 IVF, v18 PQ) ---
+    // The remaining rung: residual-encoded IVF-PQ (v12's exact
+    // configuration, shared IvfPqShared index, nProbe=3) against the
+    // exact top-5 over the same 20 query rows. With this, every
+    // declared index family carries its own oracled recall artifact —
+    // the number that decides whether the index is fit to replace
+    // exact search at its operating point.
+    "v19_ivfpq_recall_audit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+            "embedding", topK = 5).select("qid", "vec_id")
+        val approx = Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir),
+            "vec_id", "embedding", topK = 5, nProbe = 3)
+          .select("qid", "vec_id")
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        q.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit(5L).as("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH bq AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |  WHERE vec_id < 20),
+        |bscored AS (
+        |  SELECT bq.qid, e.vec_id, ${sqlCos("bq.qvec", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE bq.qid <> e.vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |    FROM bscored) WHERE rn <= 5),
+        |${sqlIvfPqCtes(20)},
+        |approx AS (SELECT qid, vec_id FROM ranked WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.qid, COUNT(*) AS n_hit
+        |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid)
+        |SELECT bq.qid, CAST(5 AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM bq LEFT JOIN hits h ON h.qid = bq.qid
+        |ORDER BY bq.qid""".stripMargin),
+      "IVFADC recall audit as a declared query: v12's residual IVF-PQ " +
+        "top-5 vs the exact top-5 — completes the oracled recall " +
+        "ladder (v17 IVF, v18 PQ-refine, v19 IVFADC)")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
@@ -1115,6 +1087,97 @@ object VectorSuite {
     |  SELECT q.id AS qid, cb.s, cb.code,
     |    CAST(FLOOR(${sqlL2Sub("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
     |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < $maxQid),""".stripMargin
+  }
+
+  /** The IVFADC trunk (v12's full mirror, shared with the v19 recall
+    * audit): Lloyd-refined coarse quantizer (2 iterations), residuals
+    * vec − centroid(cell), residual codebooks (seedOffset past the
+    * coarse-centroid ids), cell-inline corpus codes, per-(query, cell)
+    * distance tables (queries = vec_id < `maxQid`), and the
+    * exact-BIGINT ADC ranks. Emits CTEs kseed … ranked — no leading
+    * WITH, no final SELECT.
+    */
+  private def sqlIvfPqCtes(maxQid: Int): String = {
+    val means = (1 to 8).map(i =>
+      s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+    val kMeans64 = (1 to 64).map(i =>
+      s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+    def kAssign(cents: String, src: String = "embeddings") =
+      s"""SELECT vec_id, vec, cell FROM (
+      |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
+      |      PARTITION BY e.vec_id
+      |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+      |    FROM $src e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
+    def assign(cbName: String, src: String = "sv") =
+      s"""SELECT id, s, code FROM (
+      |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
+      |      PARTITION BY sv.id, sv.s
+      |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
+      |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
+    s"""kseed AS (
+    |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+    |  ORDER BY vec_id ASC LIMIT 16),
+    |ktrain AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
+    |ka1 AS (${kAssign("kseed", "ktrain")}),
+    |kc1 AS (SELECT cell, [$kMeans64] AS centroid FROM ka1 GROUP BY cell),
+    |ka2 AS (${kAssign("kc1", "ktrain")}),
+    |cent AS (SELECT cell, [$kMeans64] AS centroid FROM ka2 GROUP BY cell),
+    |cells AS (
+    |  SELECT id, vec, cell FROM (
+    |    SELECT e.vec_id AS id, e.embedding AS vec, c.cell, row_number() OVER (
+    |      PARTITION BY e.vec_id
+    |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+    |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+    |res AS (
+    |  SELECT cl.id, cl.cell,
+    |    list_transform(range(1, 65), i ->
+    |      CAST(cl.vec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
+    |  FROM cells cl JOIN cent c ON c.cell = cl.cell),
+    |ss AS (SELECT unnest(range(0, 8)) AS s),
+    |sv AS (
+    |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
+    |  FROM res CROSS JOIN ss),
+    |seeds AS (
+    |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes OFFSET 16),
+    |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
+    |cb0 AS (
+    |  SELECT s, sv.id AS code, sv.sv AS cw
+    |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
+    |a1 AS (${assign("cb0", "svt")}),
+    |cb1 AS (
+    |  SELECT s, code, [$means] AS cw
+    |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
+    |codes AS (${assign("cb1")}),
+    |probes AS (
+    |  SELECT qid, cell FROM (
+    |    SELECT qq.vec_id AS qid, c.cell, row_number() OVER (
+    |      PARTITION BY qq.vec_id
+    |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+    |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < $maxQid) WHERE rk <= 3),
+    |qres AS (
+    |  SELECT p.qid, p.cell,
+    |    list_transform(range(1, 65), i ->
+    |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
+    |  FROM probes p
+    |  JOIN embeddings q ON q.vec_id = p.qid
+    |  JOIN cent c ON c.cell = p.cell),
+    |qsv AS (
+    |  SELECT qid, cell, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
+    |  FROM qres CROSS JOIN ss),
+    |dtab AS (
+    |  SELECT qid, qsv.cell, cb.s, cb.code,
+    |    CAST(FLOOR(${sqlL2Sub("qsv.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
+    |  FROM qsv JOIN cb1 cb USING (s)),
+    |adc AS (
+    |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
+    |  FROM codes c
+    |  JOIN cells cl ON cl.id = c.id
+    |  JOIN dtab d ON d.cell = cl.cell AND d.s = c.s AND d.code = c.code
+    |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
+    |ranked AS (
+    |  SELECT qid, vec_id, adc, row_number() OVER (
+    |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+    |  FROM adc)""".stripMargin
   }
 
   /** Full-corpus ADC sum + rank (the v11 tail; v13 re-ranks its top 50). */

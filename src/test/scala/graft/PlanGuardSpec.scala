@@ -50,12 +50,13 @@ class PlanGuardSpec extends SparkSpec {
   //     the label predicate further prunes the scored side
   //   v17 — the recall audit's exact arm is the v2 shape over 20
   //     broadcast queries; the IVF arm is cell-blocked
-  //   v18 — same shape as v17: the exact arm broadcasts the 20 filtered
-  //     query rows; the PQ arm scans codes via equi-joins only
+  //   v18/v19 — same shape as v17: the exact arm broadcasts the 20
+  //     filtered query rows; the PQ/IVFADC arms scan codes via
+  //     equi-joins only
   private val boundedBySemantics =
     Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank",
       "v16_filtered_ann_topk", "v17_ann_recall_audit",
-      "v18_pq_recall_audit")
+      "v18_pq_recall_audit", "v19_ivfpq_recall_audit")
 
   /** Flatten across the wrappers AQE puts between logical operators. */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
