@@ -518,6 +518,29 @@ object Similarity {
     }
   }
 
+  /** Mutual-kNN clustering over a [[knnGraph]]: keep edges with
+    * `sim ≥ minSim` that appear in BOTH directions (i is in j's top-k
+    * AND j is in i's — the standard symmetrization that stops hub
+    * vectors from gluing unrelated neighborhoods together), then close
+    * them into connected components (Dedup.dupClusters — pointer-
+    * jumping min-label propagation, O(log diameter) rounds). The
+    * curation substrate over the graph: each component is a semantic
+    * group with a deterministic min-id canonical.
+    *
+    * Scale shape: the mutual filter is one self-semi-join on the THIN
+    * (qid, nid) edge list (≤ n·k rows), and the component closure
+    * shuffles labels on node id only — nothing touches vectors.
+    * Returns (canonical_id, member_id) for every node in ≥1 mutual edge.
+    */
+  def knnGraphClusters(graph: DataFrame, minSim: Double): DataFrame = {
+    val e = graph.filter(col("sim") >= minSim).select("qid", "nid")
+    val mutual = e.join(
+        e.select(col("nid").as("qid"), col("qid").as("nid")),
+        Seq("qid", "nid"), "left_semi")
+      .filter(col("qid") < col("nid"))
+    Dedup.dupClusters(mutual, "qid", "nid")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above `threshold`
     * WITHIN THE GIVEN FRAME — the exact parity witness for the blocked
     * pipelines, intended for a bounded scope (one quantizer cell, a

@@ -250,6 +250,37 @@ object VectorSuite {
     |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
       .stripMargin
 
+  /** The full v15 kNN-graph mirror (two-level assignment + per-cell
+    * candidates + double-cosine ranking + exact re-score) — also
+    * embedded whole as the `graph` CTE of the v20 clustering oracle.
+    */
+  private def sqlKnnGraphQuery: String =
+    s"""WITH nc AS (
+        |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |${sqlHierAssigned(tables = 4, nProbe = 2)},
+        |cands AS (
+        |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+        |  FROM assigned l JOIN assigned r
+        |    ON l.tbl = r.tbl AND l.cell = r.cell AND l.vec_id <> r.vec_id),
+        |scored AS (
+        |  SELECT c.qid, c.nid,
+        |    ${sqlCosD("q.embedding", "n.embedding")} AS simd
+        |  FROM cands c
+        |  JOIN embeddings q ON q.vec_id = c.qid
+        |  JOIN embeddings n ON n.vec_id = c.nid),
+        |rankedk AS (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY simd DESC, nid ASC) AS rn
+        |  FROM scored)
+        |SELECT k.qid, k.nid, ${sqlCos("q.embedding", "n.embedding")} AS sim,
+        |  CAST(k.rn AS INT) AS rn
+        |FROM rankedk k
+        |JOIN embeddings q ON q.vec_id = k.qid
+        |JOIN embeddings n ON n.vec_id = k.nid
+        |WHERE k.rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+
   /** Queries that read per-session memoized index state (PqShared /
     * IvfShared / IvfPqShared / CellsShared) — disclosed in the bench
     * artifact so warm per-query numbers aren't mistaken for standalone
@@ -260,7 +291,7 @@ object VectorSuite {
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
     "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
     "v17_ann_recall_audit", "v18_pq_recall_audit",
-    "v19_ivfpq_recall_audit")
+    "v19_ivfpq_recall_audit", "v20_knn_graph_clusters")
 
   val queries: Map[String, Q] = Map(
 
@@ -785,31 +816,7 @@ object VectorSuite {
             prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH nc AS (
-        |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |${sqlHierAssigned(tables = 4, nProbe = 2)},
-        |cands AS (
-        |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
-        |  FROM assigned l JOIN assigned r
-        |    ON l.tbl = r.tbl AND l.cell = r.cell AND l.vec_id <> r.vec_id),
-        |scored AS (
-        |  SELECT c.qid, c.nid,
-        |    ${sqlCosD("q.embedding", "n.embedding")} AS simd
-        |  FROM cands c
-        |  JOIN embeddings q ON q.vec_id = c.qid
-        |  JOIN embeddings n ON n.vec_id = c.nid),
-        |rankedk AS (
-        |  SELECT qid, nid, row_number() OVER (
-        |    PARTITION BY qid ORDER BY simd DESC, nid ASC) AS rn
-        |  FROM scored)
-        |SELECT k.qid, k.nid, ${sqlCos("q.embedding", "n.embedding")} AS sim,
-        |  CAST(k.rn AS INT) AS rn
-        |FROM rankedk k
-        |JOIN embeddings q ON q.vec_id = k.qid
-        |JOIN embeddings n ON n.vec_id = k.nid
-        |WHERE k.rn <= 5
-        |ORDER BY qid, rn""".stripMargin),
+      Some(sqlKnnGraphQuery),
       "kNN graph for every corpus row: IVF-blocked candidates, exact " +
         "re-score, per-row bounded ranking window"),
 
@@ -1035,7 +1042,53 @@ object VectorSuite {
         |ORDER BY bq.qid""".stripMargin),
       "IVFADC recall audit as a declared query: v12's residual IVF-PQ " +
         "top-5 vs the exact top-5 — completes the oracled recall " +
-        "ladder (v17 IVF, v18 PQ-refine, v19 IVFADC)")
+        "ladder (v17 IVF, v18 PQ-refine, v19 IVFADC)"),
+
+    // --- mutual-kNN graph clustering (the curation layer over v15) -----
+    // What the kNN graph is FOR: semantic grouping. Edges with sim >=
+    // 0.4 kept only when mutual (i in j's top-5 AND j in i's — kills
+    // hub-vector chaining), closed into connected components with a
+    // min-id canonical — the same components machinery the text side
+    // ships (x18), here over the vector graph. The oracle embeds the
+    // complete v15 mirror as its `graph` CTE, replays the mutual
+    // semi-join, and closes components with the recursive CTE; cluster
+    // membership and sizes hash-match.
+    "v20_knn_graph_clusters" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count())
+        val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 5,
+          nCells = nc, nProbe = 2, tables = 4,
+          prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
+        Similarity.knnGraphClusters(g, minSim = 0.4)
+          .groupBy("canonical_id")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("canonical_id")
+      },
+      Some(s"""WITH RECURSIVE graph AS (
+        |$sqlKnnGraphQuery
+        |),
+        |m AS (
+        |  SELECT g1.qid AS a, g1.nid AS b
+        |  FROM graph g1
+        |  JOIN graph g2 ON g2.qid = g1.nid AND g2.nid = g1.qid
+        |  WHERE g1.sim >= 0.4 AND g2.sim >= 0.4 AND g1.qid < g1.nid),
+        |edges AS (
+        |  SELECT a, b FROM m
+        |  UNION ALL SELECT b, a FROM m),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS member_id, LEAST(a, MIN(b)) AS canonical_id
+        |  FROM reach GROUP BY a)
+        |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM comp GROUP BY canonical_id
+        |ORDER BY canonical_id""".stripMargin),
+      "Mutual-kNN clustering over the v15 graph: sim>=0.4 mutual edges " +
+        "-> connected components -> per-cluster sizes (the curation " +
+        "grouping layer)")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
