@@ -582,11 +582,11 @@ object Similarity {
     * so reported sims are exact; the approximation is only in which
     * pairs are CONSIDERED. Measured on the fixture corpus
     * (ProfileIvfRecall, threshold 0.4): T=4/nCells=32/nProbe=2 →
-    * recall 0.97 at 0.50× the brute-force pair-generation cost;
-    * recall is asserted against the exact all-pairs answer in
-    * TextDedupSpec. Cell skew is the quantizer's problem — at
-    * production scale k-means centroids replace the deterministic ones
-    * and AQE splits residual skew.
+    * recall 0.955 with the two-level assignment (0.970 flat) at 0.50×
+    * the brute-force pair-generation cost; recall is asserted against
+    * the exact all-pairs answer in TextDedupSpec. Cell skew is the
+    * quantizer's problem — at production scale k-means centroids
+    * replace the deterministic ones and AQE splits residual skew.
     */
   def cosineNearDupsIvf(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,

@@ -666,6 +666,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphClusters: mutual filter breaks hub chaining; components close chains") {
+    // Geometry: a "hub" h at the bisector of two tight groups A={1,2}
+    // and B={5,6}. With topK=1 every A/B member picks its own partner,
+    // but h's nearest is in A while A's members prefer each other — the
+    // h→A edge is one-directional and the MUTUAL filter must drop it,
+    // leaving {1,2} and {5,6} as separate components with h unclustered.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.02f)),
+      (2L, Array(1.0f, 0.03f)),
+      (5L, Array(0.02f, 1.0f)),
+      (6L, Array(0.03f, 1.0f)),
+      (9L, Array(0.75f, 0.75f))) // hub: equidistant-ish from both groups
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", topK = 1,
+      nCells = 1, nProbe = 1, tables = 1)
+    val clusters = Similarity.knnGraphClusters(g, minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters == Set((1L, 1L), (1L, 2L), (5L, 5L), (5L, 6L)),
+      s"mutual-kNN components wrong: $clusters")
+    // sanity: the hub DID have an out-edge above the sim floor — it was
+    // the mutuality, not the threshold, that excluded it
+    val hubEdges = g.filter(col("qid") === 9L && col("sim") >= 0.5).count()
+    assert(hubEdges == 1L, "hub must have a one-directional edge")
+  }
+
   test("knnGraph: every row gets neighbors; nearest is brute-force-correct for most") {
     val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 3,
