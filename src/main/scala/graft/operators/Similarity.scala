@@ -352,20 +352,21 @@ object Similarity {
     * deterministic id tiebreaks, so SQL oracles rebuild the identical
     * two-level assignment (v7/v15 mirrors).
     */
-  def multiQuantizerCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, nProbe: Int, tables: Int,
-      superProbe: Int = 3): DataFrame = {
-    // no internal persist: each of the `tables` branches re-reads `df` —
-    // callers evaluating this more than once (or building eagerly for a
-    // memo) persist the input themselves and own its release
-    val c = graft.Graft.ensureParallelism(df)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+  /** The two-level quantizer HIERARCHY, built from the `tables·nCells`
+    * lowest-id vectors of `c`: broadcast (tbl, sid, scentroid) supers
+    * and (tbl, cell, centroid, sid) leaves-with-super. Bounded
+    * algorithm state; built once per index and shared by every
+    * assignment against it (the same-corpus path AND the cross/
+    * incremental path, where a batch is assigned under the INDEX's
+    * hierarchy).
+    */
+  private final case class Hierarchy(supers: DataFrame,
+      leavesWithSuper: DataFrame)
+
+  private def buildHierarchy(c: DataFrame, nCells: Int,
+      tables: Int): Hierarchy = {
     val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
-    // ALL tables in one dataflow (not a per-table union): the whole
-    // hierarchy is tables·nCells broadcast rows, the two rank windows
-    // partition by (id, table), and the corpus re-attaches its vector
-    // payload exactly twice — vs 2 joins × `tables` for a per-table
-    // loop. Leaf seeds: ranks [t·nCells, (t+1)·nCells) of the id order.
+    // Leaf seeds: ranks [t·nCells, (t+1)·nCells) of the id order.
     val wSeed = Window.orderBy(col("cell").asc)
     val leaves = broadcast(
       c.orderBy(col("id").asc).limit(tables * nCells)
@@ -385,15 +386,24 @@ object Similarity {
       .agg(max_by(col("sid"), struct(
         Vectors.cosineFast(col("centroid"), col("scentroid")).as("__ss"),
         (col("sid") * lit(-1L)).as("__ns"))).as("sid"))
-    val leavesWithSuper = broadcast(
+    Hierarchy(supers, broadcast(
       leaves.select("tbl", "cell", "centroid")
-        .join(leafSuper, Seq("tbl", "cell")))
+        .join(leafSuper, Seq("tbl", "cell"))))
+  }
+
+  /** Assign every row of `c` (id, vec) to its `nProbe` nearest leaves
+    * per table under `hier` — O(n·√nCells): vectors first rank the
+    * broadcast supers (thin window), then only the probed supers'
+    * leaves (thin window), re-attaching the vector payload twice.
+    */
+  private def assignWithHierarchy(c: DataFrame, hier: Hierarchy,
+      nProbe: Int, superProbe: Int): DataFrame = {
     // vector → superProbe nearest supers per table: cosines computed
     // map-side against the broadcast supers; the rank window sees only
     // the THIN (id, tbl, sid, sim) projection — vectors never sort
     val wS = Window.partitionBy(col("id"), col("tbl"))
       .orderBy(col("__ssim").desc, col("sid").asc)
-    val vsup = c.crossJoin(supers)
+    val vsup = c.crossJoin(hier.supers)
       .select(col("id"), col("tbl"), col("sid"),
         Vectors.cosineFast(col("vec"), col("scentroid")).as("__ssim"))
       .withColumn("__rs", row_number().over(wS))
@@ -405,7 +415,7 @@ object Similarity {
     val wL = Window.partitionBy(col("id"), col("tbl"))
       .orderBy(col("__csim").desc, col("cell").asc)
     val kept = c.join(vsup, Seq("id"))
-      .join(leavesWithSuper, Seq("tbl", "sid"))
+      .join(hier.leavesWithSuper, Seq("tbl", "sid"))
       .select(col("id"), col("tbl"), col("cell"),
         Vectors.cosineFast(col("vec"), col("centroid")).as("__csim"))
       .withColumn("__rk", row_number().over(wL))
@@ -414,6 +424,19 @@ object Similarity {
     c.join(kept, Seq("id"))
       .select(col("id"), col("vec"), col("tbl").cast("int").as("table"),
         col("cell"))
+  }
+
+  def multiQuantizerCells(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nProbe: Int, tables: Int,
+      superProbe: Int = 3): DataFrame = {
+    // no internal persist: the hierarchy build and both assignment
+    // stages re-read `df` — callers evaluating this more than once (or
+    // building eagerly for a memo) persist the input themselves and
+    // own its release
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assignWithHierarchy(c, buildHierarchy(c, nCells, tables),
+      nProbe, superProbe)
   }
 
   /** The FLAT corpus×centroid assignment the hierarchical form replaces
@@ -518,6 +541,51 @@ object Similarity {
     }
   }
 
+  /** CROSS-corpus embedding-cosine near-duplicate pairs — the
+    * incremental production shape (a batch of new embeddings against
+    * the at-rest indexed corpus), the vector analogue of
+    * `Dedup.minhashNearDupsCross`: candidates are generated by joining
+    * the INDEX side's cell assignment with the BATCH side's assignment
+    * under the index's OWN two-level quantizer, per (table, cell) —
+    * no within-side pair is ever generated (the index has already been
+    * deduped once; its self-similarity costs nothing here).
+    *
+    * `prebuiltIndexAssigned` — the index's [[multiQuantizerCells]]
+    * session memo (the at-rest inverted list): steady-state batches
+    * pay only the batch assignment (O(|batch|·√nCells)) plus the
+    * banded index×batch equi-join. The batch is assigned with a
+    * hierarchy rebuilt from the index frame — cheap (broadcast seeds)
+    * and identical to the one the memo was built under, since the
+    * hierarchy is a deterministic function of the index's lowest ids.
+    *
+    * Output: (index_id, batch_id, sim) with exact-decimal sims above
+    * `threshold`; the double cosine decides the cut (the v7 split).
+    */
+  def cosineNearDupsIvfCross(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nCells: Int = 32, nProbe: Int = 2, tables: Int = 4,
+      superProbe: Int = 3,
+      prebuiltIndexAssigned: Option[DataFrame] = None): DataFrame = {
+    val ic = graft.Graft.ensureParallelism(index)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bc = graft.Graft.ensureParallelism(batch)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val hier = buildHierarchy(ic, nCells, tables)
+    val iAssigned = prebuiltIndexAssigned.getOrElse(
+      assignWithHierarchy(ic, hier, nProbe, superProbe))
+    val bAssigned = assignWithHierarchy(bc, hier, nProbe, superProbe)
+    val l = iAssigned.as("l")
+    val r = bAssigned.as("r")
+    l.join(r, col("l.table") === col("r.table") &&
+        col("l.cell") === col("r.cell"))
+      .select(col("l.id").as("index_id"), col("r.id").as("batch_id"),
+        col("l.vec").as("v1"), col("r.vec").as("v2"))
+      .distinct()
+      .filter(Vectors.cosineFast(col("v1"), col("v2")) >= threshold)
+      .select(col("index_id"), col("batch_id"),
+        Vectors.cosine(col("v1"), col("v2")).as("sim"))
+  }
+
   /** Mutual-kNN clustering over a [[knnGraph]]: keep edges with
     * `sim ≥ minSim` that appear in BOTH directions (i is in j's top-k
     * AND j is in i's — the standard symmetrization that stops hub
@@ -598,11 +666,14 @@ object Similarity {
     // recall-per-cost than raising nProbe on one table when p is
     // moderate, which is exactly the low-threshold regime.
     // `prebuiltAssigned` (a session memo of [[multiQuantizerCells]])
-    // skips straight to pair generation — the at-rest index split.
+    // skips straight to pair generation — the at-rest index split. The
+    // self-build persist is TRACKED: loop callers (VecStream's
+    // micro-batches) drain it via Graft.cacheScope; one-shot batch
+    // callers keep the plain persist-for-the-query behavior.
     val assigned = prebuiltAssigned.getOrElse {
-      val c = graft.Graft.ensureParallelism(df)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val c = graft.Graft.trackedPersist(
+        graft.Graft.ensureParallelism(df)
+          .select(col(idCol).as("id"), col(vecCol).as("vec")))
       multiQuantizerCells(c, "id", "vec", nCells, nProbe, tables)
     }
     val l = assigned.as("l")

@@ -157,6 +157,28 @@ object VectorSuite {
       }(Graft.releaseTruncated)
   }
 
+  /** Per-(session, dir) memo of the v20 mutual-kNN cluster table —
+    * graph build reads the shared multiDyn assignment, and the
+    * component closure (iterative label propagation, one job per
+    * round) runs ONCE per session: the grouping layer is ingest-time
+    * state exactly like the text side's DedupShared.clusters (x18).
+    */
+  private object GraphClustersShared {
+    import graft.{Graft, SessionMemo}
+    def clusters(s: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+          "knn-graph-clusters-sim0.4") {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count())
+        val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 5,
+          nCells = nc, nProbe = 2, tables = 4,
+          prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
+        Graft.truncate(Similarity.knnGraphClusters(g, minSim = 0.4),
+          eager = true)
+      }(Graft.releaseTruncated)
+  }
+
   /** Per-(session, dir) memo of the residual-encoded IVF-PQ index
     * (IVFADC) v12 reads — coarse centroids + residual codebooks +
     * cell-inline codes, trained/encoded once per session. Codes are
@@ -215,11 +237,18 @@ object VectorSuite {
     */
   private def sqlHierAssigned(tables: Int, nProbe: Int,
       superProbe: Int = 3): String =
+    sqlHierCentroids(tables) + ",\n" +
+      sqlHierAssign(nProbe = nProbe, superProbe = superProbe)
+
+  /** The hierarchy half: ns/ranked/cent/sup/leafmap from `seedSrc`'s
+    * lowest ids (expects a prior `nc(v)` CTE). */
+  private def sqlHierCentroids(tables: Int,
+      seedSrc: String = "embeddings"): String =
     s"""ns AS (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
     |ranked AS (
     |  SELECT vec_id AS cell, embedding AS centroid,
     |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
-    |  FROM embeddings),
+    |  FROM $seedSrc),
     |cent AS (
     |  SELECT CAST(rk // (SELECT v FROM nc) AS BIGINT) AS tbl, cell, centroid,
     |    rk % (SELECT v FROM nc) AS lrk
@@ -232,20 +261,28 @@ object VectorSuite {
     |    SELECT c.tbl, c.cell, s.sid, row_number() OVER (
     |      PARTITION BY c.tbl, c.cell
     |      ORDER BY ${sqlCosD("c.centroid", "s.scentroid")} DESC, s.sid ASC) AS rk
-    |    FROM cent c JOIN sup s ON s.tbl = c.tbl) WHERE rk = 1),
-    |vsup AS (
+    |    FROM cent c JOIN sup s ON s.tbl = c.tbl) WHERE rk = 1)"""
+      .stripMargin
+
+  /** The assignment half: `{prefix}vsup` / `{prefix}assigned` for the
+    * rows of `vecSrc` under the hierarchy CTEs above — the cross/
+    * incremental mirrors assign a batch under the INDEX's hierarchy by
+    * calling this twice with different sources and prefixes. */
+  private def sqlHierAssign(vecSrc: String = "embeddings",
+      prefix: String = "", nProbe: Int, superProbe: Int = 3): String =
+    s"""${prefix}vsup AS (
     |  SELECT vec_id, tbl, sid FROM (
     |    SELECT e.vec_id, s.tbl, s.sid, row_number() OVER (
     |      PARTITION BY e.vec_id, s.tbl
     |      ORDER BY ${sqlCosD("e.embedding", "s.scentroid")} DESC, s.sid ASC) AS rk
-    |    FROM embeddings e CROSS JOIN sup s) WHERE rk <= $superProbe),
-    |assigned AS (
+    |    FROM $vecSrc e CROSS JOIN sup s) WHERE rk <= $superProbe),
+    |${prefix}assigned AS (
     |  SELECT vec_id, vec, tbl, cell FROM (
     |    SELECT e.vec_id, e.embedding AS vec, lm.tbl, lm.cell, row_number() OVER (
     |      PARTITION BY e.vec_id, lm.tbl
     |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, lm.cell ASC) AS rk
-    |    FROM vsup v
-    |    JOIN embeddings e ON e.vec_id = v.vec_id
+    |    FROM ${prefix}vsup v
+    |    JOIN $vecSrc e ON e.vec_id = v.vec_id
     |    JOIN leafmap lm ON lm.tbl = v.tbl AND lm.sid = v.sid
     |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
       .stripMargin
@@ -1054,17 +1091,11 @@ object VectorSuite {
     // semi-join, and closes components with the recursive CTE; cluster
     // membership and sizes hash-match.
     "v20_knn_graph_clusters" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count())
-        val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 5,
-          nCells = nc, nProbe = 2, tables = 4,
-          prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
-        Similarity.knnGraphClusters(g, minSim = 0.4)
+      (s, dir) =>
+        GraphClustersShared.clusters(s, dir)
           .groupBy("canonical_id")
           .agg(count(lit(1)).as("n_members"))
-          .orderBy("canonical_id")
-      },
+          .orderBy("canonical_id"),
       Some(s"""WITH RECURSIVE graph AS (
         |$sqlKnnGraphQuery
         |),
@@ -1088,7 +1119,50 @@ object VectorSuite {
         |ORDER BY canonical_id""".stripMargin),
       "Mutual-kNN clustering over the v15 graph: sim>=0.4 mutual edges " +
         "-> connected components -> per-cluster sizes (the curation " +
-        "grouping layer)")
+        "grouping layer)"),
+
+    // --- cross-corpus incremental near-dups (the x30 shape for vectors) -
+    // The steady-state production question: which NEW embeddings
+    // near-duplicate the at-rest indexed corpus? Candidates join the
+    // index's cell assignment with the batch's assignment under the
+    // INDEX's own two-level quantizer — index-side self-pairs cost
+    // nothing (already deduped once), and a steady-state batch pays
+    // only O(|batch|·√nCells) assignment plus the banded equi-join.
+    // The oracle rebuilds the index hierarchy once and runs the
+    // assignment CTEs twice (index + batch sources), mirroring the
+    // same cross-only pair generation, double-cosine cut, and
+    // exact-decimal re-score.
+    "v21_cosine_neardups_cross" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val idx = emb.filter(col("vec_id") < 400)
+        val bat = emb.filter(col("vec_id") >= 400)
+        val nc = Similarity.cellsFor(idx.count())
+        Similarity.cosineNearDupsIvfCross(idx, bat, "vec_id", "embedding",
+            threshold = 0.4, nCells = nc, nProbe = 2, tables = 4)
+          .orderBy("index_id", "batch_id")
+      },
+      Some(s"""WITH idx AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |bat AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+        |nc AS (
+        |  SELECT GREATEST(32, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS v
+        |  FROM idx),
+        |${sqlHierCentroids(tables = 4, seedSrc = "idx")},
+        |${sqlHierAssign(vecSrc = "idx", prefix = "i", nProbe = 2)},
+        |${sqlHierAssign(vecSrc = "bat", prefix = "b", nProbe = 2)},
+        |pairs AS (
+        |  SELECT DISTINCT l.vec_id AS index_id, r.vec_id AS batch_id,
+        |    l.vec AS v1, r.vec AS v2
+        |  FROM iassigned l JOIN bassigned r
+        |    ON l.tbl = r.tbl AND l.cell = r.cell)
+        |SELECT index_id, batch_id, ${sqlCos("v1", "v2")} AS sim
+        |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
+        |ORDER BY index_id, batch_id""".stripMargin),
+      "Cross-corpus incremental embedding near-dups: batch assigned " +
+        "under the index's two-level quantizer, index x batch cell " +
+        "join only — no within-side pairs")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
 import graft.operators.Multimodal
-import graft.streaming.{DocStream, EventStream}
+import graft.streaming.{DocStream, EventStream, VecStream}
 
 /** Streaming (file source → watermark window agg → memory sink) and
   * multimodal plumbing tests.
@@ -419,6 +419,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       "ingestBatch must release its own operator-internal persists " +
         "(minhash shingle sets/signatures) at scope exit")
     bystander.unpersist(false)
+    // (VecStream's vector twin of this loop is specced separately below)
     // same replay under RELIABLE checkpointing (the preemptible-cluster
     // conf): the ingest's pre-write materialization must route through
     // checkpoint() and still leave both sinks unchanged
@@ -433,5 +434,63 @@ class StreamingMultimodalSpec extends SparkSpec {
         new java.io.File(ckDir).listFiles.nonEmpty,
         "reliable mode must write checkpoint files under the conf dir")
     } finally spark.conf.unset("graft.checkpoint.dir")
+  }
+
+  test("VecStream.nearDupIngest: vector twin — canonicals, cross-batch quarantine, replay") {
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("vdi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("vdi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("vdi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vdi_ckpt").toString
+    def axis(i: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; if (eps != 0f) a((i + 1) % 64) = eps
+      a
+    }
+    def stage(name: String, rows: Seq[(Long, Array[Float], Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("vdi_stage")
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // batch 0: vectors 1/2 near-identical (cos ~0.9999), 3 orthogonal
+    stage("a.parquet", Seq(
+      (1L, axis(0), 0L), (2L, axis(0, 0.01f), 0L), (3L, axis(7), 1L)))
+    val q = VecStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, threshold = 0.9)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("vec_id").as[Long].collect().toSet
+      assert(idx1 == Set(1L, 3L), s"batch-0 index: $idx1")
+      // batch 1: vector 10 near-dups INDEXED vector 1; 11 is novel
+      stage("b.parquet", Seq(
+        (10L, axis(0, 0.02f), 0L), (11L, axis(23), 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("vec_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("vec_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(1L, 3L, 11L), s"final index: $idx")
+    assert(quar == Set(
+      (2L, 1L, "within_batch"), (10L, 1L, "index_near_dup")),
+      s"quarantine: $quar")
+    val sim = spark.read.parquet(quarDir)
+      .filter(col("vec_id") === 10L).select("sim").as[Double].collect()(0)
+    assert(sim >= 0.9, s"cross-batch match sim $sim")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (11L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(VecStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    VecStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      threshold = 0.9)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
 }
