@@ -328,7 +328,8 @@ object VectorSuite {
     "v8_ivf_kmeans_topk", "v10_semantic_dedup", "v11_pq_adc_topk",
     "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
     "v17_ann_recall_audit", "v18_pq_recall_audit",
-    "v19_ivfpq_recall_audit", "v20_knn_graph_clusters")
+    "v19_ivfpq_recall_audit", "v20_knn_graph_clusters",
+    "v22_filtered_ivf_topk")
 
   val queries: Map[String, Q] = Map(
 
@@ -1163,6 +1164,57 @@ object VectorSuite {
       "Cross-corpus incremental embedding near-dups: batch assigned " +
         "under the index's two-level quantizer, index x batch cell " +
         "join only — no within-side pairs")
+
+    ,
+    // --- attribute-filtered IVF ANN (v16 at index scale) ---------------
+    // v16 filters then scans exactly; at selectivities where the
+    // qualifying slice still needs an index, the predicate composes
+    // with the inverted list instead: the at-rest cell assignment
+    // CARRIES the filter column, the predicate prunes the assigned
+    // list BEFORE the probe join, and scoring touches only qualifying
+    // members of probed cells. Same shared seed16 cells memo as v6 —
+    // the filter is a view over the index, not a second index.
+    "v22_filtered_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val labeled = CellsShared.seed16(s, dir)
+          .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+          .filter(col("label") === 2)
+          .select("id", "vec", "cell")
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = 16, nProbe = 3, exact = true,
+            prebuiltCells = Some(labeled))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+        |  ORDER BY vec_id ASC LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, cvec, cell, label FROM (
+        |    SELECT e.vec_id, e.embedding AS cvec, e.label, c.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
+        |      PARTITION BY qq.vec_id
+        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
+        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell
+        |  WHERE qid <> a.vec_id AND a.label = 2),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
+      "Attribute-filtered IVF ANN: the predicate prunes the at-rest " +
+        "cell assignment before the probe join — filter composed with " +
+        "the index, not a rescan")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
