@@ -729,29 +729,50 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16,
       prebuiltCells: Option[DataFrame] = None): DataFrame = {
+    val sims = semanticSims(df, idCol, vecCol, nCells, prebuiltCells)
+    val drops = semanticDropsFromSims(sims, threshold)
+    sims.join(drops, col("id") === col("drop_id"), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+      .join(sims.groupBy("cell").agg(count(lit(1)).as("n_members")), "cell")
+      .select(col("cell"), col("n_members"),
+        (col("n_members") - col("n_kept")).as("n_dropped"), col("n_kept"))
+  }
+
+  /** The SemDeDup DROP SET alone — (drop_id) for every vector the
+    * keep-rule eliminates. The apply-side primitive: curation pipelines
+    * anti-join it (the x38 composition), where [[semanticDedup]]
+    * reports the per-cell summary.
+    */
+  def semanticDropIds(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16,
+      prebuiltCells: Option[DataFrame] = None): DataFrame =
+    semanticDropsFromSims(
+      semanticSims(df, idCol, vecCol, nCells, prebuiltCells), threshold)
+
+  private def semanticSims(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, prebuiltCells: Option[DataFrame]): DataFrame = {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = lowestIdCentroids(c, "id", "vec", nCells)
-    val sims = prebuiltCells.getOrElse(
+    prebuiltCells.getOrElse(
         multiQuantizerCells(c, "id", "vec", nCells, nProbe = 1, tables = 1)
           .select("id", "vec", "cell"))
       .join(centroids, "cell")
       .select(col("id"), col("vec"), col("cell"),
         Vectors.cosineFast(col("vec"), col("centroid")).as("centsim"))
+  }
+
+  private def semanticDropsFromSims(sims: DataFrame,
+      threshold: Double): DataFrame = {
     val l = sims.as("l")
     val r = sims.as("r")
-    val drops = l.join(r, col("l.cell") === col("r.cell") &&
+    l.join(r, col("l.cell") === col("r.cell") &&
         col("l.id") < col("r.id"))
       .filter(Vectors.cosineFast(col("l.vec"), col("r.vec")) >= threshold)
       .select(when(col("l.centsim") > col("r.centsim") ||
           (col("l.centsim") === col("r.centsim") && col("l.id") > col("r.id")),
           col("l.id")).otherwise(col("r.id")).as("drop_id"))
       .distinct()
-    sims.join(drops, col("id") === col("drop_id"), "left_anti")
-      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
-      .join(sims.groupBy("cell").agg(count(lit(1)).as("n_members")), "cell")
-      .select(col("cell"), col("n_members"),
-        (col("n_members") - col("n_kept")).as("n_dropped"), col("n_kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` within the

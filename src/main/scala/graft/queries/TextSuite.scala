@@ -77,7 +77,7 @@ object TextSuite {
     */
   val memoShared: Set[String] = Set(
     "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
-    "x28_dedup_apply")
+    "x28_dedup_apply", "x38_curation_pipeline")
 
   val queries: Map[String, Q] = Map(
 
@@ -1561,7 +1561,98 @@ object TextSuite {
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
       "Keep-first exact-substring dedup apply: globally-first window " +
-        "occurrence survives, later occurrences' token ranges stripped")
+        "occurrence survives, later occurrences' token ranges stripped"),
+
+    // --- the end-to-end CROSS-MODAL curation pipeline --------------------
+    // What a training-data pipeline actually ships per document: one
+    // keep/drop decision with its reason, composing three independent
+    // gates over both modalities —
+    //   near_dup:    x18's MinHash cluster losers (text);
+    //   sem_dup:     v10's SemDeDup drop set (embeddings, joined on
+    //                doc_id = vec_id; docs without an embedding can't
+    //                be semantically deduped and pass this gate);
+    //   low_quality: x21's Gopher-style composite filter (text).
+    // Reason precedence is declared (near_dup > sem_dup > low_quality —
+    // dedup drops are cheaper to re-derive than quality drops are to
+    // re-audit, so the most-load-bearing label wins). All three gates
+    // reuse their suite's shared session state (DedupShared clusters,
+    // hierDyn cells); the oracle composes the same three mirrors —
+    // recursive-CTE components, the v10 drop CTEs, the x21 quality
+    // expressions — and replays the identical precedence CASE.
+    "x38_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val losers = DedupShared.clusters(s, dir)
+          .filter(col("canonical_id") =!= col("member_id"))
+          .select(col("member_id").as("doc_id"),
+            lit(true).as("is_near_dup"))
+        val sem = graft.queries.VectorSuite.semDrops(s, dir)
+          .select(col("drop_id").as("doc_id"), lit(true).as("is_sem_dup"))
+        val toks = Text.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val meanLen = length(regexp_replace(col("text"), "\\s", ""))
+          .cast("double") / greatest(n, lit(1L)).cast("double")
+        val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("double") / greatest(n, lit(1L)).cast("double")
+        val stop = Text.stopwordCount(col("text"))
+        val qualityOk = n.between(30L, 100000L) &&
+          meanLen.between(3.0, 10.0) && alphaFrac > 0.7 && stop >= 2L
+        val reason = when(col("is_near_dup"), "near_dup")
+          .when(col("is_sem_dup"), "sem_dup")
+          .when(!col("quality_ok"), "low_quality")
+          .otherwise("kept")
+        docs.select(col("doc_id"), qualityOk.as("quality_ok"))
+          .join(losers, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"), reason.as("reason"))
+          .withColumn("keep", col("reason") === "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        |${sqlExactJaccardPairsBody(0.5)}
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |canon AS (
+        |  SELECT a AS member_id, LEAST(a, MIN(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |losers AS (
+        |  SELECT member_id FROM canon WHERE member_id <> canonical_id),
+        |${graft.queries.VectorSuite.sqlSemDropsCtes},
+        |qual AS (
+        |  SELECT doc_id,
+        |    (n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        |      AND alpha_frac > 0.7 AND n_stop >= 2) AS ok
+        |  FROM (
+        |    SELECT doc_id,
+        |      len($sqlTokens) AS n,
+        |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        |        / greatest(len($sqlTokens), 1) AS mean_len,
+        |      CAST(len(list_filter($sqlTokens, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |        / greatest(len($sqlTokens), 1) AS alpha_frac,
+        |      ${sqlCountIn(Text.stopwords)} AS n_stop
+        |    FROM documents)),
+        |decided AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN l.member_id IS NOT NULL THEN 'near_dup'
+        |         WHEN dr.drop_id IS NOT NULL THEN 'sem_dup'
+        |         WHEN NOT q.ok THEN 'low_quality'
+        |         ELSE 'kept' END AS reason
+        |  FROM documents d
+        |  LEFT JOIN losers l ON l.member_id = d.doc_id
+        |  LEFT JOIN drops dr ON dr.drop_id = d.doc_id
+        |  LEFT JOIN qual q ON q.doc_id = d.doc_id)
+        |SELECT doc_id, reason, (reason = 'kept') AS keep
+        |FROM decided ORDER BY doc_id""".stripMargin),
+      "End-to-end cross-modal curation: one keep/drop decision per doc " +
+        "with declared reason precedence (near_dup > sem_dup > " +
+        "low_quality), composing x18 clusters, v10 SemDeDup drops, and " +
+        "the x21 quality gate")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

@@ -287,6 +287,39 @@ object VectorSuite {
     |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
       .stripMargin
 
+  /** The v10 SemDeDup DROP SET, exposed for cross-suite composition
+    * (x38's curation pipeline): the same shared hierDyn cells memo and
+    * the same drop rule, as (drop_id) rows.
+    */
+  private[queries] def semDrops(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val nc = Similarity.cellsFor(emb.count(), cellSize = 128, minCells = 16)
+    Similarity.semanticDropIds(emb, "vec_id", "embedding",
+      threshold = 0.4, nCells = nc,
+      prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
+  }
+
+  /** The v10 mirror through its `drops` CTE (nc → hierarchy → sims →
+    * drops), for embedding in cross-suite oracles. Emits CTEs only —
+    * no leading WITH, no final SELECT.
+    */
+  private[queries] def sqlSemDropsCtes: String =
+    s"""nc AS (
+    |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+    |  FROM embeddings),
+    |${sqlHierCentroids(tables = 1)},
+    |${sqlHierAssign(nProbe = 1)},
+    |sims AS (
+    |  SELECT a.vec_id, a.vec, a.cell, ${sqlCosD("a.vec", "c.centroid")} AS centsim
+    |  FROM assigned a JOIN cent c ON a.cell = c.cell),
+    |drops AS (
+    |  SELECT DISTINCT CASE WHEN l.centsim > r.centsim
+    |      OR (l.centsim = r.centsim AND l.vec_id > r.vec_id)
+    |    THEN l.vec_id ELSE r.vec_id END AS drop_id
+    |  FROM sims l JOIN sims r ON l.cell = r.cell AND l.vec_id < r.vec_id
+    |  WHERE ${sqlCosD("l.vec", "r.vec")} >= 0.4)""".stripMargin
+
   /** The full v15 kNN-graph mirror (two-level assignment + per-cell
     * candidates + double-cosine ranking + exact re-score) — also
     * embedded whole as the `graph` CTE of the v20 clustering oracle.
