@@ -1652,7 +1652,65 @@ object TextSuite {
       "End-to-end cross-modal curation: one keep/drop decision per doc " +
         "with declared reason precedence (near_dup > sem_dup > " +
         "low_quality), composing x18 clusters, v10 SemDeDup drops, and " +
-        "the x21 quality gate")
+        "the x21 quality gate"),
+
+    // --- eval decontamination APPLIED (the x12 report's apply side) -----
+    // The GPT-3/Llama practice: before training, REMOVE every train
+    // document sharing >= minShared df-capped shingles with any eval
+    // document — x12 reports the contaminated pairs; this ships the
+    // decontaminated corpus. Same operator (crossCorpusOverlap: train
+    // side exploded + df-capped, eval side broadcastable, count-distinct
+    // per pair — never an all-pairs product), train/eval split by the
+    // x12 rule (doc_id % 29). Output: per-language train size, removed
+    // count, and surviving token budget.
+    "x39_decontaminate_apply" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val evalSet = docs.filter(col("doc_id") % 29 === 0)
+        val train = docs.filter(col("doc_id") % 29 =!= 0)
+        val removed = graft.operators.Dedup.crossCorpusOverlap(
+            train, evalSet, "doc_id", "text",
+            shingleSize = 3, minShared = 3, maxDocFreq = 100)
+          .select(col("train_id").as("doc_id")).distinct()
+          .withColumn("rm", lit(true))
+        train.join(removed, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("rm").isNull, Text.tokenCount(col("text")))
+              .otherwise(0L)).as("n_tokens_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH train AS (
+        |  SELECT * FROM documents WHERE doc_id % 29 <> 0),
+        |ev AS (
+        |  SELECT * FROM documents WHERE doc_id % 29 = 0),
+        |tsets AS (
+        |  SELECT doc_id AS id, unnest(list_distinct($sqlShingles3)) AS sh
+        |  FROM train),
+        |capped AS (
+        |  SELECT id, sh FROM (
+        |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM tsets)
+        |  WHERE df <= 100),
+        |esets AS (
+        |  SELECT doc_id AS eval_id, unnest(list_distinct($sqlShingles3)) AS sh
+        |  FROM ev),
+        |shared AS (
+        |  SELECT e.eval_id, t.id, COUNT(*) AS n_shared
+        |  FROM capped t JOIN esets e ON t.sh = e.sh
+        |  WHERE t.id <> e.eval_id
+        |  GROUP BY e.eval_id, t.id HAVING COUNT(*) >= 3),
+        |removed AS (SELECT DISTINCT id AS doc_id FROM shared)
+        |SELECT d.lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN len($sqlTokens) ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_kept
+        |FROM train d LEFT JOIN removed r USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      "Eval decontamination applied: train docs sharing >=3 df-capped " +
+        "shingles with any eval doc are dropped before training — " +
+        "per-language survivors and token budget")
   )
 
   /** Exact 3-token-shingle Jaccard pairs >= threshold over the full

@@ -362,7 +362,7 @@ object VectorSuite {
     "v12_ivfpq_topk", "v13_pq_refine_topk", "v15_knn_graph",
     "v17_ann_recall_audit", "v18_pq_recall_audit",
     "v19_ivfpq_recall_audit", "v20_knn_graph_clusters",
-    "v22_filtered_ivf_topk")
+    "v22_filtered_ivf_topk", "v23_knn_label_audit")
 
   val queries: Map[String, Q] = Map(
 
@@ -1247,7 +1247,71 @@ object VectorSuite {
         |ORDER BY qid, rn""".stripMargin),
       "Attribute-filtered IVF ANN: the predicate prunes the at-rest " +
         "cell assignment before the probe join — filter composed with " +
-        "the index, not a rescan")
+        "the index, not a rescan"),
+
+    // --- kNN label audit (classifier-style curation over the graph) ----
+    // The other thing a kNN graph is for: label QUALITY. Every row's
+    // predicted label is the similarity-weighted majority of its 5
+    // graph neighbors; rows whose neighbors outvote their own label are
+    // the mislabeled/boundary candidates a curation pass reviews. Vote
+    // weights are the exact sims quantized to the integer 2⁻²⁰ grid
+    // (the ADC pattern), so the per-(row, label) vote sums are exact
+    // BIGINT arithmetic — deterministic under any partitioning and
+    // bit-replicable in the oracle, where a cross-row double sum would
+    // not be. Ties → lowest label. Reads the same v15 graph dataflow
+    // (shared multiDyn assignment memo).
+    "v23_knn_label_audit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count())
+        val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 5,
+          nCells = nc, nProbe = 2, tables = 4,
+          prebuiltAssigned = Some(CellsShared.multiDyn(s, dir, nc)))
+        val votes = g
+          .join(emb.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), "nid")
+          .withColumn("w", floor(col("sim") * lit(1048576d)).cast("long"))
+          .groupBy("qid", "nlabel")
+          .agg(sum(col("w")).as("wsum"), count(lit(1)).as("nv"))
+        val pred = votes.groupBy("qid")
+          .agg(max_by(col("nlabel"),
+              struct(col("wsum"), (col("nlabel") * lit(-1L)).as("__nl")))
+            .as("pred_label"),
+            sum(col("nv")).as("n_neighbors"))
+        emb.select(col("vec_id").as("qid"), col("label").as("own_label"))
+          .join(pred, Seq("qid"), "left")
+          .select(col("qid"), col("own_label"),
+            coalesce(col("pred_label"), lit(-1L)).as("pred_label"),
+            coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+            (coalesce(col("pred_label"), lit(-1L)) === col("own_label"))
+              .as("agree"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH graph AS (
+        |$sqlKnnGraphQuery
+        |),
+        |votes AS (
+        |  SELECT g.qid, e.label AS nlabel,
+        |    CAST(SUM(CAST(FLOOR(g.sim * 1048576) AS BIGINT)) AS BIGINT) AS wsum,
+        |    COUNT(*) AS nv
+        |  FROM graph g JOIN embeddings e ON e.vec_id = g.nid
+        |  GROUP BY g.qid, e.label),
+        |pred AS (
+        |  SELECT qid, nlabel AS pred_label, nn AS n_neighbors FROM (
+        |    SELECT qid, nlabel,
+        |      CAST(SUM(nv) OVER (PARTITION BY qid) AS BIGINT) AS nn,
+        |      row_number() OVER (
+        |        PARTITION BY qid ORDER BY wsum DESC, nlabel ASC) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT q.vec_id AS qid, q.label AS own_label,
+        |  COALESCE(p.pred_label, -1) AS pred_label,
+        |  CAST(COALESCE(p.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+        |  (COALESCE(p.pred_label, -1) = q.label) AS agree
+        |FROM embeddings q LEFT JOIN pred p ON p.qid = q.vec_id
+        |ORDER BY qid""".stripMargin),
+      "kNN label audit: similarity-weighted neighbor majority vs own " +
+        "label (integer-grid vote sums) — the mislabel/boundary " +
+        "curation signal over the v15 graph")
   )
 
   // ---- shared DuckDB mirrors of the PQ pipeline (v11/v12/v13) ----------
