@@ -315,6 +315,53 @@ object EventSuite {
         |LEFT JOIN p ON p.user_id = v.user_id
         |ORDER BY v.user_id""".stripMargin),
       "Strict-order funnel view→click→purchase: chained first-match " +
-        "min-aggregations, per-stage user_id shuffles only")
+        "min-aggregations, per-stage user_id shuffles only"),
+
+    // --- cohort retention ----------------------------------------------
+    // The standard product-analytics matrix: users cohorted by their
+    // first-event day, retention = distinct users active exactly
+    // `day_offset` days later, as a fraction of cohort size. Two
+    // partial-aggregating groupBys (first-day per user, then
+    // (cohort, offset)) and one user_id equi-join — every shuffle keyed,
+    // nothing quadratic, cohort table broadcastable at any event scale.
+    "e11_cohort_retention" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstDay = ev.groupBy("user_id")
+          .agg(min(col("d")).as("cohort_d"))
+        val cohortSize = firstDay.groupBy("cohort_d")
+          .agg(count(lit(1)).as("cohort_size"))
+        val act = ev.distinct()
+        act.join(firstDay, Seq("user_id"))
+          .groupBy(col("cohort_d"),
+            datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .join(cohortSize, Seq("cohort_d"))
+          .select(col("cohort_d"), col("day_offset"), col("n_users"),
+            col("cohort_size"),
+            (col("n_users").cast("double") /
+              col("cohort_size").cast("double")).as("retention"))
+          .orderBy("cohort_d", "day_offset")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |fd AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id),
+        |cs AS (SELECT cohort_d, COUNT(*) AS cohort_size FROM fd GROUP BY cohort_d),
+        |act AS (SELECT DISTINCT user_id, d FROM ev),
+        |r AS (
+        |  SELECT f.cohort_d,
+        |    CAST(date_diff('day', f.cohort_d, a.d) AS BIGINT) AS day_offset,
+        |    COUNT(DISTINCT a.user_id) AS n_users
+        |  FROM act a JOIN fd f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_d, r.day_offset,
+        |  CAST(r.n_users AS BIGINT) AS n_users,
+        |  CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(r.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+        |FROM r JOIN cs USING (cohort_d)
+        |ORDER BY cohort_d, day_offset""".stripMargin),
+      "Cohort retention matrix: first-event-day cohorts x day offset, " +
+        "distinct-active over cohort size")
   )
 }
