@@ -94,7 +94,10 @@ object Bench {
     // corpus multipliers with growth ratios — a scale regression shows
     // up as a ratio diff between rounds, not archaeology. Time-gated so
     // the bench JSON line always lands inside the driver's patience.
-    val scaleEnabled = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1"
+    // same sf0.1-dir guard as the sf1 section: the probes multiply the
+    // corpus 16x, which only fits the driver's patience at the primary SF
+    val scaleEnabled = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1" &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
     if (scaleEnabled && (System.nanoTime() - t0) / 1e9 < budget - 100)
       try {
         val json = graft.tools.ScaleStress.probeJson(spark, sfDir)

@@ -64,28 +64,41 @@ object SessionMemo {
     * role is played by a snapshot/commit id in the key.
     *
     * The recursive walk is NOT paid per lookup: its result is cached
-    * behind a SHALLOW signature — the path's own (mtime, size) plus each
-    * direct child's (name, mtime, size), one directory listing — and
-    * only re-walked when that signature changes. Any write layout Spark
-    * produces moves the shallow signature: flat tables change child file
-    * entries directly, and partitioned tables change a partition
-    * directory's own mtime when files inside it are created/replaced
-    * (POSIX bumps a directory's mtime on entry create/delete/rename).
-    * So a many-thousand-file table costs one O(direct-entries) listing
-    * per lookup instead of an O(files) stat storm.
+    * behind a SHALLOW signature — the path's own (mtime, size) plus
+    * each direct child's (name, mtime, size), ONE directory listing —
+    * and re-walked when that signature changes OR when the cached walk
+    * is older than [[FpWalkTtlMillis]]. The shallow signature alone
+    * catches every flat-table rewrite and every single-level-partition
+    * change immediately (POSIX bumps a directory's mtime on entry
+    * create/delete/rename); a change buried ≥2 directory levels down
+    * (a multi-level-partitioned table) moves no direct-child entry, so
+    * the TTL bounds its staleness at a few seconds instead of forever.
+    * Net cost: one O(direct-entries) listing per lookup, one O(files)
+    * walk per table per TTL window — not per query.
     */
   def fingerprint(path: String): String = {
     val sh = shallowSignature(path)
+    val now = System.currentTimeMillis()
     val cur = fpCache.get(path)
-    if (cur != null && cur._1 == sh) cur._2
+    if (cur != null && cur.shallow == sh && now - cur.walkedAt < FpWalkTtlMillis)
+      cur.fp
     else {
       val fp = deepFingerprint(path)
-      fpCache.put(path, (sh, fp))
+      fpCache.put(path, FpEntry(sh, fp, now))
       fp
     }
   }
 
-  private val fpCache = new ConcurrentHashMap[String, (String, String)]()
+  /** Upper bound on how long a cached deep fingerprint may be served
+    * without re-walking (the staleness bound for changes the shallow
+    * signature cannot see — ≥2 levels below the table root).
+    */
+  private final val FpWalkTtlMillis = 10000L
+
+  private final case class FpEntry(shallow: String, fp: String,
+      walkedAt: Long)
+
+  private val fpCache = new ConcurrentHashMap[String, FpEntry]()
 
   /** Deep-walk count — spec hook asserting lookups with unchanged data
     * do not re-walk the tree.

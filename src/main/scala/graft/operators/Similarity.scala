@@ -522,7 +522,11 @@ object Similarity {
       .select(col("l.id").as("qid"), col("r.id").as("nid"),
         Vectors.cosineFast(col("l.vec"), col("r.vec")).as("simd"))
       .groupBy("qid", "nid").agg(min(col("simd")).as("simd"))
-    val corp = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // self-build: reuse the persisted projection for the exact re-score
+    // joins (a fresh df.select would not canonicalize to the cached
+    // repartitioned plan and would rescan the source)
+    val corp = owned.getOrElse(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val w = Window.partitionBy("qid").orderBy(col("simd").desc, col("nid").asc)
     val ranked = cands.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= topK)

@@ -100,8 +100,10 @@ object VectorSuite {
     *     (SemDeDup cells);
     *   - `kmeans16`: the same corpus under the Lloyd-refined quantizer —
     *     v8's corpus side (probes still assign per query);
-    *   - `multi32x4`: the 4-table nProbe-2 blocking assignment v7 pairs
-    *     over.
+    *   - `multiDyn`: the 4-table nProbe-2 two-level blocking assignment
+    *     v7/v15/v23 pair over, keyed by the corpus-scaled nCells;
+    *   - `hierDyn`: the single-table keep-1 two-level assignment v10's
+    *     SemDeDup cells read.
     */
   private object CellsShared {
     import graft.{Graft, SessionMemo}

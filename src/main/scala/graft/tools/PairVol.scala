@@ -2,10 +2,16 @@ package graft.tools
 import graft.Graft
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
+/** Contrast the two-level vs flat multi-table assignment for candidate
+  * PAIR volume and per-cell skew at the declared v7/v15 parameters —
+  * the measurement behind the hier-assignment recall/cost notes.
+  * Usage: runMain graft.tools.PairVol [sfDir]
+  */
 object PairVol {
   def main(args: Array[String]): Unit = {
     val spark = Graft.session()
-    val emb = Graft.table(spark, "/root/testdata/sf0.1", "embeddings")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val emb = Graft.table(spark, sfDir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
     val nc = Similarity.cellsFor(emb.count())

@@ -24,12 +24,13 @@ object ProfileIvfRecall {
       val gotH = pairs(Similarity.cosineNearDupsIvf(
         emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
         tables = tables))
-      val gotH3 = pairs(Similarity.cosineNearDupsIvf(
+      // the cheaper superProbe=2 rung (self-build defaults to 3)
+      val gotH2 = pairs(Similarity.cosineNearDupsIvf(
         emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
         tables = tables,
         prebuiltAssigned = Some(Similarity.multiQuantizerCells(
           emb, "vec_id", "embedding", cells, probe, tables,
-          superProbe = 3))))
+          superProbe = 2))))
       val gotF = pairs(Similarity.cosineNearDupsIvf(
         emb, "vec_id", "embedding", 0.4, nCells = cells, nProbe = probe,
         tables = tables,
@@ -39,7 +40,7 @@ object ProfileIvfRecall {
         got.intersect(exact).size.toDouble / exact.size
       val ratio = tables.toDouble * probe * probe / cells
       println(f"[ivf-recall] T=$tables nCells=$cells%3d nProbe=$probe  " +
-        f"recallHier=${rec(gotH)}%.3f recallHierSp3=${rec(gotH3)}%.3f " +
+        f"recallHierSp3=${rec(gotH)}%.3f recallHierSp2=${rec(gotH2)}%.3f " +
         f"recallFlat=${rec(gotF)}%.3f  " +
         f"pairGenCostRatio=$ratio%.2f  pairsH=${gotH.size} pairsF=${gotF.size}")
       spark.catalog.clearCache()
