@@ -666,6 +666,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("multiQuantizerCells invariants: per-(row, table) probe count, leaf membership, cellsFor rule") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val nCells = 16; val nProbe = 2; val tables = 3
+    val a = Similarity.multiQuantizerCells(emb, "vec_id", "embedding",
+      nCells, nProbe, tables).collect()
+    val n = emb.count()
+    // every (row, table) appears with EXACTLY nProbe distinct cells
+    // (corpus >> tables·nCells here, so no table runs short of leaves)
+    val byRowTable = a.groupBy(r => (r.getLong(0), r.getInt(2)))
+    assert(byRowTable.size == n * tables)
+    byRowTable.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).distinct.length == nProbe)
+    }
+    // cell labels are ids from the table's own leaf seed range:
+    // ranks [t*nCells, (t+1)*nCells) of the id order = ids t*16..t*16+15
+    // (embeddings ids are dense from 0 in this fixture)
+    a.foreach { r =>
+      val (t, cell) = (r.getInt(2), r.getLong(3))
+      assert(cell >= t * nCells && cell < (t + 1) * nCells,
+        s"cell $cell outside table $t's leaf range")
+    }
+    // the cellsFor rule: pinned floor, then ceil(n/cellSize)
+    assert(Similarity.cellsFor(100) == 32)
+    assert(Similarity.cellsFor(20000) == 313)
+    assert(Similarity.cellsFor(1000, cellSize = 128, minCells = 16) == 16)
+    assert(Similarity.cellsFor(100000, cellSize = 128, minCells = 16) == 782)
+  }
+
   test("knnGraphClusters: mutual filter breaks hub chaining; components close chains") {
     // Geometry: a "hub" h at the bisector of two tight groups A={1,2}
     // and B={5,6}. With topK=1 every A/B member picks its own partner,
