@@ -71,10 +71,31 @@ object MultimodalSuite {
     }
   }
 
-  /** Queries reading the per-session ChunkShared memo (see Bench's
-    * memo_shared disclosure).
+  /** Per-session memo of the media near-dup CLUSTER table (m4 pairs →
+    * connected components): the pair generation + label propagation run
+    * once per session, m5 reads the at-rest grouping — the same
+    * ingest/query split as the text side's DedupShared.clusters.
     */
-  val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups")
+  private object MediaClustersShared {
+    import graft.{Graft, SessionMemo}
+    def clusters(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath,
+          "m4-clusters") {
+        val pairs = graft.operators.Dedup.minhashNearDups(
+          ChunkShared.table(s), "doc_id", "chunks",
+          k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
+        Graft.truncate(graft.operators.Dedup.dupClusters(pairs),
+          eager = true)
+      }(Graft.releaseTruncated)
+    }
+  }
+
+  /** Queries reading the per-session ChunkShared / MediaClustersShared
+    * memos (see Bench's memo_shared disclosure).
+    */
+  val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
+    "m5_media_dedup_clusters")
 
   val queries: Map[String, Q] = Map(
 
@@ -162,30 +183,61 @@ object MultimodalSuite {
             "chunks", k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
           .orderBy("id1", "id2")
       },
-      Some(s"""WITH base AS (
-        |  SELECT asset_id AS id, hex(media) AS hx FROM $A),
-        |un AS (
-        |  SELECT id, hx FROM base
-        |  UNION ALL
-        |  SELECT id + 10000, repeat('0', 2048) || substr(hx, 2049)
-        |  FROM base WHERE id < 64),
-        |sets AS (
-        |  SELECT id, unnest(list_distinct(list_transform(
-        |    range(0, (length(hx) + 2047) // 2048),
-        |    i -> md5(substr(hx, CAST(i * 2048 + 1 AS INT), 2048))))) AS sh
-        |  FROM un),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
-        |common AS (
-        |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
-        |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
-        |  GROUP BY l.id, r.id)
-        |SELECT common.id1 AS id1, common.id2 AS id2,
-        |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
-        |FROM common
-        |JOIN sizes s1 ON s1.id = common.id1
-        |JOIN sizes s2 ON s2.id = common.id2
-        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
-        |ORDER BY id1, id2""".stripMargin),
+      Some(sqlM4Pairs + "\nORDER BY id1, id2"),
       "Multimodal near-dup: 1 KiB chunk md5 fingerprints -> MinHash+LSH " +
-        "over fingerprint sets; exact-Jaccard oracle on the same planted corpus"))
+        "over fingerprint sets; exact-Jaccard oracle on the same planted corpus"),
+
+    // --- media near-dup CLUSTERS (the x18 step for the media pipeline) -
+    // Pairs alone under-dedup when near-dup relations chain; the
+    // shippable media artifact is the component table: (canonical_id,
+    // member_id) with a min-id canonical per group, closed by the same
+    // pointer-jumping label propagation as the text side and memoized
+    // per session (pair generation + closure run once; m5 reads the
+    // at-rest grouping). The oracle embeds m4's exact-Jaccard pair
+    // query whole and closes it with the recursive CTE.
+    "m5_media_dedup_clusters" -> Q(
+      (s, _) => MediaClustersShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |$sqlM4Pairs
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Media near-dup clustering: chunk-fingerprint MinHash pairs -> " +
+        "connected components with min-id canonicals (the media " +
+        "analogue of x18)"))
+
+  /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
+  private def sqlM4Pairs: String =
+    s"""WITH base AS (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $A),
+    |un AS (
+    |  SELECT id, hx FROM base
+    |  UNION ALL
+    |  SELECT id + 10000, repeat('0', 2048) || substr(hx, 2049)
+    |  FROM base WHERE id < 64),
+    |sets AS (
+    |  SELECT id, unnest(list_distinct(list_transform(
+    |    range(0, (length(hx) + 2047) // 2048),
+    |    i -> md5(substr(hx, CAST(i * 2048 + 1 AS INT), 2048))))) AS sh
+    |  FROM un),
+    |sizes AS (SELECT id, COUNT(*) AS sz FROM sets GROUP BY id),
+    |common AS (
+    |  SELECT l.id AS id1, r.id AS id2, COUNT(*) AS inter
+    |  FROM sets l JOIN sets r ON l.sh = r.sh AND l.id < r.id
+    |  GROUP BY l.id, r.id)
+    |SELECT common.id1 AS id1, common.id2 AS id2,
+    |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+    |FROM common
+    |JOIN sizes s1 ON s1.id = common.id1
+    |JOIN sizes s2 ON s2.id = common.id2
+    |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5""".stripMargin
 }

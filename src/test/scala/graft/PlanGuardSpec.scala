@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkSpec {
   private val constructionRunsJobs = Set(
     "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
     "x28_dedup_apply", "x29_bloom_incremental", "v8_ivf_kmeans_topk",
-    "v20_knn_graph_clusters", "x38_curation_pipeline")
+    "v20_knn_graph_clusters", "x38_curation_pipeline",
+    "m5_media_dedup_clusters")
 
   // bounded exceptions the TREE cannot prove (cardinality facts, not
   // plan-node facts):
