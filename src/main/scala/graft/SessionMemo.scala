@@ -91,9 +91,11 @@ object SessionMemo {
 
   /** Upper bound on how long a cached deep fingerprint may be served
     * without re-walking (the staleness bound for changes the shallow
-    * signature cannot see — ≥2 levels below the table root).
+    * signature cannot see — ≥2 levels below the table root). Var so
+    * specs asserting no-rewalk behavior can pin it above their own
+    * runtime instead of racing the wall clock on a loaded host.
     */
-  private final val FpWalkTtlMillis = 10000L
+  private[graft] var FpWalkTtlMillis = 10000L
 
   private final case class FpEntry(shallow: String, fp: String,
       walkedAt: Long)

@@ -71,27 +71,35 @@ object MultimodalSuite {
     }
   }
 
-  /** Per-session memo of the media near-dup CLUSTER table (m4 pairs →
-    * connected components): the pair generation + label propagation run
-    * once per session, m5 reads the at-rest grouping — the same
-    * ingest/query split as the text side's DedupShared.clusters.
+  /** Per-session memos of the media near-dup PAIRS (the m4 output —
+    * one MinHash+LSH+verify pass per session, ONE parameter set) and
+    * the CLUSTER table over them (m5) — the same ingest/query split as
+    * the text side's DedupShared.pairs/clusters: m4 and m5 read the
+    * identical pair computation, so the parameters cannot drift apart.
     */
-  private object MediaClustersShared {
+  private object MediaDedupShared {
     import graft.{Graft, SessionMemo}
-    def clusters(s: SparkSession): DataFrame = {
+    private val K = 32; private val Bands = 16
+    private val Shingle = 1; private val Threshold = 0.5
+    def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
       SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath,
-          "m4-clusters") {
-        val pairs = graft.operators.Dedup.minhashNearDups(
+          "m4-pairs") {
+        Graft.truncate(graft.operators.Dedup.minhashNearDups(
           ChunkShared.table(s), "doc_id", "chunks",
-          k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
-        Graft.truncate(graft.operators.Dedup.dupClusters(pairs),
-          eager = true)
+          k = K, bands = Bands, shingleSize = Shingle,
+          threshold = Threshold), eager = true)
       }(Graft.releaseTruncated)
     }
+    def clusters(s: SparkSession): DataFrame =
+      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath,
+          "m4-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(pairs(s)),
+          eager = true)
+      }(Graft.releaseTruncated)
   }
 
-  /** Queries reading the per-session ChunkShared / MediaClustersShared
+  /** Queries reading the per-session ChunkShared / MediaDedupShared
     * memos (see Bench's memo_shared disclosure).
     */
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
@@ -178,11 +186,7 @@ object MultimodalSuite {
     // is identical, so the exact-Jaccard oracle checks the full
     // MinHash+LSH+verify pipeline.
     "m4_chunk_fingerprint_neardups" -> Q(
-      (s, _) => {
-        graft.operators.Dedup.minhashNearDups(ChunkShared.table(s), "doc_id",
-            "chunks", k = 32, bands = 16, shingleSize = 1, threshold = 0.5)
-          .orderBy("id1", "id2")
-      },
+      (s, _) => MediaDedupShared.pairs(s).orderBy("id1", "id2"),
       Some(sqlM4Pairs + "\nORDER BY id1, id2"),
       "Multimodal near-dup: 1 KiB chunk md5 fingerprints -> MinHash+LSH " +
         "over fingerprint sets; exact-Jaccard oracle on the same planted corpus"),
@@ -196,7 +200,7 @@ object MultimodalSuite {
     // at-rest grouping). The oracle embeds m4's exact-Jaccard pair
     // query whole and closes it with the recursive CTE.
     "m5_media_dedup_clusters" -> Q(
-      (s, _) => MediaClustersShared.clusters(s)
+      (s, _) => MediaDedupShared.clusters(s)
         .orderBy("canonical_id", "member_id"),
       Some(s"""WITH RECURSIVE pairs AS (
         |$sqlM4Pairs

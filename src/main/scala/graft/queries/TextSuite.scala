@@ -79,6 +79,44 @@ object TextSuite {
     "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
     "x28_dedup_apply", "x38_curation_pipeline")
 
+  /** The Gopher-style composite quality gate — ONE definition of the
+    * signals and thresholds, read by x21 (per-rule failure counts) and
+    * x38 (the curation pipeline's low_quality gate) so the declared
+    * filter and the pipeline that applies it cannot drift apart.
+    */
+  private object QualityGate {
+    import org.apache.spark.sql.Column
+    private val toks = Text.tokens(col("text"))
+    val n: Column = size(toks).cast("long")
+    val meanLen: Column = length(regexp_replace(col("text"), "\\s", ""))
+      .cast("double") / greatest(n, lit(1L)).cast("double")
+    val alphaFrac: Column = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / greatest(n, lit(1L)).cast("double")
+    val stop: Column = Text.stopwordCount(col("text"))
+    val okLen: Column = n.between(30L, 100000L)
+    val okMean: Column = meanLen.between(3.0, 10.0)
+    val okAlpha: Column = alphaFrac > 0.7
+    val okStop: Column = stop >= 2L
+    val ok: Column = okLen && okMean && okAlpha && okStop
+  }
+
+  /** SQL mirror of [[QualityGate]]: per-doc signal rows (subquery body)
+    * and the pass predicate over them.
+    */
+  private def sqlQualitySignals: String =
+    s"""SELECT doc_id, lang,
+    |      len($sqlTokens) AS n,
+    |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+    |        / greatest(len($sqlTokens), 1) AS mean_len,
+    |      CAST(len(list_filter($sqlTokens, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+    |        / greatest(len($sqlTokens), 1) AS alpha_frac,
+    |      ${sqlCountIn(Text.stopwords)} AS n_stop
+    |    FROM documents""".stripMargin
+
+  private val sqlQualityPass =
+    "n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
+      "AND alpha_frac > 0.7 AND n_stop >= 2"
+
   val queries: Map[String, Q] = Map(
 
     // --- BPE-ish subword counting -------------------------------------
@@ -470,41 +508,20 @@ object TextSuite {
     // data engineer actually tunes). Thresholds adapted to the corpus'
     // short documents (min 30 tokens instead of 50).
     "x21_quality_filter" -> Q(
-      (s, dir) => {
-        val toks = Text.tokens(col("text"))
-        val n = size(toks).cast("long")
-        val meanLen = length(regexp_replace(col("text"), "\\s", ""))
-          .cast("double") / greatest(n, lit(1L)).cast("double")
-        val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
-          .cast("double") / greatest(n, lit(1L)).cast("double")
-        val stop = Text.stopwordCount(col("text"))
-        val okLen = n.between(30L, 100000L)
-        val okMean = meanLen.between(3.0, 10.0)
-        val okAlpha = alphaFrac > 0.7
-        val okStop = stop >= 2L
+      (s, dir) =>
         table(s, dir, "documents")
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(when(okLen && okMean && okAlpha && okStop, 1L)
-              .otherwise(0L)).as("n_pass"),
-            sum(when(!okLen, 1L).otherwise(0L)).as("fail_len"),
-            sum(when(!okAlpha, 1L).otherwise(0L)).as("fail_alpha"),
-            sum(when(!okStop, 1L).otherwise(0L)).as("fail_stop"))
-          .orderBy("lang")
-      },
+            sum(when(QualityGate.ok, 1L).otherwise(0L)).as("n_pass"),
+            sum(when(!QualityGate.okLen, 1L).otherwise(0L)).as("fail_len"),
+            sum(when(!QualityGate.okAlpha, 1L).otherwise(0L)).as("fail_alpha"),
+            sum(when(!QualityGate.okStop, 1L).otherwise(0L)).as("fail_stop"))
+          .orderBy("lang"),
       Some(s"""WITH d AS (
-        |  SELECT lang,
-        |    len($sqlTokens) AS n,
-        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-        |      / greatest(len($sqlTokens), 1) AS mean_len,
-        |    CAST(len(list_filter($sqlTokens, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-        |      / greatest(len($sqlTokens), 1) AS alpha_frac,
-        |    ${sqlCountIn(Text.stopwords)} AS n_stop
-        |  FROM documents)
+        |  $sqlQualitySignals)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
-        |    AND alpha_frac > 0.7 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN $sqlQualityPass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         |  CAST(SUM(CASE WHEN NOT (n BETWEEN 30 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
         |  CAST(SUM(CASE WHEN NOT (alpha_frac > 0.7) THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
         |  CAST(SUM(CASE WHEN NOT (n_stop >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
@@ -1588,20 +1605,11 @@ object TextSuite {
             lit(true).as("is_near_dup"))
         val sem = graft.queries.VectorSuite.semDrops(s, dir)
           .select(col("drop_id").as("doc_id"), lit(true).as("is_sem_dup"))
-        val toks = Text.tokens(col("text"))
-        val n = size(toks).cast("long")
-        val meanLen = length(regexp_replace(col("text"), "\\s", ""))
-          .cast("double") / greatest(n, lit(1L)).cast("double")
-        val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
-          .cast("double") / greatest(n, lit(1L)).cast("double")
-        val stop = Text.stopwordCount(col("text"))
-        val qualityOk = n.between(30L, 100000L) &&
-          meanLen.between(3.0, 10.0) && alphaFrac > 0.7 && stop >= 2L
         val reason = when(col("is_near_dup"), "near_dup")
           .when(col("is_sem_dup"), "sem_dup")
           .when(!col("quality_ok"), "low_quality")
           .otherwise("kept")
-        docs.select(col("doc_id"), qualityOk.as("quality_ok"))
+        docs.select(col("doc_id"), QualityGate.ok.as("quality_ok"))
           .join(losers, Seq("doc_id"), "left")
           .join(sem, Seq("doc_id"), "left")
           .select(col("doc_id"), reason.as("reason"))
@@ -1625,18 +1633,8 @@ object TextSuite {
         |  SELECT member_id FROM canon WHERE member_id <> canonical_id),
         |${graft.queries.VectorSuite.sqlSemDropsCtes},
         |qual AS (
-        |  SELECT doc_id,
-        |    (n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
-        |      AND alpha_frac > 0.7 AND n_stop >= 2) AS ok
-        |  FROM (
-        |    SELECT doc_id,
-        |      len($sqlTokens) AS n,
-        |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-        |        / greatest(len($sqlTokens), 1) AS mean_len,
-        |      CAST(len(list_filter($sqlTokens, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-        |        / greatest(len($sqlTokens), 1) AS alpha_frac,
-        |      ${sqlCountIn(Text.stopwords)} AS n_stop
-        |    FROM documents)),
+        |  SELECT doc_id, ($sqlQualityPass) AS ok
+        |  FROM ($sqlQualitySignals)),
         |decided AS (
         |  SELECT d.doc_id,
         |    CASE WHEN l.member_id IS NOT NULL THEN 'near_dup'

@@ -649,19 +649,7 @@ object VectorSuite {
             prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
           .orderBy("cell")
       },
-      Some(s"""WITH nc AS (
-        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |${sqlHierAssigned(tables = 1, nProbe = 1)},
-        |sims AS (
-        |  SELECT a.vec_id, a.vec, a.cell, ${sqlCosD("a.vec", "c.centroid")} AS centsim
-        |  FROM assigned a JOIN cent c ON a.cell = c.cell),
-        |drops AS (
-        |  SELECT DISTINCT CASE WHEN l.centsim > r.centsim
-        |      OR (l.centsim = r.centsim AND l.vec_id > r.vec_id)
-        |    THEN l.vec_id ELSE r.vec_id END AS drop_id
-        |  FROM sims l JOIN sims r ON l.cell = r.cell AND l.vec_id < r.vec_id
-        |  WHERE ${sqlCosD("l.vec", "r.vec")} >= 0.4)
+      Some(s"""WITH $sqlSemDropsCtes
         |SELECT s.cell, COUNT(*) AS n_members,
         |  CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  CAST(SUM(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -83,18 +83,26 @@ class SessionMemoSpec extends SparkSpec {
     def lookup() = SessionMemo.getOrCompute(s2, tbl, "spec") {
       Graft.truncate(s2.read.parquet(tbl), eager = true)
     }(Graft.releaseTruncated).count()
-    lookup() // first lookup: one deep walk to prime the cache
-    val walks = SessionMemo.deepWalks
-    (1 to 5).foreach(_ => lookup())
-    assert(SessionMemo.deepWalks == walks,
-      "repeated lookups over unchanged data must reuse the cached deep " +
-        "fingerprint (shallow directory-level signature only)")
-    Thread.sleep(5)
-    writeDocs(tbl, "w2")
-    lookup()
-    assert(SessionMemo.deepWalks > walks,
-      "a changed table dir must invalidate the cached walk")
-    SessionMemo.endSession(s2)
+    // pin the staleness-TTL far above this test's runtime: the assertion
+    // is about the shallow signature, not about wall-clock expiry
+    val ttl = SessionMemo.FpWalkTtlMillis
+    SessionMemo.FpWalkTtlMillis = 10 * 60 * 1000L
+    try {
+      lookup() // first lookup: one deep walk to prime the cache
+      val walks = SessionMemo.deepWalks
+      (1 to 5).foreach(_ => lookup())
+      assert(SessionMemo.deepWalks == walks,
+        "repeated lookups over unchanged data must reuse the cached deep " +
+          "fingerprint (shallow directory-level signature only)")
+      Thread.sleep(5)
+      writeDocs(tbl, "w2")
+      lookup()
+      assert(SessionMemo.deepWalks > walks,
+        "a changed table dir must invalidate the cached walk")
+    } finally {
+      SessionMemo.FpWalkTtlMillis = ttl
+      SessionMemo.endSession(s2)
+    }
   }
 
   test("idle entries are swept after their TTL") {
