@@ -78,9 +78,13 @@ object SessionMemo {
     */
   def fingerprint(path: String): String = {
     val sh = shallowSignature(path)
-    val now = System.currentTimeMillis()
+    // MONOTONIC clock for the staleness bound: a backward wall-clock
+    // step (NTP) under currentTimeMillis would extend the blind window
+    // for changes ≥2 levels below the table root indefinitely
+    val now = System.nanoTime()
     val cur = fpCache.get(path)
-    if (cur != null && cur.shallow == sh && now - cur.walkedAt < FpWalkTtlMillis)
+    if (cur != null && cur.shallow == sh &&
+        now - cur.walkedAtNanos < FpWalkTtlMillis * 1000000L)
       cur.fp
     else {
       val fp = deepFingerprint(path)
@@ -98,14 +102,17 @@ object SessionMemo {
   private[graft] var FpWalkTtlMillis = 10000L
 
   private final case class FpEntry(shallow: String, fp: String,
-      walkedAt: Long)
+      walkedAtNanos: Long)
 
   private val fpCache = new ConcurrentHashMap[String, FpEntry]()
 
   /** Deep-walk count — spec hook asserting lookups with unchanged data
-    * do not re-walk the tree.
+    * do not re-walk the tree. Atomic: concurrent fingerprint() calls
+    * (streams sharing one JVM) must not lose increments under a
+    * read-modify-write race.
     */
-  @volatile var deepWalks: Long = 0L
+  private val _deepWalks = new java.util.concurrent.atomic.AtomicLong(0L)
+  def deepWalks: Long = _deepWalks.get()
 
   private def shallowSignature(path: String): String = {
     val p = java.nio.file.Paths.get(path)
@@ -136,7 +143,7 @@ object SessionMemo {
   }
 
   private def deepFingerprint(path: String): String = {
-    deepWalks += 1
+    _deepWalks.incrementAndGet()
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) s"absent"
     else {

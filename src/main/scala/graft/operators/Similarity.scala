@@ -475,6 +475,14 @@ object Similarity {
     * `prebuiltAssigned` — the [[multiQuantizerCells]] session memo —
     * makes this a pure read of the at-rest inverted-list index.
     *
+    * RELEASE OBLIGATION (self-build path only): when `prebuiltAssigned`
+    * is empty, the returned frame is eagerly materialized and
+    * checkpoint-backed (lineage-truncated); callers own its storage and
+    * must `Graft.releaseTruncated(result)` once done with it, or the
+    * checkpoint blocks linger until GC/ContextCleaner. With a prebuilt
+    * assignment the result is a lazy plan and there is nothing to
+    * release here — the MEMO's lifecycle (SessionMemo) owns storage.
+    *
     * SCALE CONTRACT: `nCells` must grow with the corpus (the IVF rule —
     * callers pin cell SIZE ≈ n·nProbe/nCells via [[cellsFor]], not cell
     * count). A kNN graph ranks every candidate pair, so with fixed

@@ -717,13 +717,16 @@ class TextDedupSpec extends SparkSpec {
     // the mutuality, not the threshold, that excluded it
     val hubEdges = g.filter(col("qid") === 9L && col("sim") >= 0.5).count()
     assert(hubEdges == 1L, "hub must have a one-directional edge")
+    // self-build knnGraph returns checkpoint-backed state — callers own it
+    Graft.releaseTruncated(g)
   }
 
   test("knnGraph: every row gets neighbors; nearest is brute-force-correct for most") {
     val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 3,
+    val gdf = Similarity.knnGraph(emb, "vec_id", "embedding", topK = 3,
         nCells = 8, nProbe = 2, tables = 2)
-      .collect()
+    val g = gdf.collect()
+    Graft.releaseTruncated(gdf) // self-build path: caller owns the checkpoint
     val byQ = g.groupBy(_.getLong(0))
     assert(byQ.size == 500) // every corpus row has at least one edge
     assert(g.forall(_.getInt(3) <= 3))
