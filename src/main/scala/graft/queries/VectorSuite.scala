@@ -1176,13 +1176,20 @@ object VectorSuite {
         |${sqlHierCentroids(tables = 4, seedSrc = "idx")},
         |${sqlHierAssign(vecSrc = "idx", prefix = "i", nProbe = 2)},
         |${sqlHierAssign(vecSrc = "bat", prefix = "b", nProbe = 2)},
-        |pairs AS (
-        |  SELECT DISTINCT l.vec_id AS index_id, r.vec_id AS batch_id,
-        |    l.vec AS v1, r.vec AS v2
+        |cands AS (
+        |  SELECT l.vec_id AS index_id, r.vec_id AS batch_id,
+        |    MIN(${sqlCosD("l.vec", "r.vec")}) AS simd
         |  FROM iassigned l JOIN bassigned r
-        |    ON l.tbl = r.tbl AND l.cell = r.cell)
+        |    ON l.tbl = r.tbl AND l.cell = r.cell
+        |  GROUP BY l.vec_id, r.vec_id),
+        |pairs AS (
+        |  SELECT c.index_id, c.batch_id, i.embedding AS v1, b.embedding AS v2
+        |  FROM cands c
+        |  JOIN idx i ON i.vec_id = c.index_id
+        |  JOIN bat b ON b.vec_id = c.batch_id
+        |  WHERE c.simd >= 0.4)
         |SELECT index_id, batch_id, ${sqlCos("v1", "v2")} AS sim
-        |FROM pairs WHERE ${sqlCosD("v1", "v2")} >= 0.4
+        |FROM pairs
         |ORDER BY index_id, batch_id""".stripMargin),
       "Cross-corpus incremental embedding near-dups: batch assigned " +
         "under the index's two-level quantizer, index x batch cell " +

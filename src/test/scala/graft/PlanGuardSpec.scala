@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Physical-plan regression guard over the ENTIRE declared query surface:
@@ -97,5 +97,26 @@ class PlanGuardSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"pair products without a bounded side:\n${offenders.mkString("\n")}")
+  }
+
+  test("v21: no shuffle exchange carries more than one embedding payload") {
+    // The cross-corpus near-dup dedup must stay THIN: candidate-pair
+    // duplicate elimination aggregates (index_id, batch_id, simd) rows,
+    // and vectors re-attach only to threshold survivors — so no exchange
+    // anywhere in the plan may carry BOTH pair members' embeddings
+    // (~520 B/candidate at 64 dims; far worse at production widths).
+    // One array column per exchange (an assignment/re-attach row) is the
+    // allowed width class. Broadcast exchanges (bounded centroid state)
+    // are exempt by construction.
+    val df = SparkEntry.queries("v21_cosine_neardups_cross")(spark, sfDir)
+    val offenders = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec
+          if e.output.count(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) > 1 =>
+        e.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString("[", ", ", "]")
+    }
+    assert(offenders.isEmpty,
+      s"v21 exchanges carrying multiple vector payloads:\n${offenders.mkString("\n")}")
   }
 }
