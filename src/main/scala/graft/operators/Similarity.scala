@@ -197,9 +197,23 @@ object Similarity {
     * otherwise produce empty centroids and therefore empty query
     * results with no error anywhere.
     */
+  /** `hierTrain=true` runs each Lloyd iteration's assignment pass
+    * through the two-level hierarchy of the CURRENT centroids
+    * ([[hierarchyOfCentroids]] — supers are the lowest-cell ceil(√k)
+    * means, rebuilt per iteration from the collected literals, so it
+    * costs O(nCells·√nCells) driver-free broadcast work) instead of the
+    * flat corpus×centroid product: training drops from
+    * O(trainCap·nCells·iters) to O(trainCap·√nCells·iters), which is
+    * what keeps a corpus-scaled quantizer (nCells ∝ n via [[cellsFor]],
+    * trainCap ∝ nCells via [[trainCapFor]]) trainable at 100 TB — with
+    * both ∝ n, FLAT training is O(n²·39/cellSize²). Assignment quality
+    * is the usual two-level approximation; deterministic and mirrored
+    * CTE-for-CTE by the v8/v12 oracles.
+    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iterations: Int = 2, seedOffset: Int = 0,
-      trainCap: Int = 2048): DataFrame = {
+      trainCap: Int = 2048, hierTrain: Boolean = false,
+      superProbe: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     // every Lloyd iteration re-reads the corpus for its assignment pass —
     // cache the (id, vec) projection once instead of rebuilding the scan
@@ -222,7 +236,11 @@ object Similarity {
     val train = trainSlice(c, "id", trainCap)
     var centroids: DataFrame = lowestIdCentroids(c, "id", "vec", nCells, seedOffset)
     for (_ <- 1 to iterations) {
-      val assigned = assignToCells(train, "id", "vec", centroids, keep = 1)
+      val assigned =
+        if (hierTrain)
+          assignWithHierarchy(train,
+            hierarchyOfCentroids(centroids, nCells), 1, superProbe)
+        else assignToCells(train, "id", "vec", centroids, keep = 1)
       val means = assigned.groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .select(col("cell"),
           array((1 to dim).map(i => col(s"_m$i")): _*).as("centroid"))
@@ -309,6 +327,75 @@ object Similarity {
       centroids.getOrElse(lowestIdCentroids(c, "id", "vec", nCells)), keep = 1)
   }
 
+  /** HIERARCHICAL whole-corpus cell assignment under an arbitrary
+    * quantizer `centroids` (cell, centroid) — the keep-1 two-level pass
+    * ([[hierarchyOfCentroids]]): O(n·√nCells) where [[quantizerCells]]'s
+    * flat product is O(n·nCells) = O(n²/cellSize) once cell counts obey
+    * the [[cellsFor]] rule. The ingest-time half of a corpus-scaled topK
+    * index over a TRAINED quantizer (v8/v12's memoized corpus side);
+    * for the deterministic seed quantizer, [[multiQuantizerCells]] with
+    * tables=1/nProbe=1 produces the identical frame. Output:
+    * (id, vec, cell).
+    */
+  def quantizerCellsHier(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, centroids: DataFrame,
+      superProbe: Int = 3): DataFrame = {
+    val c = graft.Graft.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assignWithHierarchy(c, hierarchyOfCentroids(centroids, nCells),
+      nProbe = 1, superProbe = superProbe)
+      .select("id", "vec", "cell")
+  }
+
+  /** CORPUS-SCALED IVF topK — the index-family form of [[ivfTopK]] whose
+    * per-query cost stays O(nProbe·cellSize + √nCells) at ANY corpus
+    * size: `nCells` is expected from [[cellsFor]] (pinned cell SIZE, so
+    * each probed cell's scan is constant), and BOTH the corpus
+    * assignment and the per-query probe assignment run through the
+    * two-level hierarchy (O(√nCells) comparisons) instead of the flat
+    * O(nCells) centroid scan — with fixed 16 cells a probe scanned
+    * ~nProbe·n/16 of the corpus, growing linearly with n.
+    *
+    * `prebuiltCentroids` — a trained quantizer (cell, centroid), e.g. a
+    * Lloyd kmeansCentroids memo; defaults to the deterministic lowest-id
+    * seeds, where the hierarchy is identical to
+    * [[multiQuantizerCells]]'s (tables=1), so a hierDyn-style assignment
+    * memo is directly consumable via `prebuiltCells` (id, vec, cell).
+    * Output scoring is the exact-decimal cosine (assignment decides on
+    * the codegen'd double — the v7 split); deterministic id tiebreaks
+    * throughout, mirrored CTE-for-CTE by the v6/v8/v22 oracles.
+    */
+  def ivfTopKHier(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, topK: Int,
+      nCells: Int, nProbe: Int, superProbe: Int = 3,
+      prebuiltCentroids: Option[DataFrame] = None,
+      prebuiltCells: Option[DataFrame] = None): DataFrame = {
+    val c = graft.Graft.ensureParallelism(candidates)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val hier = prebuiltCentroids match {
+      case Some(cents) => hierarchyOfCentroids(cents, nCells)
+      case None => buildHierarchy(c, nCells, tables = 1)
+    }
+    val assigned = prebuiltCells.getOrElse(
+      assignWithHierarchy(c, hier, nProbe = 1, superProbe)
+        .select("id", "vec", "cell"))
+    val probes = assignWithHierarchy(
+      queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      hier, nProbe, superProbe)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
+    // corpus keep=1 × probe multi-assign ⇒ each (qid, vec_id) at most
+    // once: no dedup stage, and the exchange carries one vector per row
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("vec_id"),
+        Vectors.cosine(col("qvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
   /** The IVF cell-count rule: pin cell SIZE, scale cell COUNT with the
     * corpus — `max(minCells, ceil(n / cellSize))`. Pair-generating
     * consumers (near-dup blocking, kNN graphs) rank every within-cell
@@ -321,6 +408,16 @@ object Similarity {
   def cellsFor(n: Long, cellSize: Int = 64, minCells: Int = 32): Int =
     math.max(minCells.toLong,
       math.ceil(n.toDouble / cellSize).toLong).toInt
+
+  /** The quantizer-training budget rule that goes WITH [[cellsFor]]:
+    * Lloyd needs ~39 training points per centroid (the FAISS guidance —
+    * fewer and centroid quality silently degrades), so a trainCap pinned
+    * at a constant undertrains the moment cell counts scale with the
+    * corpus (2048 points at ~780 cells is ~2.6/centroid). One helper so
+    * every corpus-scaled quantizer derives its cap the same way its SQL
+    * mirror does (`39 * nc`).
+    */
+  def trainCapFor(nCells: Int): Int = 39 * nCells
 
   /** The multi-table IVF blocking assignment [[cosineNearDupsIvf]] pairs
     * over — `tables` independent quantizers (table t seeded from the
@@ -368,14 +465,41 @@ object Similarity {
     val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
     // Leaf seeds: ranks [t·nCells, (t+1)·nCells) of the id order.
     val wSeed = Window.orderBy(col("cell").asc)
-    val leaves = broadcast(
+    val leaves =
       c.orderBy(col("id").asc).limit(tables * nCells)
         .select(col("id").as("cell"), col("vec").as("centroid"))
         .withColumn("__rk", row_number().over(wSeed) - 1)
         .select(expr(s"CAST(__rk div $nCells AS INT)").as("tbl"),
           col("cell"), col("centroid"),
-          pmod(col("__rk"), lit(nCells)).as("lrk")))
-    // supers = each table's nSuper lowest-rank leaves (no extra seeds)
+          pmod(col("__rk"), lit(nCells)).as("lrk"))
+    hierarchyFromLeaves(leaves, nSuper)
+  }
+
+  /** Single-table hierarchy over an ARBITRARY quantizer — `cents` is any
+    * (cell, centroid) frame (Lloyd-refined means, not just the lowest-id
+    * seed vectors [[buildHierarchy]] derives): supers are the
+    * ceil(√nCells) lowest-CELL centroids (identical to buildHierarchy's
+    * rule when cells are seed ids). This is what lets the topK index
+    * family (v8's refined quantizer, IVFADC's coarse stage) assign
+    * corpus and probes in O(√nCells) comparisons per vector once cell
+    * counts scale with the corpus.
+    */
+  private def hierarchyOfCentroids(cents: DataFrame,
+      nCells: Int): Hierarchy = {
+    val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val wSeed = Window.orderBy(col("cell").asc)
+    val leaves = cents.select(col("cell"), col("centroid"))
+      .withColumn("lrk", row_number().over(wSeed) - 1)
+      .select(lit(0).as("tbl"), col("cell"), col("centroid"), col("lrk"))
+    hierarchyFromLeaves(leaves, nSuper)
+  }
+
+  /** Shared tail: supers = each table's `nSuper` lowest-rank leaves,
+    * every leaf mapped to its nearest super (tie → lowest sid).
+    */
+  private def hierarchyFromLeaves(leaves0: DataFrame,
+      nSuper: Int): Hierarchy = {
+    val leaves = broadcast(leaves0)
     val supers = broadcast(leaves.filter(col("lrk") < nSuper)
       .select(col("tbl"), col("cell").as("sid"),
         col("centroid").as("scentroid")))
@@ -1040,7 +1164,7 @@ object Similarity {
       m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame =
     ivfPqTopK(queries,
       ivfPqIndex(corpus, idCol, vecCol, nCells, m, nCodes, iterations),
-      idCol, vecCol, topK, nProbe)
+      idCol, vecCol, topK, nProbe, hierProbes = false, superProbe = 3)
 
   /** The at-rest state of residual-encoded IVF-PQ (IVFADC — Jégou et
     * al., "Product Quantization for Nearest Neighbor Search", §III):
@@ -1053,7 +1177,8 @@ object Similarity {
     * `tools/ProfilePqRecall` against the raw-encoding form below.
     */
   final case class IvfPqIndex(corpus: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, codes: DataFrame, m: Int, sub: Int)
+      codebooks: DataFrame, codes: DataFrame, m: Int, sub: Int,
+      nCells: Int)
 
   /** Train the coarse quantizer + residual codebooks and encode the
     * corpus — the ingest-time half of IVFADC. Codes and cells are
@@ -1061,10 +1186,22 @@ object Similarity {
     * Graft.truncate picks local vs reliable by conf), and the builder's
     * transient caches are dropped before returning.
     */
+  /** `prebuiltCentroids`/`prebuiltCells` — the memoized coarse-quantizer
+    * state (a trained kmeansCentroids broadcast; a (id, vec, cell)
+    * corpus assignment under it): the at-rest split that lets the
+    * IVFADC index share its coarse stage with the plain IVF topK (v8)
+    * instead of re-deriving both per build. `hierAssign=true` runs any
+    * self-built corpus assignment through the two-level hierarchy
+    * (O(n·√nCells)) — required once `nCells` follows [[cellsFor]],
+    * where the flat product is O(n²/cellSize).
+    */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
       iterations: Int = 1, coarseKmeansIterations: Int = 0,
-      trainCap: Int = 2048): IvfPqIndex = {
+      trainCap: Int = 2048,
+      prebuiltCentroids: Option[DataFrame] = None,
+      prebuiltCells: Option[DataFrame] = None,
+      hierAssign: Boolean = false, superProbe: Int = 3): IvfPqIndex = {
     val c = graft.Graft.ensureParallelism(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1075,14 +1212,21 @@ object Similarity {
     // MEAN centroids (vs raw sample vectors) shrink it: vec − mean(cell)
     // removes the cell's explained variance, while vec − sample_vec on
     // near-random data roughly DOUBLES it
-    val cents =
+    val cents = prebuiltCentroids.getOrElse(
       if (coarseKmeansIterations > 0)
         kmeansCentroids(c, "id", "vec", nCells, coarseKmeansIterations,
-          trainCap = trainCap)
-      else lowestIdCentroids(c, "id", "vec", nCells)
+          trainCap = trainCap, hierTrain = hierAssign,
+          superProbe = superProbe)
+      else lowestIdCentroids(c, "id", "vec", nCells))
+    val cells = prebuiltCells.getOrElse(
+      if (hierAssign)
+        assignWithHierarchy(c, hierarchyOfCentroids(cents, nCells),
+          nProbe = 1, superProbe = superProbe)
+          .select("id", "vec", "cell")
+      else assignToCells(c, "id", "vec", cents, keep = 1))
     // residuals: vec − centroid(cell), exact double differences of
     // floats — engine-replicable elementwise arithmetic
-    val res = assignToCells(c, "id", "vec", cents, keep = 1)
+    val res = cells
       .join(cents, "cell")
       .select(col("id"), col("cell"),
         zip_with(col("vec"), col("centroid"),
@@ -1096,7 +1240,7 @@ object Similarity {
       eager = true)
     res.unpersist(false)
     c.unpersist(false)
-    IvfPqIndex(c, cents, cb, codes, m, sub)
+    IvfPqIndex(c, cents, cb, codes, m, sub, nCells)
   }
 
   /** IVF-PQ top-k over a prebuilt residual [[IvfPqIndex]] — the
@@ -1109,11 +1253,25 @@ object Similarity {
     * broadcast. Integer-grid quantized entries keep the per-pair sum
     * exact BIGINT arithmetic, deterministic under any partitioning.
     */
+  /** `hierProbes=true` assigns queries to their probed cells through the
+    * index's two-level hierarchy (O(√nCells) comparisons per query)
+    * instead of the flat centroid scan — the query-side half of the
+    * [[cellsFor]] contract (flat probing re-grows O(nCells) = O(n) per
+    * query once cells scale with the corpus).
+    */
   def ivfPqTopK(queries: DataFrame, idx: IvfPqIndex,
-      idCol: String, vecCol: String, topK: Int, nProbe: Int): DataFrame = {
-    val probes = assignToCells(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
-      "qid", "qvec", idx.centroids, keep = nProbe)
+      idCol: String, vecCol: String, topK: Int, nProbe: Int,
+      hierProbes: Boolean, superProbe: Int): DataFrame = {
+    val probes =
+      if (hierProbes)
+        assignWithHierarchy(
+          queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
+          hierarchyOfCentroids(idx.centroids, idx.nCells),
+          nProbe, superProbe)
+          .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
+      else assignToCells(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+        "qid", "qvec", idx.centroids, keep = nProbe)
     val qres = probes.join(idx.centroids, "cell")
       .select(col("qid"), col("cell"),
         zip_with(col("qvec"), col("centroid"),

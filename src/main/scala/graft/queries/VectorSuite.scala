@@ -71,20 +71,26 @@ object VectorSuite {
       }
   }
 
-  /** Per-(session, dir) memo of the k-means(16 cells, 2 Lloyd
-    * iterations) coarse quantizer v8 reads — trained once per session
-    * (the ingest split), so v8's query-time cost is one assignment +
-    * probe pass instead of retraining per execution. The value is a
-    * broadcast of collected literal centroid rows (bounded algorithm
-    * state, O(nCells·dim)) — no distributed storage to release.
+  /** Per-(session, dir) memo of the CORPUS-SCALED Lloyd coarse quantizer
+    * (2 iterations, nCells from Similarity.cellsFor, trainCap from
+    * Similarity.trainCapFor — ~39 training points per centroid, the
+    * FAISS rule a fixed 2048 cap silently breaks once cells scale) that
+    * v8 and the IVFADC index (v12/v19) read — trained once per session
+    * (the ingest split). Training assignment is HIERARCHICAL
+    * (hierTrain=true): O(trainCap·√nCells) per iteration where the flat
+    * product would re-grow O(n²·39/cellSize²) under the cellsFor rule.
+    * The value is a broadcast of collected literal centroid rows
+    * (bounded algorithm state, O(nCells·dim)) — nothing to release.
     */
   private object IvfShared {
     import graft.SessionMemo
-    def kmeans16(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivf-kmeans16") {
-        Similarity.ivfCentroids(table(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16, kmeansIterations = 2,
-          trainCap = TrainCap)
+    def kmeansDyn(s: org.apache.spark.sql.SparkSession, dir: String,
+        nCells: Int): org.apache.spark.sql.DataFrame =
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+          s"ivf-kmeans-dyn$nCells") {
+        Similarity.kmeansCentroids(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells, iterations = 2,
+          trainCap = Similarity.trainCapFor(nCells), hierTrain = true)
       }(_ => ())
   }
 
@@ -96,14 +102,16 @@ object VectorSuite {
     * memos are that split: (id, vec, cell) frames, lineage-truncated so
     * they survive cache clears, released via SessionMemo's lifecycle.
     *   - `seed16`: the deterministic 16-cell seed quantizer — read by
-    *     v5 (one cell's members), v6 (ivfTopK corpus side), and v10
-    *     (SemDeDup cells);
-    *   - `kmeans16`: the same corpus under the Lloyd-refined quantizer —
-    *     v8's corpus side (probes still assign per query);
+    *     v5 (the bounded one-cell parity witness) only;
+    *   - `kmeansDynCells`: the corpus under the corpus-scaled
+    *     Lloyd-refined quantizer (IvfShared.kmeansDyn), assigned
+    *     HIERARCHICALLY — v8's corpus side and the IVFADC (v12/v19)
+    *     inverted lists (probes still assign per query);
     *   - `multiDyn`: the 4-table nProbe-2 two-level blocking assignment
     *     v7/v15/v23 pair over, keyed by the corpus-scaled nCells;
-    *   - `hierDyn`: the single-table keep-1 two-level assignment v10's
-    *     SemDeDup cells read.
+    *   - `hierDyn`: the single-table keep-1 two-level assignment at
+    *     corpus-scaled nCells — v10's SemDeDup cells AND the v6/v22
+    *     topK inverted lists (one assignment pass, three consumers).
     */
   private object CellsShared {
     import graft.{Graft, SessionMemo}
@@ -117,11 +125,11 @@ object VectorSuite {
       memo(s, dir, "ivf-cells16-seed")(
         Similarity.quantizerCells(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells = 16))
-    def kmeans16(s: SparkSession, dir: String): DataFrame =
-      memo(s, dir, "ivf-cells16-kmeans2")(
-        Similarity.quantizerCells(table(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16,
-          centroids = Some(IvfShared.kmeans16(s, dir))))
+    def kmeansDynCells(s: SparkSession, dir: String, nCells: Int): DataFrame =
+      memo(s, dir, s"ivf-cells-kmeans-dyn$nCells-hier3")(
+        Similarity.quantizerCellsHier(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells,
+          centroids = IvfShared.kmeansDyn(s, dir, nCells)))
     /** The 4-table nProbe-2 TWO-LEVEL blocking assignment at any cell
       * count — one memo entry per (session, dir, nCells); v7 and v15
       * derive the same corpus-scaled nCells (Similarity.cellsFor), so
@@ -182,17 +190,27 @@ object VectorSuite {
   }
 
   /** Per-(session, dir) memo of the residual-encoded IVF-PQ index
-    * (IVFADC) v12 reads — coarse centroids + residual codebooks +
-    * cell-inline codes, trained/encoded once per session. Codes are
-    * lineage-truncated by the builder; release drops their storage.
+    * (IVFADC) v12/v19 read — coarse centroids + residual codebooks +
+    * cell-inline codes, trained/encoded once per session. The coarse
+    * stage is SHARED with v8: the corpus-scaled Lloyd quantizer
+    * (IvfShared.kmeansDyn) and its hierarchical corpus assignment
+    * (CellsShared.kmeansDynCells) arrive prebuilt, so the IVFADC build
+    * pays only residuals + codebooks + encoding. Codes are
+    * lineage-truncated by the builder; release drops their storage
+    * (the shared coarse memos have their own lifecycle entries).
     */
   private object IvfPqShared {
     import graft.{Graft, SessionMemo}
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfPqIndex =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index") {
-        Similarity.ivfPqIndex(table(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16, m = 8, nCodes = PqCodes,
-          iterations = 1, coarseKmeansIterations = 2, trainCap = TrainCap)
+      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index-dyn") {
+        val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
+        Similarity.ivfPqIndex(emb,
+          "vec_id", "embedding", nCells = nc, m = 8, nCodes = PqCodes,
+          iterations = 1, trainCap = TrainCap,
+          prebuiltCentroids = Some(IvfShared.kmeansDyn(s, dir, nc)),
+          prebuiltCells = Some(CellsShared.kmeansDynCells(s, dir, nc)))
       }(t => Graft.releaseTruncated(t.codes))
   }
 
@@ -288,6 +306,77 @@ object VectorSuite {
     |    JOIN leafmap lm ON lm.tbl = v.tbl AND lm.sid = v.sid
     |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
       .stripMargin
+
+  /** Single-table hierarchy CTEs over an ARBITRARY (cell, centroid)
+    * source CTE (Lloyd means — the from-seed-ids form is
+    * sqlHierCentroids): `{p}sup` = the ceil(√nc) lowest-cell centroids,
+    * `{p}leaf` = every centroid's nearest super (tie → lowest sid).
+    * Expects prior `nc(v)`/`ns(v)` CTEs. Mirrors
+    * Similarity.hierarchyOfCentroids.
+    */
+  private def sqlHier1(cents: String, p: String): String =
+    s"""${p}sup AS (
+    |  SELECT cell AS sid, centroid AS scentroid FROM (
+    |    SELECT cell, centroid, row_number() OVER (ORDER BY cell ASC) AS rk
+    |    FROM $cents) WHERE rk <= (SELECT v FROM ns)),
+    |${p}leaf AS (
+    |  SELECT cell, sid FROM (
+    |    SELECT c.cell, s.sid, row_number() OVER (
+    |      PARTITION BY c.cell
+    |      ORDER BY ${sqlCosD("c.centroid", "s.scentroid")} DESC, s.sid ASC) AS rk
+    |    FROM $cents c CROSS JOIN ${p}sup s) WHERE rk = 1)""".stripMargin
+
+  /** Hierarchical assignment of `vecSrc` rows (vec_id, embedding) under
+    * the `{p}sup`/`{p}leaf` hierarchy over `cents`: emits `{q}vsup` and
+    * `{q}asg` (vec_id, vec, cell), keeping `keep` nearest leaves among
+    * the `superProbe` probed supers' leaves — bit-replicating
+    * Similarity.assignWithHierarchy under hierarchyOfCentroids
+    * (double cosines, id/cell tiebreaks).
+    */
+  private def sqlHier1Assign(cents: String, p: String, vecSrc: String,
+      q: String, keep: Int, superProbe: Int = 3): String =
+    s"""${q}vsup AS (
+    |  SELECT vec_id, sid FROM (
+    |    SELECT e.vec_id, s.sid, row_number() OVER (
+    |      PARTITION BY e.vec_id
+    |      ORDER BY ${sqlCosD("e.embedding", "s.scentroid")} DESC, s.sid ASC) AS rk
+    |    FROM $vecSrc e CROSS JOIN ${p}sup s) WHERE rk <= $superProbe),
+    |${q}asg AS (
+    |  SELECT vec_id, vec, cell FROM (
+    |    SELECT e.vec_id, e.embedding AS vec, lm.cell, row_number() OVER (
+    |      PARTITION BY e.vec_id
+    |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, lm.cell ASC) AS rk
+    |    FROM ${q}vsup v
+    |    JOIN $vecSrc e ON e.vec_id = v.vec_id
+    |    JOIN ${p}leaf lm ON lm.sid = v.sid
+    |    JOIN $cents c ON c.cell = lm.cell) WHERE rk <= $keep)""".stripMargin
+
+  /** The corpus-scaled two-iteration Lloyd trunk (the v8/v12 coarse
+    * stage): nc-scaled lowest-id seeds, the trainCap = 39·nc slice
+    * (Similarity.trainCapFor), HIERARCHICAL per-iteration train
+    * assignment (sqlHier1 over the current means), DECIMAL(30,12)
+    * per-dimension means — emits ns/seedc/ktrain/…/cent2. Expects a
+    * prior `nc(v)` CTE.
+    */
+  private def sqlLloydDyn: String = {
+    val means = (1 to 64).map(i =>
+      s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
+    s"""ns AS (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
+    |seedc AS (
+    |  SELECT vec_id AS cell, embedding AS centroid FROM (
+    |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id ASC) AS rk
+    |    FROM embeddings) WHERE rk <= (SELECT v FROM nc)),
+    |ktrain AS (
+    |  SELECT vec_id, embedding FROM embeddings
+    |  WHERE vec_id < 39 * (SELECT v FROM nc)),
+    |${sqlHier1("seedc", "h1")},
+    |${sqlHier1Assign("seedc", "h1", "ktrain", "t1", 1)},
+    |kc1 AS (SELECT cell, [$means] AS centroid FROM t1asg GROUP BY cell),
+    |${sqlHier1("kc1", "h2")},
+    |${sqlHier1Assign("kc1", "h2", "ktrain", "t2", 1)},
+    |cent2 AS (SELECT cell, [$means] AS centroid FROM t2asg GROUP BY cell)"""
+      .stripMargin
+  }
 
   /** The v10 SemDeDup DROP SET, exposed for cross-suite composition
     * (x38's curation pipeline): the same shared hierDyn cells memo and
@@ -466,40 +555,45 @@ object VectorSuite {
       "Random-hyperplane LSH ANN: bucket equi-join prunes the scan; multi-probe recall"),
 
     // --- IVF ANN: full SQL mirror oracle ------------------------------
+    // CORPUS-SCALED index: nCells from Similarity.cellsFor (cell size
+    // pinned at 128, the v10 rule — so each probe scans nProbe·128
+    // members at ANY corpus size, where the old pinned-16-cell index
+    // scanned nProbe·n/16, linear in n), and BOTH the corpus assignment
+    // (the shared hierDyn memo — one two-level pass per session, also
+    // v10's and v22's inverted list) and the per-query probe assignment
+    // run the O(√nCells) hierarchy. Recall at this operating point is
+    // the v17 audit's output (see its scaladoc for the measured ladder).
     "v6_ivf_ann_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
         val q = emb.filter(col("vec_id") < 5)
-        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = 16, nProbe = 3, exact = true,
-            prebuiltCells = Some(CellsShared.seed16(s, dir)))
+        Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = nc, nProbe = 6, superProbe = 4,
+            prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH cent AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |assigned AS (
-        |  SELECT vec_id, cvec, cell FROM (
-        |    SELECT e.vec_id, e.embedding AS cvec, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
-        |probes AS (
-        |  SELECT qid, qvec, cell FROM (
-        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
-        |      PARTITION BY qq.vec_id
-        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |${sqlHierCentroids(tables = 1)},
+        |${sqlHierAssign(nProbe = 1)},
+        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
+            superProbe = 4)},
         |scored AS (
-        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
-        |ranked AS (
+        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
+        |  FROM assigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
+        |  WHERE q.vec_id <> a.vec_id),
+        |rankedk AS (
         |  SELECT qid, vec_id, sim, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         |  FROM scored)
-        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "IVF coarse-quantizer ANN: assign to cells, probe nProbe nearest cells"),
+      "IVF coarse-quantizer ANN at corpus-scaled nCells: hierarchical " +
+        "corpus + probe assignment, probe cost pinned per cell"),
 
     // --- exact cosine near-dups, bounded scope (parity witness) -------
     // The FLAGSHIP low-threshold near-dup query is v7's IVF-cell
@@ -576,57 +670,50 @@ object VectorSuite {
         "per-cell pairs + exact re-score"),
 
     // --- IVF ANN with k-means refined centroids -----------------------
-    // The quantizer is 2 Lloyd iterations from the deterministic seeds:
-    // assign (double cosine, tie → lowest cell) then per-dimension mean
+    // The quantizer is 2 Lloyd iterations from the deterministic seeds
+    // at CORPUS-SCALED nCells (Similarity.cellsFor) with trainCap =
+    // 39·nCells (Similarity.trainCapFor — the FAISS ~39-points-per-
+    // centroid rule a pinned 2048 cap breaks once cells scale): assign
+    // (double cosine through the TWO-LEVEL hierarchy of the current
+    // means — O(trainCap·√nCells)/iteration) then per-dimension mean
     // (exact-decimal accumulation → one cast to double → double divide →
-    // float), all engine-replicable — the oracle re-runs both iterations
-    // in SQL and must land on the identical centroids, cells, candidate
-    // sets, and ranking.
+    // float), all engine-replicable. Corpus and probes assign through
+    // the same hierarchy (shared kmeansDynCells memo; the IVFADC index
+    // v12/v19 reads the identical coarse state). The oracle re-runs both
+    // iterations — hierarchies included — in SQL and must land on the
+    // identical centroids, cells, candidate sets, and ranking.
     "v8_ivf_kmeans_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
         val q = emb.filter(col("vec_id") < 5)
-        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = 16, nProbe = 3, exact = true, kmeansIterations = 2,
-            prebuiltCentroids = Some(IvfShared.kmeans16(s, dir)),
-            prebuiltCells = Some(CellsShared.kmeans16(s, dir)))
+        Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = nc, nProbe = 3,
+            prebuiltCentroids = Some(IvfShared.kmeansDyn(s, dir, nc)),
+            prebuiltCells = Some(CellsShared.kmeansDynCells(s, dir, nc)))
           .orderBy("qid", "rn")
       },
-      Some {
-        val means = (1 to 64).map(i =>
-          s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-        def assign(cents: String, keep: Int, src: String = "embeddings") =
-          s"""SELECT vec_id, vec, cell FROM (
-          |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
-          |      PARTITION BY e.vec_id
-          |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-          |    FROM $src e CROSS JOIN $cents c) WHERE rk <= $keep"""
-        s"""WITH seed AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |train AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
-        |a1 AS (${assign("seed", 1, "train")}),
-        |c1 AS (SELECT cell, [$means] AS centroid FROM a1 GROUP BY cell),
-        |a2 AS (${assign("c1", 1, "train")}),
-        |c2 AS (SELECT cell, [$means] AS centroid FROM a2 GROUP BY cell),
-        |assigned AS (${assign("c2", 1)}),
-        |probes AS (
-        |  SELECT qid, qvec, cell FROM (
-        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
-        |      PARTITION BY qq.vec_id
-        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings qq CROSS JOIN c2 c WHERE qq.vec_id < 5) WHERE rk <= 3),
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |$sqlLloydDyn,
+        |${sqlHier1("cent2", "hc")},
+        |${sqlHier1Assign("cent2", "hc", "embeddings", "ca", 1)},
+        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |${sqlHier1Assign("cent2", "hc", "qsrc", "pa", 3)},
         |scored AS (
-        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "vec")} AS sim
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
+        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
+        |  FROM caasg a JOIN paasg p ON p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
         |ranked AS (
         |  SELECT qid, vec_id, sim, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         |  FROM scored)
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin
-      },
-      "IVF ANN with Lloyd k-means centroids: 2 deterministic refinement iterations"),
+        |ORDER BY qid, rn""".stripMargin),
+      "IVF ANN with Lloyd centroids at corpus-scaled nCells: " +
+        "hierarchical training/corpus/probe assignment, trainCap = 39·nCells"),
 
     // --- SemDeDup-style semantic dedup ---------------------------------
     // The named web-scale curation shape (Abbas et al. 2023): quantizer
@@ -727,17 +814,23 @@ object VectorSuite {
     // variance, so the same 8-byte code budget buys materially better
     // recall than raw-vector codes (measured in ProfilePqRecall). Each
     // query builds one distance table per probed cell from its residual
-    // there (the asymmetric IVFADC form). The oracle rebuilds BOTH
-    // stages end to end: cosine cell assignment (the v6/v10 mirror),
-    // residual computation, residual codebook training (one DECIMAL-mean
-    // Lloyd refinement), corpus encoding, per-(query, cell) distance
-    // tables, and the exact-BIGINT ADC ranks.
+    // there (the asymmetric IVFADC form). The coarse stage is the
+    // CORPUS-SCALED Lloyd quantizer v8 declares — same nCells
+    // (cellsFor), same trainCap (39·nCells), same hierarchical train/
+    // corpus assignment, SHARED kmeansDyn/kmeansDynCells memos — and
+    // probes assign hierarchically too (hierProbes), so per-query cost
+    // stays pinned per probed cell at any corpus size. The oracle
+    // rebuilds BOTH stages end to end: the v8 Lloyd CTEs, hierarchical
+    // cell assignment, residual computation, residual codebook training
+    // (one DECIMAL-mean Lloyd refinement), corpus encoding,
+    // per-(query, cell) distance tables, and the exact-BIGINT ADC ranks.
     "v12_ivfpq_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir), "vec_id",
-            "embedding", topK = 5, nProbe = 3)
+            "embedding", topK = 5, nProbe = 3,
+            hierProbes = true, superProbe = 3)
           .orderBy("qid", "rn")
       },
       Some(s"""WITH ${sqlIvfPqCtes(5)}
@@ -914,19 +1007,29 @@ object VectorSuite {
     // --- ANN recall audit (the x35 pattern for vectors) ----------------
     // The measurement that decides whether an index's recall is good
     // enough to skip exact search, AS a first-class declared query:
-    // IVF top-5 (v6's exact configuration, shared seed16 cells memo)
-    // scored against the brute-force exact top-5 over 20 query rows.
+    // IVF top-5 in v6's EXACT configuration (corpus-scaled nCells,
+    // shared hierDyn cells memo, hierarchical probes) scored against
+    // the brute-force exact top-5 over 20 query rows. With the round-8
+    // move off the pinned-16-cell index this is the recorded
+    // operating-point artifact the scale rule requires. Measured mean
+    // recall@5 (DuckDB sweep over this same mirror): nProbe=3/sp=3
+    // gave 0.70 at sf0.01 / 0.81 at sf0.1 — below the 0.8 bar — so
+    // the declared operating point is nProbe=6/superProbe=4: 0.83 at
+    // sf0.01 (n=500, nc=16) and 0.89 at sf0.1 (n=2000, nc=16),
+    // re-measured by every verify run rather than pinned in a comment.
     // Per-query n_hit/recall — both pipelines are existing mirrors, so
     // the oracle composes them and replays the same semi-join count.
     "v17_ann_recall_audit" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
         val q = emb.filter(col("vec_id") < 20)
         val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
             "embedding", topK = 5).select("qid", "vec_id")
-        val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-            topK = 5, nCells = 16, nProbe = 3, exact = true,
-            prebuiltCells = Some(CellsShared.seed16(s, dir)))
+        val approx = Similarity.ivfTopKHier(q, emb, "vec_id", "embedding",
+            topK = 5, nCells = nc, nProbe = 6, superProbe = 4,
+            prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
           .select("qid", "vec_id")
         val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -949,24 +1052,18 @@ object VectorSuite {
         |    SELECT qid, vec_id, row_number() OVER (
         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         |    FROM bscored) WHERE rn <= 5),
-        |cent AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |assigned AS (
-        |  SELECT vec_id, cvec, cell FROM (
-        |    SELECT e.vec_id, e.embedding AS cvec, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
-        |probes AS (
-        |  SELECT qid, qvec, cell FROM (
-        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
-        |      PARTITION BY qq.vec_id
-        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 20) WHERE rk <= 3),
+        |nc AS (
+        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |${sqlHierCentroids(tables = 1)},
+        |${sqlHierAssign(nProbe = 1)},
+        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
+            superProbe = 4)},
         |iscored AS (
-        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE qid <> a.vec_id),
+        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
+        |  FROM assigned a JOIN qassigned p ON p.tbl = a.tbl AND p.cell = a.cell
+        |  WHERE p.vec_id <> a.vec_id),
         |approx AS (
         |  SELECT qid, vec_id FROM (
         |    SELECT qid, vec_id, row_number() OVER (
@@ -1055,8 +1152,14 @@ object VectorSuite {
 
     // --- IVFADC recall audit (completes the ladder: v17 IVF, v18 PQ) ---
     // The remaining rung: residual-encoded IVF-PQ (v12's exact
-    // configuration, shared IvfPqShared index, nProbe=3) against the
-    // exact top-5 over the same 20 query rows. With this, every
+    // configuration — the round-8 corpus-scaled coarse quantizer,
+    // hierarchical probes, nProbe=3) against the exact top-5 over the
+    // same 20 query rows. Honestly reported no-refine floor: measured
+    // mean recall@5 0.36 at sf0.01 / 0.22 at sf0.1 — the DuckDB probe
+    // sweep shows more probes barely help (0.36→0.42 at nProbe=6/sp=4
+    // at sf0.01) because PQ quantization error dominates (v11's
+    // unrefined 0.37); the production fix is the refine tier, whose
+    // ladder v18 records (~0.87-0.93 at refine=10). With this, every
     // declared index family carries its own oracled recall artifact —
     // the number that decides whether the index is fit to replace
     // exact search at its operating point.
@@ -1067,7 +1170,8 @@ object VectorSuite {
         val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
             "embedding", topK = 5).select("qid", "vec_id")
         val approx = Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir),
-            "vec_id", "embedding", topK = 5, nProbe = 3)
+            "vec_id", "embedding", topK = 5, nProbe = 3,
+            hierProbes = true, superProbe = 3)
           .select("qid", "vec_id")
         val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -1202,49 +1306,49 @@ object VectorSuite {
     // with the inverted list instead: the at-rest cell assignment
     // CARRIES the filter column, the predicate prunes the assigned
     // list BEFORE the probe join, and scoring touches only qualifying
-    // members of probed cells. Same shared seed16 cells memo as v6 —
-    // the filter is a view over the index, not a second index.
+    // members of probed cells. Same shared CORPUS-SCALED hierDyn cells
+    // memo as v6/v10 — the filter is a view over the index, not a
+    // second index, and probe cost stays pinned per cell at any n.
     "v22_filtered_ivf_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
+          minCells = 16)
         val q = emb.filter(col("vec_id") < 5)
-        val labeled = CellsShared.seed16(s, dir)
+        val labeled = CellsShared.hierDyn(s, dir, nc)
           .join(emb.select(col("vec_id").as("id"), col("label")), "id")
           .filter(col("label") === 2)
           .select("id", "vec", "cell")
-        Similarity.ivfTopK(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = 16, nProbe = 3, exact = true,
+        Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
+            nCells = nc, nProbe = 6, superProbe = 4,
             prebuiltCells = Some(labeled))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH cent AS (
-        |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-        |  ORDER BY vec_id ASC LIMIT 16),
-        |assigned AS (
-        |  SELECT vec_id, cvec, cell, label FROM (
-        |    SELECT e.vec_id, e.embedding AS cvec, e.label, c.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
-        |probes AS (
-        |  SELECT qid, qvec, cell FROM (
-        |    SELECT qq.vec_id AS qid, qq.embedding AS qvec, c.cell, row_number() OVER (
-        |      PARTITION BY qq.vec_id
-        |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-        |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5) WHERE rk <= 3),
+      Some(s"""WITH nc AS (
+        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |${sqlHierCentroids(tables = 1)},
+        |${sqlHierAssign(nProbe = 1)},
+        |lassigned AS (
+        |  SELECT a.vec_id, a.vec, a.tbl, a.cell
+        |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+        |  WHERE e.label = 2),
+        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
+            superProbe = 4)},
         |scored AS (
-        |  SELECT qid, a.vec_id, ${sqlCos("qvec", "cvec")} AS sim
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell
-        |  WHERE qid <> a.vec_id AND a.label = 2),
-        |ranked AS (
+        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
+        |  FROM lassigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
+        |  WHERE q.vec_id <> a.vec_id),
+        |rankedk AS (
         |  SELECT qid, vec_id, sim, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         |  FROM scored)
-        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "Attribute-filtered IVF ANN: the predicate prunes the at-rest " +
-        "cell assignment before the probe join — filter composed with " +
-        "the index, not a rescan"),
+      "Attribute-filtered IVF ANN at corpus-scaled nCells: the predicate " +
+        "prunes the at-rest cell assignment before the probe join — " +
+        "filter composed with the index, not a rescan"),
 
     // --- kNN label audit (classifier-style curation over the graph) ----
     // The other thing a kNN graph is for: label QUALITY. Every row's
@@ -1363,55 +1467,46 @@ object VectorSuite {
   }
 
   /** The IVFADC trunk (v12's full mirror, shared with the v19 recall
-    * audit): Lloyd-refined coarse quantizer (2 iterations), residuals
-    * vec − centroid(cell), residual codebooks (seedOffset past the
-    * coarse-centroid ids), cell-inline corpus codes, per-(query, cell)
-    * distance tables (queries = vec_id < `maxQid`), and the
-    * exact-BIGINT ADC ranks. Emits CTEs kseed … ranked — no leading
-    * WITH, no final SELECT.
+    * audit): the CORPUS-SCALED Lloyd coarse quantizer (sqlLloydDyn —
+    * the exact CTEs v8 mirrors, since the engine shares the
+    * kmeansDyn/kmeansDynCells memos between them), HIERARCHICAL corpus
+    * and probe assignment, residuals vec − centroid(cell), residual
+    * codebooks (seeded past the nc coarse-centroid ids), cell-inline
+    * corpus codes, per-(query, cell) distance tables (queries =
+    * vec_id < `maxQid`), and the exact-BIGINT ADC ranks. Emits CTEs
+    * nc … ranked — no leading WITH, no final SELECT.
     */
   private def sqlIvfPqCtes(maxQid: Int): String = {
     val means = (1 to 8).map(i =>
       s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-    val kMeans64 = (1 to 64).map(i =>
-      s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-    def kAssign(cents: String, src: String = "embeddings") =
-      s"""SELECT vec_id, vec, cell FROM (
-      |    SELECT e.vec_id, e.embedding AS vec, c.cell, row_number() OVER (
-      |      PARTITION BY e.vec_id
-      |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-      |    FROM $src e CROSS JOIN $cents c) WHERE rk <= 1""".stripMargin
     def assign(cbName: String, src: String = "sv") =
       s"""SELECT id, s, code FROM (
       |    SELECT sv.id, sv.s, cb.code, row_number() OVER (
       |      PARTITION BY sv.id, sv.s
       |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
       |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
-    s"""kseed AS (
-    |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
-    |  ORDER BY vec_id ASC LIMIT 16),
-    |ktrain AS (SELECT * FROM embeddings WHERE vec_id < $TrainCap),
-    |ka1 AS (${kAssign("kseed", "ktrain")}),
-    |kc1 AS (SELECT cell, [$kMeans64] AS centroid FROM ka1 GROUP BY cell),
-    |ka2 AS (${kAssign("kc1", "ktrain")}),
-    |cent AS (SELECT cell, [$kMeans64] AS centroid FROM ka2 GROUP BY cell),
-    |cells AS (
-    |  SELECT id, vec, cell FROM (
-    |    SELECT e.vec_id AS id, e.embedding AS vec, c.cell, row_number() OVER (
-    |      PARTITION BY e.vec_id
-    |      ORDER BY ${sqlCosD("e.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-    |    FROM embeddings e CROSS JOIN cent c) WHERE rk <= 1),
+    s"""nc AS (
+    |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
+    |  FROM embeddings),
+    |$sqlLloydDyn,
+    |${sqlHier1("cent2", "hc")},
+    |${sqlHier1Assign("cent2", "hc", "embeddings", "cc", 1)},
+    |cells AS (SELECT vec_id AS id, vec, cell FROM ccasg),
     |res AS (
     |  SELECT cl.id, cl.cell,
     |    list_transform(range(1, 65), i ->
     |      CAST(cl.vec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
-    |  FROM cells cl JOIN cent c ON c.cell = cl.cell),
+    |  FROM cells cl JOIN cent2 c ON c.cell = cl.cell),
     |ss AS (SELECT unnest(range(0, 8)) AS s),
     |sv AS (
     |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM res CROSS JOIN ss),
     |seeds AS (
-    |  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes OFFSET 16),
+    |  SELECT vec_id FROM (
+    |    SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) AS rk
+    |    FROM embeddings)
+    |  WHERE rk > (SELECT v FROM nc)
+    |    AND rk <= (SELECT v FROM nc) + $PqCodes),
     |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
     |cb0 AS (
     |  SELECT s, sv.id AS code, sv.sv AS cw
@@ -1421,19 +1516,17 @@ object VectorSuite {
     |  SELECT s, code, [$means] AS cw
     |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
     |codes AS (${assign("cb1")}),
-    |probes AS (
-    |  SELECT qid, cell FROM (
-    |    SELECT qq.vec_id AS qid, c.cell, row_number() OVER (
-    |      PARTITION BY qq.vec_id
-    |      ORDER BY ${sqlCosD("qq.embedding", "c.centroid")} DESC, c.cell ASC) AS rk
-    |    FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < $maxQid) WHERE rk <= 3),
+    |qsrc AS (
+    |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxQid),
+    |${sqlHier1Assign("cent2", "hc", "qsrc", "pp", 3)},
+    |probes AS (SELECT vec_id AS qid, cell FROM ppasg),
     |qres AS (
     |  SELECT p.qid, p.cell,
     |    list_transform(range(1, 65), i ->
     |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
     |  FROM probes p
     |  JOIN embeddings q ON q.vec_id = p.qid
-    |  JOIN cent c ON c.cell = p.cell),
+    |  JOIN cent2 c ON c.cell = p.cell),
     |qsv AS (
     |  SELECT qid, cell, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM qres CROSS JOIN ss),

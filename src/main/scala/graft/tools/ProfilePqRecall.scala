@@ -76,7 +76,8 @@ object ProfilePqRecall {
             Similarity.ivfPqIndex(emb, "vec_id", "embedding", nCells = 16,
               m = 8, nCodes = 16, iterations = 1,
               coarseKmeansIterations = coarseIters),
-            "vec_id", "embedding", topK = k, nProbe = probe)
+            "vec_id", "embedding", topK = k, nProbe = probe,
+            hierProbes = false, superProbe = 3)
           .select("qid", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         spark.catalog.clearCache()
