@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side shape is the real part — schema, partition-preserving
-  * batched iteration (`mapPartitions` over a typed Dataset), stable UDF
-  * signatures — while the actual codec call is a STUB: this container
-  * has no image/audio libraries, so `decodeStub` derives deterministic
-  * fake metadata/features from the bytes. In production the stub body is
-  * replaced by the native decoder (e.g. libjpeg/ffmpeg via JNI) without
+  * The Spark-side shape — schema, partition-preserving batched
+  * iteration (`mapPartitions` over a typed Dataset), stable UDF
+  * signatures — has been real from the start; since round 8 the CODEC
+  * is real for two modalities too: image assets that parse as 24-bpp
+  * BMP and audio assets that parse as PCM WAV are genuinely decoded
+  * (sources.MediaBinary — pure-JVM header parsing, stride-aware pixel
+  * extraction, RIFF chunk walking), with width/height/duration and the
+  * content checksum computed from the DECODED pixels/samples. Payloads
+  * that don't parse (and the video modality — no pure-JVM video
+  * container is worth hand-rolling) fall back to `decodeStub`, the
+  * loudly-declared deterministic fake. In production the remaining stub
+  * body is replaced by the native decoder (e.g. ffmpeg via JNI) without
   * touching any of the distributed plumbing; partitions arrive as
   * iterators, so a per-partition codec context amortizes initialization
   * exactly like a Pandas-UDF batch would.
@@ -31,7 +37,7 @@ object Multimodal {
     * purely from the bytes so tests are reproducible.
     */
   private def decodeStub(a: Asset): DecodedAsset = {
-    val sum = a.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    val sum = rollingChecksum(a.media)
     DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
       width = 16 + (math.abs(sum) % 1920).toInt,
       height = 16 + (math.abs(sum / 7) % 1080).toInt,
@@ -39,14 +45,43 @@ object Multimodal {
       checksum = sum)
   }
 
-  /** Decode metadata for every asset — batched per partition; the codec
-    * context would be allocated once per partition here.
+  private def rollingChecksum(bytes: Array[Byte]): Long = {
+    var acc = 0L; var i = 0
+    while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+    acc
+  }
+
+  /** REAL decode for the pure-JVM container formats: a genuine BMP
+    * yields its actual parsed dimensions and a checksum over the
+    * DECODED pixel bytes (stride-stripped, top-down); a genuine WAV
+    * yields its actual duration (data bytes / byte rate from the parsed
+    * `fmt ` chunk) and a checksum over the decoded sample bytes. None →
+    * the caller falls back to the declared stub.
+    */
+  private def decodeReal(a: Asset): Option[DecodedAsset] = a.media_type match {
+    case "image" =>
+      graft.sources.MediaBinary.decodeBmp(a.media).map { bmp =>
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = bmp.width, height = bmp.height, duration_ms = 0L,
+          checksum = rollingChecksum(bmp.pixels))
+      }
+    case "audio" =>
+      graft.sources.MediaBinary.decodeWav(a.media).map { w =>
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = 0, height = 0, duration_ms = w.durationMs,
+          checksum = rollingChecksum(w.data))
+      }
+    case _ => None
+  }
+
+  /** Decode metadata for every asset — batched per partition; a codec
+    * needing per-partition context would allocate it here. Real parsing
+    * for BMP images / WAV audio; declared stub otherwise.
     */
   def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // per-partition codec init goes here (STUB: none needed)
-      batch.map(decodeStub)
+      batch.map(a => decodeReal(a).getOrElse(decodeStub(a)))
     }
   }
 
@@ -73,28 +108,55 @@ object Multimodal {
   case class ResizedAsset(asset_id: Long, media_type: String,
       width: Int, height: Int, media: Array[Byte])
 
-  /** ======= STUB ======= resize an image asset to fit within
-    * (maxW, maxH) preserving aspect ratio (real implementation decodes,
-    * scales, re-encodes). The stub derives source dims like decodeStub
-    * and emits a deterministic payload of the target size's byte count
-    * scaled DOWN from the source bytes — so downstream operators see
-    * realistic shrunk payloads and the partition-preserving batched
-    * iteration (per-partition scaler context) is exercised for real.
+  /** Resize an image asset to fit within (maxW, maxH) preserving aspect
+    * ratio. REAL for genuine BMPs: decode, nearest-neighbor resample the
+    * actual pixels, re-encode — the output is a valid BMP of the target
+    * dimensions that [[decode]] round-trips. Non-BMP payloads keep the
+    * declared stub (dims from decodeStub, payload truncated
+    * proportionally) so downstream operators still see realistic shrunk
+    * payloads; either way the partition-preserving batched iteration
+    * (per-partition scaler context) is exercised for real.
     */
   def resize(assets: Dataset[Asset], maxW: Int = 256,
       maxH: Int = 256): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // per-partition scaler context goes here (STUB: none needed)
+      // per-partition scaler context would be allocated here
       batch.filter(_.media_type == "image").map { a =>
-        val d = decodeStub(a)
-        val scale = math.min(1.0,
-          math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
-        val (w, h) = (math.max(1, (d.width * scale).toInt),
-          math.max(1, (d.height * scale).toInt))
-        val outLen = math.max(1,
-          (a.media.length * (w.toLong * h) / (d.width.toLong * d.height)).toInt)
-        ResizedAsset(a.asset_id, a.media_type, w, h, a.media.take(outLen))
+        graft.sources.MediaBinary.decodeBmp(a.media) match {
+          case Some(bmp) =>
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / bmp.width, maxH.toDouble / bmp.height))
+            val w = math.max(1, (bmp.width * scale).toInt)
+            val h = math.max(1, (bmp.height * scale).toInt)
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              val sy = (y.toLong * bmp.height / h).toInt
+              var x = 0
+              while (x < w) {
+                val sx = (x.toLong * bmp.width / w).toInt
+                val src = (sy * bmp.width + sx) * 3
+                val dst = (y * w + x) * 3
+                px(dst) = bmp.pixels(src)
+                px(dst + 1) = bmp.pixels(src + 1)
+                px(dst + 2) = bmp.pixels(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            ResizedAsset(a.asset_id, a.media_type, w, h,
+              graft.sources.MediaBinary.encodeBmp(w, h, px))
+          case None =>
+            val d = decodeStub(a)
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+            val (w, h) = (math.max(1, (d.width * scale).toInt),
+              math.max(1, (d.height * scale).toInt))
+            val outLen = math.max(1,
+              (a.media.length * (w.toLong * h) / (d.width.toLong * d.height)).toInt)
+            ResizedAsset(a.asset_id, a.media_type, w, h, a.media.take(outLen))
+        }
       }
     }
   }

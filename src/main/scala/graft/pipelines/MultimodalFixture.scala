@@ -5,10 +5,19 @@ import java.io.File
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** ≥100 MB binary-asset fixture for the multimodal surface: opaque
-  * media payloads (deterministic LCG bytes — incompressible, like real
-  * encoded media) + typed metadata, written with explicit row-group
-  * sizing so the binary column chunks are scan-friendly.
+/** ≥100 MB binary-asset fixture for the multimodal surface: media
+  * payloads + typed metadata, written with explicit row-group sizing so
+  * the binary column chunks are scan-friendly.
+  *
+  * Since round 8 the image and audio assets are GENUINE containers —
+  * real 24-bpp BMPs and PCM WAVs (sources.MediaBinary) whose pixel/
+  * sample content is the deterministic LCG byte stream (incompressible,
+  * like real encoded media) — so the decode path parses actual headers
+  * and extracts actual content; video assets stay raw LCG bytes behind
+  * the declared frame-sampling stub (no pure-JVM video container is
+  * worth hand-rolling). Container sizes remain pure arithmetic
+  * ([[containerLen]]) so tests recompute expected totals without
+  * materializing payloads.
   *
   * Generated DISTRIBUTED (range → mapPartitions), never on the driver:
   * the same code path writes 100 TB of assets on a cluster.
@@ -48,11 +57,59 @@ object MultimodalFixture {
     out
   }
 
+  def mediaType(id: Long): String = Seq("image", "audio", "video")((id % 3).toInt)
+
+  /** Image geometry: width 96 (stride 96·3 = 288 is 4-byte aligned —
+    * no BMP row padding, so pixel bytes = payload prefix exactly),
+    * height = how many full rows the payload supplies.
+    */
+  val BmpWidth = 96
+  private val BmpRow = BmpWidth * 3
+  /** Audio format: 16 kHz stereo 16-bit PCM → 4-byte frames. */
+  val WavRate = 16000; val WavChannels = 2; val WavBits = 16
+  private val WavFrame = WavChannels * WavBits / 8
+
+  /** On-disk media length for an asset id — pure arithmetic (the
+    * payloadLen contract, now per container): BMP = 54-byte header +
+    * whole pixel rows; WAV = 44-byte header + whole sample frames;
+    * video = the raw payload.
+    */
+  def containerLen(id: Long): Int = mediaType(id) match {
+    case "image" => 54 + (payloadLen(id) / BmpRow) * BmpRow
+    case "audio" => 44 + (payloadLen(id) / WavFrame) * WavFrame
+    case _ => payloadLen(id)
+  }
+
+  /** The asset's media bytes: a genuine container around the
+    * deterministic payload (image/audio), or the raw payload (video).
+    */
+  def media(id: Long): Array[Byte] = {
+    val p = payload(id)
+    mediaType(id) match {
+      case "image" =>
+        val h = p.length / BmpRow
+        graft.sources.MediaBinary.encodeBmp(BmpWidth, h,
+          java.util.Arrays.copyOf(p, h * BmpRow))
+      case "audio" =>
+        val n = (p.length / WavFrame) * WavFrame
+        graft.sources.MediaBinary.encodeWav(WavRate, WavChannels, WavBits,
+          java.util.Arrays.copyOf(p, n))
+      case _ => p
+    }
+  }
+
   @volatile private var ready = false
+
+  /** Fixture layout version marker: bumped when the on-disk content
+    * contract changes (V2 = genuine BMP/WAV containers), so a stale
+    * pre-upgrade fixture rebuilds instead of being served.
+    */
+  private val versionMarker = "_GRAFT_MEDIA_V2"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
-    if (!new File(s"$assetsPath/_SUCCESS").exists()) build(spark)
+    if (!new File(s"$assetsPath/_SUCCESS").exists() ||
+        !new File(s"$assetsPath/$versionMarker").exists()) build(spark)
     ready = true
   }
 
@@ -60,8 +117,7 @@ object MultimodalFixture {
     import spark.implicits._
     graft.Graft.tune(spark)
     val assets = spark.range(0, nAssets.toLong, 1, 16).map { id =>
-      graft.operators.Multimodal.Asset(id,
-        Seq("image", "audio", "video")((id % 3).toInt), payload(id))
+      graft.operators.Multimodal.Asset(id, mediaType(id), media(id))
     }
     // 8 files ≈ 16 MB each; 32 MB row groups keep one group per file —
     // at 100 TB the same block size gives ~3 groups per 128 MB split, so
@@ -71,5 +127,6 @@ object MultimodalFixture {
       .write.mode("overwrite")
       .option("parquet.block.size", (32 * 1024 * 1024).toString)
       .parquet(assetsPath)
+    new File(s"$assetsPath/$versionMarker").createNewFile()
   }
 }

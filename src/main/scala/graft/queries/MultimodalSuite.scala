@@ -217,7 +217,55 @@ object MultimodalSuite {
         |ORDER BY canonical_id, member_id""".stripMargin),
       "Media near-dup clustering: chunk-fingerprint MinHash pairs -> " +
         "connected components with min-id canonicals (the media " +
-        "analogue of x18)"))
+        "analogue of x18)"),
+
+    // --- REAL codec audit (round 8: the decode path is genuine) --------
+    // Image assets are real 24-bpp BMPs and audio assets real PCM WAVs
+    // (pipelines.MultimodalFixture encodes them; sources.MediaBinary
+    // parses them back — pure-JVM header parsing, stride-aware pixel
+    // extraction, RIFF chunk walking). This query aggregates the
+    // GENUINELY DECODED metadata per modality, and the oracle replays
+    // the container-header parsing INDEPENDENTLY in SQL: DuckDB reads
+    // the same blobs, parses the little-endian BMP width/height fields
+    // and the WAV byte-rate/data-size fields out of hex(media), and
+    // must land on identical aggregates — so the decoder's arithmetic
+    // (not a re-run of itself) is what's checked. Video stays excluded:
+    // its decode path is the declared stub.
+    "m6_codec_audit" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decode(assets(s).as[Multimodal.Asset])
+          .filter(col("media_type") =!= "video")
+          .groupBy("media_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("width").cast("long")).as("sum_width"),
+            sum(col("height").cast("long")).as("sum_height"),
+            sum(col("duration_ms")).as("sum_duration_ms"),
+            sum(col("byte_size")).as("sum_bytes"))
+          .orderBy("media_type")
+      },
+      Some {
+        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+        def le32(p: Int): String =
+          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+        s"""WITH m AS (
+        |  SELECT media_type, hex(media) AS hx, octet_length(media) AS len
+        |  FROM $A WHERE media_type <> 'video')
+        |SELECT media_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN media_type = 'image'
+        |    THEN ${le32(19)} ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(SUM(CASE WHEN media_type = 'image'
+        |    THEN ${le32(23)} ELSE 0 END) AS BIGINT) AS sum_height,
+        |  CAST(SUM(CASE WHEN media_type = 'audio'
+        |    THEN (${le32(41)} * 1000) // ${le32(29)}
+        |    ELSE 0 END) AS BIGINT) AS sum_duration_ms,
+        |  CAST(SUM(len) AS BIGINT) AS sum_bytes
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
+      },
+      "Real-codec audit: BMP dims and WAV durations from genuine " +
+        "pure-JVM decoding, cross-checked by independent header " +
+        "parsing over hex(media) in the oracle"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MediaBinary
+
+/** Pure-JVM BMP/WAV codec round-trips and defensive-parse behavior —
+  * the real half of the multimodal decode path (the video modality
+  * keeps its declared stub).
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def lcgBytes(n: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = (s >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  test("BMP: encode/decode round-trips dims and exact pixels") {
+    for ((w, h) <- Seq((96, 113), (7, 5), (1, 1), (33, 2))) {
+      val px = lcgBytes(w * h * 3, seed = w * 1000L + h)
+      val bytes = MediaBinary.encodeBmp(w, h, px)
+      // stride padding: rows pad to 4-byte boundaries in the container
+      val stride = ((w * 3 + 3) / 4) * 4
+      assert(bytes.length == 54 + stride * h)
+      val dec = MediaBinary.decodeBmp(bytes)
+      assert(dec.isDefined, s"decode failed for ${w}x$h")
+      assert(dec.get.width == w && dec.get.height == h)
+      assert(java.util.Arrays.equals(dec.get.pixels, px),
+        s"pixel round-trip failed for ${w}x$h (stride $stride)")
+    }
+  }
+
+  test("BMP: rejects alien, truncated, and unsupported payloads") {
+    assert(MediaBinary.decodeBmp(Array[Byte]()).isEmpty)
+    assert(MediaBinary.decodeBmp(lcgBytes(200, 7L)).isEmpty) // no magic
+    val good = MediaBinary.encodeBmp(8, 8, lcgBytes(8 * 8 * 3, 1L))
+    assert(MediaBinary.decodeBmp(good.take(53)).isEmpty) // header cut
+    assert(MediaBinary.decodeBmp(good.take(80)).isEmpty) // pixels cut
+    val mono = good.clone(); mono(28) = 8 // biBitCount = 8
+    assert(MediaBinary.decodeBmp(mono).isEmpty)
+    val rle = good.clone(); rle(30) = 1 // biCompression = BI_RLE8
+    assert(MediaBinary.decodeBmp(rle).isEmpty)
+  }
+
+  test("WAV: encode/decode round-trips format and exact samples") {
+    val data = lcgBytes(4 * 1000, 42L) // 1000 stereo 16-bit frames
+    val bytes = MediaBinary.encodeWav(16000, 2, 16, data)
+    assert(bytes.length == 44 + data.length)
+    val dec = MediaBinary.decodeWav(bytes)
+    assert(dec.isDefined)
+    val w = dec.get
+    assert(w.channels == 2 && w.sampleRate == 16000 && w.bitsPerSample == 16)
+    assert(java.util.Arrays.equals(w.data, data))
+    assert(w.byteRate == 64000)
+    assert(w.durationMs == data.length.toLong * 1000 / 64000)
+  }
+
+  test("WAV: chunk walk skips unknown chunks (odd sizes word-padded)") {
+    val data = lcgBytes(4 * 16, 9L)
+    val canonical = MediaBinary.encodeWav(8000, 2, 16, data)
+    // splice a 5-byte junk chunk (odd → 1 pad byte) between WAVE and fmt
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = canonical.take(12) ++ junk ++ canonical.drop(12)
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val dec = MediaBinary.decodeWav(spliced)
+    assert(dec.isDefined, "chunk walk must skip the junk chunk")
+    assert(java.util.Arrays.equals(dec.get.data, data))
+  }
+
+  test("WAV: rejects alien, truncated, and non-PCM payloads") {
+    assert(MediaBinary.decodeWav(lcgBytes(100, 3L)).isEmpty)
+    val good = MediaBinary.encodeWav(8000, 1, 16, lcgBytes(64, 5L))
+    assert(MediaBinary.decodeWav(good.take(40)).isEmpty)
+    val float = good.clone(); float(20) = 3 // IEEE float format tag
+    assert(MediaBinary.decodeWav(float).isEmpty)
+    // data chunk size overrunning the buffer must not slice garbage
+    val overrun = good.clone(); overrun(40) = (overrun(40) + 64).toByte
+    assert(MediaBinary.decodeWav(overrun).isEmpty)
+  }
+
+  test("fixture media: genuine containers, pure-arithmetic lengths") {
+    import graft.pipelines.MultimodalFixture._
+    for (id <- 0L until 12L) {
+      val m = media(id)
+      assert(m.length == containerLen(id),
+        s"containerLen($id) drifted: ${m.length} != ${containerLen(id)}")
+      mediaType(id) match {
+        case "image" =>
+          val d = MediaBinary.decodeBmp(m)
+          assert(d.isDefined && d.get.width == BmpWidth)
+          // decoded pixels ARE the payload prefix — the genuine
+          // encode→container→decode cycle, not a header-only check
+          val expect = payload(id).take(d.get.pixels.length)
+          assert(java.util.Arrays.equals(d.get.pixels, expect))
+        case "audio" =>
+          val d = MediaBinary.decodeWav(m)
+          assert(d.isDefined && d.get.sampleRate == WavRate)
+          val expect = payload(id).take(d.get.data.length)
+          assert(java.util.Arrays.equals(d.get.data, expect))
+        case _ =>
+          assert(java.util.Arrays.equals(m, payload(id))) // raw video
+      }
+    }
+  }
+}

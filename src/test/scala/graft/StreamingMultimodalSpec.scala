@@ -195,10 +195,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(spread.rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism)
 
-    // round-trip totals match the generator's pure-arithmetic expectation
+    // round-trip totals match the generator's pure-arithmetic
+    // expectation (containerLen: genuine BMP/WAV container sizes for
+    // image/audio, raw payload for video)
     import spark.implicits._
     val expectedBytes = (0 until MultimodalFixture.nAssets)
-      .map(i => MultimodalFixture.payloadLen(i.toLong).toLong).sum
+      .map(i => MultimodalFixture.containerLen(i.toLong).toLong).sum
     val decoded = graft.operators.Multimodal.decode(
       spread.as[graft.operators.Multimodal.Asset])
     val Array(row) = decoded
