@@ -226,6 +226,31 @@ object ScaleStress {
         graft.Graft.releaseTruncated(g)
         rows
       }
+      // topK QUERY cost under the corpus-scaled index (the round-8
+      // v6-family contract): seed quantizer + corpus assignment are
+      // prebuilt OUTSIDE the timer (the at-rest ingest split every
+      // declared query memoizes), so the timed work is probe assignment
+      // (O(√nCells)) + the nProbe·cellSize candidate scan — the probe's
+      // time ratio at 4× rows must stay ~flat, where the old pinned-16
+      // index grew linearly with n.
+      locally {
+        val ncq = Similarity.cellsFor(n, cellSize = 128, minCells = 16)
+        import scala.jdk.CollectionConverters._
+        val seedRows = emb.orderBy(col("vec_id").asc).limit(ncq)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+        val cents = broadcast(spark.createDataFrame(
+          seedRows.collect().toSeq.asJava, seedRows.schema))
+        val cells = Similarity.quantizerCellsHier(emb, "vec_id",
+            "embedding", ncq, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cells.count()
+        run("topk_hier_query", m, n)(
+          Similarity.ivfTopKHier(emb.filter(col("vec_id") < 5), emb,
+            "vec_id", "embedding", topK = 5, nCells = ncq, nProbe = 6,
+            superProbe = 4, prebuiltCentroids = Some(cents),
+            prebuiltCells = Some(cells)).count())
+        cells.unpersist(false)
+      }
       emb.unpersist(false)
       spark.catalog.clearCache()
     }
