@@ -217,6 +217,13 @@ object SessionMemo {
 
   def size: Int = entries.size()
 
+  /** Age bound for fingerprint-cache entries of paths that stopped
+    * being queried (active paths refresh walkedAtNanos on every re-walk,
+    * at most [[FpWalkTtlMillis]] apart, so only abandoned paths age
+    * out). Var so specs can exercise eviction without a wall-clock wait.
+    */
+  private[graft] var FpCacheMaxAgeNanos: Long = 3600L * 1000000000L
+
   /** Drop idle/dead entries. Public with an explicit `now` so specs can
     * exercise the TTL path without a wall-clock wait.
     */
@@ -227,6 +234,13 @@ object SessionMemo {
       if (e.contextStopped) it.remove() // storage died with the context
       else if (now - e.lastAccess > e.ttlMillis) { it.remove(); safeRelease(e) }
     }
+    // fingerprint entries for abandoned paths would otherwise accrete
+    // forever in a long-lived JVM serving many distinct table dirs
+    val nn = System.nanoTime()
+    val fit = fpCache.entrySet().iterator()
+    while (fit.hasNext)
+      if (nn - fit.next().getValue.walkedAtNanos > FpCacheMaxAgeNanos)
+        fit.remove()
   }
 
   private def safeRelease(e: Entry): Unit =

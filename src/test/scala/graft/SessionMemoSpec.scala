@@ -105,6 +105,24 @@ class SessionMemoSpec extends SparkSpec {
     }
   }
 
+  test("sweep evicts fingerprint-cache entries for abandoned paths") {
+    val dir = java.nio.file.Files.createTempDirectory("memo-fpev").toString
+    val f = java.nio.file.Paths.get(dir, "t.txt")
+    java.nio.file.Files.write(f, "x".getBytes)
+    SessionMemo.fingerprint(dir) // prime
+    val walks0 = SessionMemo.deepWalks
+    SessionMemo.fingerprint(dir)
+    assert(SessionMemo.deepWalks == walks0, "cached walk must be served")
+    val age = SessionMemo.FpCacheMaxAgeNanos
+    SessionMemo.FpCacheMaxAgeNanos = 0L // everything is now "abandoned"
+    try {
+      SessionMemo.sweep(System.currentTimeMillis())
+      SessionMemo.fingerprint(dir)
+      assert(SessionMemo.deepWalks > walks0,
+        "post-eviction lookup must re-walk (entry was dropped, not served)")
+    } finally SessionMemo.FpCacheMaxAgeNanos = age
+  }
+
   test("idle entries are swept after their TTL") {
     val s2 = spark.newSession()
     s2.conf.set("graft.memo.ttlSeconds", "60")
