@@ -68,6 +68,7 @@ object Bench {
     val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" &&
       sfDir.stripSuffix("/").endsWith("sf0.1")
     val sf1Deadline = t0 + ((budget + 60) * 1e9).toLong
+    var sf1Pass2N = 0
     def sf1Pass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq
         .sortBy { case (n, _) =>
@@ -97,6 +98,7 @@ object Bench {
         val p2 =
           if (System.nanoTime() > sf1Deadline) Map.empty[String, Double]
           else sf1Pass("sf1b")
+        sf1Pass2N = p2.size // honesty for the min_of field (see below)
         p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
       } catch { case e: Throwable =>
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
@@ -145,8 +147,13 @@ object Bench {
           .map { case (k, v) => "\"" + k + "\":" + r2(v) }
           .mkString("{", ",", "}")
         val complete = sf1Results.size == SparkEntry.queries.size
+        // min_of is what ACTUALLY happened: 2 only when pass 2 covered
+        // every pass-1 query before the deadline; pass2_n discloses a
+        // partial second pass (those queries keep 1-pass cold times)
+        val minOf = if (sf1Pass2N >= sf1Results.size) 2 else 1
         s""","sf1":{"dir":"$sf1Dir","total":${r2(sf1Results.values.sum)},""" +
-          s""""n_queries":${sf1Results.size},"complete":$complete,"min_of":2,"queries":$q1}"""
+          s""""n_queries":${sf1Results.size},"complete":$complete,""" +
+          s""""min_of":$minOf,"pass2_n":$sf1Pass2N,"queries":$q1}"""
       }
     // v20 memo-build stage split (graph build vs component closure),
     // one entry per dir built this run — the VERDICT-r7 ask that the
@@ -159,20 +166,17 @@ object Bench {
         s""""$d":{"graph":${r2(g)},"closure":${r2(c)}}"""
       }.mkString(""","v20_split":{""", ",", "}")
     }
-    // Attribution of the round-7 sf1 "regressions" (VERDICT r7 #4), now
-    // a recorded field: those four numbers were SINGLE-PASS reads that
-    // bundled per-family session-memo builds with query cost. Under the
-    // min-of-2 sf1 section the warm minima are v16 ~0.4 s, v10 ~1.1 s,
-    // v11 ~0.8 s (all at-or-under their r6 levels) and v17 ~0.3 s at a
-    // deliberately CHANGED operating point (corpus-scaled index,
-    // nProbe=6/superProbe=4 for recall ≥ 0.8 — see v17's scaladoc). The
-    // cold build cost is attributable via v20_split (graph build
-    // dominates closure) and the memo_shared disclosure.
-    val notes = "sf1 is min-of-2 per-query minima; r7's four flagged " +
-      "sf1 regressions were single-pass cold memo-build reads (warm " +
-      "r8 minima: v16~0.4s v10~1.1s v11~0.8s at/under r6; v17~0.3s at " +
-      "the new nProbe=6 corpus-scaled operating point); v20_split " +
-      "records graph-build vs component-closure seconds"
+    // Durable interpretation aid only — run-specific attribution lives
+    // in the structured fields (min_of/pass2_n, memo_shared, v20_split)
+    // and one-time cross-round comparisons belong in ADVICE/commits,
+    // not baked into every future artifact. (The round-7 sf1
+    // "regressions" were single-pass reads bundling cold session-memo
+    // builds; min-of-2 exists precisely to separate those.)
+    val notes = "sf1 times are per-query minima over min_of passes " +
+      "(pass2_n = queries the second pass reached; the rest keep " +
+      "1-pass times); cold session-memo builds charge the first " +
+      "family member executed (memo_shared) and v20_split records " +
+      "the v20 build's graph-vs-closure seconds"
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$v20Section,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -115,6 +115,24 @@ object Similarity {
     broadcast(c.orderBy(col(idName).asc).offset(offset).limit(nCells)
       .select(col(idName).as("cell"), col(vecName).as("centroid")))
 
+  /** The deterministic seed quantizer as a COLLECTED-LITERAL broadcast
+    * (cell, centroid) — value-identical to the in-plan
+    * [[lowestIdCentroids]] form (so oracles and the prebuilt/self-build
+    * equivalence are unaffected), but a literal table: consumers that
+    * reuse it across executions (session memos, repeated probes) skip
+    * the per-execution top-nCells corpus sort. Bounded algorithm state,
+    * O(nCells·dim). ONE definition so the seed rule cannot drift
+    * between the memo, tooling, and spec copies.
+    */
+  def seedCentroidsLiteral(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    broadcast(df.sparkSession.createDataFrame(
+      rows.collect().toSeq.asJava, rows.schema))
+  }
+
   /** The bounded Lloyd training slice (`id < trainCap`), guarded: if the
     * corpus's id layout leaves the slice EMPTY (ids offset from 0,
     * hashed, snowflake — anything not dense from 0), training falls back
@@ -365,11 +383,19 @@ object Similarity {
     * the codegen'd double — the v7 split); deterministic id tiebreaks
     * throughout, mirrored CTE-for-CTE by the v6/v8/v22 oracles.
     */
+  /** `superProbe` governs the PROBE side only. The self-build corpus
+    * assignment is pinned at `corpusSuperProbe` = 3 — the same constant
+    * the hierDyn-style memos and every SQL oracle's corpus CTE use — so
+    * the self-build and prebuilt-memo paths stay interchangeable (same
+    * inverted lists) when a caller raises the probe-side superProbe for
+    * recall.
+    */
   def ivfTopKHier(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, topK: Int,
       nCells: Int, nProbe: Int, superProbe: Int = 3,
       prebuiltCentroids: Option[DataFrame] = None,
-      prebuiltCells: Option[DataFrame] = None): DataFrame = {
+      prebuiltCells: Option[DataFrame] = None,
+      corpusSuperProbe: Int = 3): DataFrame = {
     val c = graft.Graft.ensureParallelism(candidates)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val hier = prebuiltCentroids match {
@@ -377,7 +403,7 @@ object Similarity {
       case None => buildHierarchy(c, nCells, tables = 1)
     }
     val assigned = prebuiltCells.getOrElse(
-      assignWithHierarchy(c, hier, nProbe = 1, superProbe)
+      assignWithHierarchy(c, hier, nProbe = 1, corpusSuperProbe)
         .select("id", "vec", "cell"))
     val probes = assignWithHierarchy(
       queries.select(col(idCol).as("id"), col(vecCol).as("vec")),

@@ -105,12 +105,8 @@ object VectorSuite {
         nCells: Int): org.apache.spark.sql.DataFrame =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
           s"ivf-seed-dyn$nCells") {
-        import scala.jdk.CollectionConverters._
-        val rows = table(s, dir, "embeddings")
-          .orderBy(col("vec_id").asc).limit(nCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-        broadcast(s.createDataFrame(
-          rows.collect().toSeq.asJava, rows.schema))
+        Similarity.seedCentroidsLiteral(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells)
       }(_ => ())
   }
 

@@ -235,11 +235,8 @@ object ScaleStress {
       // index grew linearly with n.
       locally {
         val ncq = Similarity.cellsFor(n, cellSize = 128, minCells = 16)
-        import scala.jdk.CollectionConverters._
-        val seedRows = emb.orderBy(col("vec_id").asc).limit(ncq)
-          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-        val cents = broadcast(spark.createDataFrame(
-          seedRows.collect().toSeq.asJava, seedRows.schema))
+        val cents = Similarity.seedCentroidsLiteral(emb, "vec_id",
+          "embedding", ncq)
         val cells = Similarity.quantizerCellsHier(emb, "vec_id",
             "embedding", ncq, cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

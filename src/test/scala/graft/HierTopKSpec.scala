@@ -37,13 +37,10 @@ class HierTopKSpec extends SparkSpec {
     // lowest-id vectors must produce the identical hierarchy (supers =
     // lowest cells, leaf→super map) and therefore identical results to
     // the self-build path that derives seeds in-plan.
-    import scala.jdk.CollectionConverters._
     val q = emb.filter(col("vec_id") < 5)
     val nc = 16
-    val seedRows = emb.orderBy(col("vec_id").asc).limit(nc)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val literal = broadcast(spark.createDataFrame(
-      seedRows.collect().toSeq.asJava, seedRows.schema))
+    val literal = Similarity.seedCentroidsLiteral(emb, "vec_id",
+      "embedding", nc)
     val self = Similarity.ivfTopKHier(q, emb, "vec_id", "embedding",
         topK = 5, nCells = nc, nProbe = 6, superProbe = 4)
       .orderBy("qid", "rn").collect()
@@ -56,17 +53,14 @@ class HierTopKSpec extends SparkSpec {
   }
 
   test("quantizerCellsHier: total keep-1 cover, cells from the quantizer") {
-    import scala.jdk.CollectionConverters._
     val nc = 16
-    val seedRows = emb.orderBy(col("vec_id").asc).limit(nc)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val cents = broadcast(spark.createDataFrame(
-      seedRows.collect().toSeq.asJava, seedRows.schema))
+    val cents = Similarity.seedCentroidsLiteral(emb, "vec_id",
+      "embedding", nc)
     val cells = Similarity.quantizerCellsHier(emb, "vec_id", "embedding",
       nc, cents).collect()
     assert(cells.length == emb.count(), "keep-1 must cover every row once")
     val cellIds = cells.map(_.getAs[Long]("cell")).toSet
-    val centIds = seedRows.collect().map(_.getLong(0)).toSet
+    val centIds = cents.collect().map(_.getLong(0)).toSet
     assert(cellIds.subsetOf(centIds), "cell labels must be centroid ids")
   }
 
