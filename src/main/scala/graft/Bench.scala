@@ -69,6 +69,13 @@ object Bench {
       sfDir.stripSuffix("/").endsWith("sf0.1")
     val sf1Deadline = t0 + ((budget + 60) * 1e9).toLong
     var sf1Pass2N = 0
+    // pass-1 (cold) per-query times, kept alongside the min-of-N minima:
+    // per-query minima erase one-time memo-build costs (pass 1 charges a
+    // cold index build to the first family member, pass 2's warm time
+    // replaces it via min), so the min-of-N total is a steady-state
+    // number no single cold run achieves. cold_total below keeps the
+    // cold story readable from the artifact alone.
+    var sf1Cold: Map[String, Double] = Map.empty
     def sf1Pass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq
         .sortBy { case (n, _) =>
@@ -95,6 +102,7 @@ object Bench {
         // min matches the sf0.1 section's semantics, including the
         // memo_shared disclosure (pass 2 reads warm session memos).
         val p1 = sf1Pass("sf1")
+        sf1Cold = p1
         val p2 =
           if (System.nanoTime() > sf1Deadline) Map.empty[String, Double]
           else sf1Pass("sf1b")
@@ -147,11 +155,16 @@ object Bench {
           .map { case (k, v) => "\"" + k + "\":" + r2(v) }
           .mkString("{", ",", "}")
         val complete = sf1Results.size == SparkEntry.queries.size
-        // min_of is what ACTUALLY happened: 2 only when pass 2 covered
-        // every pass-1 query before the deadline; pass2_n discloses a
-        // partial second pass (those queries keep 1-pass cold times)
-        val minOf = if (sf1Pass2N >= sf1Results.size) 2 else 1
+        // min_of is what ACTUALLY happened: 2 only when a NON-EMPTY pass 1
+        // was fully re-covered by pass 2 before the deadline (0 >= 0 must
+        // not read as full coverage); pass2_n discloses a partial second
+        // pass (those queries keep 1-pass cold times)
+        val minOf =
+          if (sf1Results.nonEmpty && sf1Pass2N >= sf1Results.size) 2 else 1
+        // cold_total = the pass-1 sum: what one cold run actually costs,
+        // vs `total` = the warm-memo steady-state min-of-N sum
         s""","sf1":{"dir":"$sf1Dir","total":${r2(sf1Results.values.sum)},""" +
+          s""""cold_total":${r2(sf1Cold.values.sum)},"cold_n":${sf1Cold.size},""" +
           s""""n_queries":${sf1Results.size},"complete":$complete,""" +
           s""""min_of":$minOf,"pass2_n":$sf1Pass2N,"queries":$q1}"""
       }
@@ -174,9 +187,10 @@ object Bench {
     // builds; min-of-2 exists precisely to separate those.)
     val notes = "sf1 times are per-query minima over min_of passes " +
       "(pass2_n = queries the second pass reached; the rest keep " +
-      "1-pass times); cold session-memo builds charge the first " +
-      "family member executed (memo_shared) and v20_split records " +
-      "the v20 build's graph-vs-closure seconds"
+      "1-pass times; cold_total is the pass-1 sum — the one-cold-run " +
+      "cost the minima deliberately erase); cold session-memo builds " +
+      "charge the first family member executed (memo_shared) and " +
+      "v20_split records the v20 build's graph-vs-closure seconds"
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$v20Section,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

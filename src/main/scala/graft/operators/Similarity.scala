@@ -120,9 +120,15 @@ object Similarity {
     * [[lowestIdCentroids]] form (so oracles and the prebuilt/self-build
     * equivalence are unaffected), but a literal table: consumers that
     * reuse it across executions (session memos, repeated probes) skip
-    * the per-execution top-nCells corpus sort. Bounded algorithm state,
-    * O(nCells·dim). ONE definition so the seed rule cannot drift
-    * between the memo, tooling, and spec copies.
+    * the per-execution top-nCells corpus sort. The collected literal is
+    * O(nCells·dim) DRIVER state — bounded only as far as the caller's
+    * cell-count rule bounds nCells: under [[indexCellsFor]] (the topK
+    * index family) that is O(√n·dim) and stays collectable at any
+    * corpus size; under [[cellsFor]] (pair-generating blocking, nCells
+    * ∝ n) the literal grows linearly with the corpus and a 100 TB-scale
+    * caller should keep centroids as a distributed frame instead. ONE
+    * definition so the seed rule cannot drift between the memo,
+    * tooling, and spec copies.
     */
   def seedCentroidsLiteral(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int): DataFrame = {
@@ -445,6 +451,63 @@ object Similarity {
     */
   def trainCapFor(nCells: Int): Int = 39 * nCells
 
+  /** The TOP-K INDEX cell-count rule — SUB-LINEAR where [[cellsFor]] is
+    * linear: `max(minCells, ceil(4·√n))` (the FAISS guideline band,
+    * √n…16·√n cells). The two rules split on what must stay bounded:
+    * pair-GENERATING consumers (near-dup blocking, kNN graphs) rank
+    * every within-cell pair, so they need bounded cell SIZE → cells ∝ n
+    * ([[cellsFor]]); a topK INDEX only scans probed cells per query, so
+    * what must stay bounded is the quantizer itself — with cells ∝ √n
+    * the centroid table is O(√n·dim) (still driver-collectable and
+    * broadcastable at 10¹¹ vectors, where the linear rule's table is
+    * gigabytes-to-terabytes), hierarchical assignment costs O(n·n^¼)
+    * super+leaf comparisons instead of O(n^1.5), and probed cells hold
+    * √n/4 members — exactly the scan PQ codes exist to make cheap.
+    *
+    * Engine-replicable: IEEE sqrt is correctly rounded and ×4 is a
+    * power-of-two scale (exact), so the SQL mirror
+    * `GREATEST(minCells, CEIL(4 * SQRT(COUNT(*))))` lands on the
+    * identical integer at any n.
+    */
+  def indexCellsFor(n: Long, minCells: Int = 16): Int =
+    math.max(minCells.toDouble,
+      math.ceil(4d * math.sqrt(n.toDouble))).toInt
+
+  /** The probe-count rule that goes WITH [[indexCellsFor]]: the
+    * operating point is a FUNCTION of the index, not a re-measured
+    * constant — nProbe = max(6, ceil(5·nCells/16)) targets a fixed
+    * fraction of cells, so candidate coverage (≈ nProbe·cellSize/n)
+    * stays put as the corpus grows instead of silently decaying the way
+    * a pinned probe count does. Pure integer arithmetic
+    * (`GREATEST(6, (5*nc + 15) // 16)` in the mirrors). Swept with
+    * tools/sweep_index_recall.py against exact top-5 and verified by
+    * the oracled v17 audit: recall@5 0.88 (n=500) / 0.93 (n=2000) at
+    * ~0.33 coverage with [[indexSuperProbesFor]]'s superProbe.
+    *
+    * Honest caveat for THIS corpus: the embeddings are near-random, so
+    * recall tracks coverage and a constant-fraction nProbe is the only
+    * way to hold a recall bar — per-query work is then a constant
+    * fraction of n (the information-theoretic floor for random data).
+    * On real clustered corpora the trained quantizer concentrates true
+    * neighbors into few cells and callers can drop nProbe toward
+    * O(log n) at the same recall; the rule keeps the BAR, not the cost.
+    */
+  def indexProbesFor(nCells: Int, minProbe: Int = 6): Int =
+    math.max(minProbe, (5 * nCells + 15) / 16)
+
+  /** Query-side super-probe rule for the two-level hierarchy: half the
+    * supers, max(3, ceil(nSuper/2)) — the sweep's dominant recall lever
+    * (an unprobed super hides ALL its leaves, so super coverage bounds
+    * leaf coverage). The CORPUS side stays pinned at 3
+    * (corpusSuperProbe): assignment only decides which nearby cell a
+    * vector lands in, and the sweep shows query-side coverage, not
+    * corpus-side assignment optimality, carries the recall.
+    */
+  def indexSuperProbesFor(nCells: Int, minProbe: Int = 3): Int = {
+    val nSuper = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    math.max(minProbe, (nSuper + 1) / 2)
+  }
+
   /** The multi-table IVF blocking assignment [[cosineNearDupsIvf]] pairs
     * over — `tables` independent quantizers (table t seeded from the
     * nCells lowest ids after skipping t·nCells), every vector
@@ -722,6 +785,21 @@ object Similarity {
     *
     * Output: (index_id, batch_id, sim) with exact-decimal sims above
     * `threshold`; the double cosine decides the cut (the v7 split).
+    *
+    * PRECONDITION — unique ids per side: the thin-pair dedup groups by
+    * (index_id, batch_id) and the survivor re-score re-attaches vectors
+    * by equi-join on those ids, so a duplicated id within either side
+    * would first collapse distinct candidates and then fan survivor
+    * rows back out (the same implicit contract [[knnGraph]]'s re-score
+    * joins rely on). Ids here are primary keys by construction of every
+    * declared corpus; dedup by id first if yours are not.
+    *
+    * MEMO CONTRACT — `prebuiltIndexAssigned` must have been built with
+    * the SAME nProbe/superProbe this call receives (the declared v21
+    * path keys its memo by nCells and builds with the defaults): the
+    * caller-supplied values apply only to the BATCH side once the memo
+    * exists, so a mismatch silently produces asymmetric inverted lists
+    * — same pin/disclosure rule as [[ivfTopKHier]]'s corpusSuperProbe.
     */
   def cosineNearDupsIvfCross(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
@@ -1184,10 +1262,14 @@ object Similarity {
     *
     * Output: qid, vec_id, adc_dist, rn — ADC-ranked within probed cells.
     */
+  // NOTE no parameter defaults here: Scala allows default arguments on
+  // only ONE alternative of an overloaded name, and the IvfPqIndex
+  // overload below (the production at-rest form, with far more call
+  // sites) holds them.
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, topK: Int,
-      nCells: Int = 16, nProbe: Int = 3,
-      m: Int = 8, nCodes: Int = 16, iterations: Int = 1): DataFrame =
+      nCells: Int, nProbe: Int,
+      m: Int, nCodes: Int, iterations: Int): DataFrame =
     ivfPqTopK(queries,
       ivfPqIndex(corpus, idCol, vecCol, nCells, m, nCodes, iterations),
       idCol, vecCol, topK, nProbe, hierProbes = false, superProbe = 3)
@@ -1287,7 +1369,7 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, idx: IvfPqIndex,
       idCol: String, vecCol: String, topK: Int, nProbe: Int,
-      hierProbes: Boolean, superProbe: Int): DataFrame = {
+      hierProbes: Boolean = false, superProbe: Int = 3): DataFrame = {
     val probes =
       if (hierProbes)
         assignWithHierarchy(

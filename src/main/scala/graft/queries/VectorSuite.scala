@@ -71,16 +71,17 @@ object VectorSuite {
       }
   }
 
-  /** Per-(session, dir) memo of the CORPUS-SCALED Lloyd coarse quantizer
-    * (2 iterations, nCells from Similarity.cellsFor, trainCap from
-    * Similarity.trainCapFor — ~39 training points per centroid, the
-    * FAISS rule a fixed 2048 cap silently breaks once cells scale) that
-    * v8 and the IVFADC index (v12/v19) read — trained once per session
-    * (the ingest split). Training assignment is HIERARCHICAL
-    * (hierTrain=true): O(trainCap·√nCells) per iteration where the flat
-    * product would re-grow O(n²·39/cellSize²) under the cellsFor rule.
-    * The value is a broadcast of collected literal centroid rows
-    * (bounded algorithm state, O(nCells·dim)) — nothing to release.
+  /** Per-(session, dir) memo of the INDEX-SCALED Lloyd coarse quantizer
+    * (2 iterations, nCells from Similarity.indexCellsFor — 4·√n, the
+    * sub-linear topK rule — trainCap from Similarity.trainCapFor: ~39
+    * training points per centroid, the FAISS rule a fixed 2048 cap
+    * silently breaks once cells scale) that v8 and the IVFADC index
+    * (v12/v19) read — trained once per session (the ingest split).
+    * Training assignment is HIERARCHICAL (hierTrain=true):
+    * O(trainCap·√nCells) per iteration. The value is a broadcast of
+    * collected literal centroid rows — O(√n·dim) algorithm state under
+    * the index rule, driver-collectable at any corpus size — nothing
+    * to release.
     */
   private object IvfShared {
     import graft.SessionMemo
@@ -119,15 +120,19 @@ object VectorSuite {
     * they survive cache clears, released via SessionMemo's lifecycle.
     *   - `seed16`: the deterministic 16-cell seed quantizer — read by
     *     v5 (the bounded one-cell parity witness) only;
-    *   - `kmeansDynCells`: the corpus under the corpus-scaled
+    *   - `kmeansDynCells`: the corpus under the index-scaled (4·√n)
     *     Lloyd-refined quantizer (IvfShared.kmeansDyn), assigned
     *     HIERARCHICALLY — v8's corpus side and the IVFADC (v12/v19)
     *     inverted lists (probes still assign per query);
     *   - `multiDyn`: the 4-table nProbe-2 two-level blocking assignment
-    *     v7/v15/v23 pair over, keyed by the corpus-scaled nCells;
-    *   - `hierDyn`: the single-table keep-1 two-level assignment at
-    *     corpus-scaled nCells — v10's SemDeDup cells AND the v6/v22
-    *     topK inverted lists (one assignment pass, three consumers).
+    *     v7/v15/v23 pair over, keyed by the corpus-scaled (linear —
+    *     they are pair generators) nCells;
+    *   - `hierDyn`: the single-table keep-1 two-level assignment, keyed
+    *     by nCells: the v6/v22 topK inverted lists share one entry at
+    *     indexCellsFor's 4·√n, while v10's SemDeDup cells keep their
+    *     own entry at the linear cellsFor rule (within-cell pair
+    *     generation needs bounded cell SIZE, a topK index a bounded
+    *     quantizer — two rules, two entries, one assignment pass each).
     */
   private object CellsShared {
     import graft.{Graft, SessionMemo}
@@ -266,8 +271,7 @@ object VectorSuite {
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfPqIndex =
       SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index-dyn") {
         val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
-          minCells = 16)
+        val nc = Similarity.indexCellsFor(emb.count())
         Similarity.ivfPqIndex(emb,
           "vec_id", "embedding", nCells = nc, m = 8, nCodes = PqCodes,
           iterations = 1, trainCap = TrainCap,
@@ -322,23 +326,32 @@ object VectorSuite {
     sqlHierCentroids(tables) + ",\n" +
       sqlHierAssign(nProbe = nProbe, superProbe = superProbe)
 
+  // All multi-referenced / pipeline-stage CTEs in the vector mirrors are
+  // AS MATERIALIZED: DuckDB (1.0) INLINES plain CTEs per reference, so a
+  // deep trunk like the IVFADC mirror (Lloyd → hierarchy → assignment →
+  // residuals → codebooks → encoding → per-(query,cell) ADC) re-expands
+  // its upstream tree at every reference — the exponential plan growth
+  // that OOM'd the round-8 v12 oracle. Materialization evaluates each
+  // stage once into a temp (every stage here is small — O(n·m) rows at
+  // most), which bounds both work and memory; values are unchanged.
+
   /** The hierarchy half: ns/ranked/cent/sup/leafmap from `seedSrc`'s
     * lowest ids (expects a prior `nc(v)` CTE). */
   private def sqlHierCentroids(tables: Int,
       seedSrc: String = "embeddings"): String =
-    s"""ns AS (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
-    |ranked AS (
+    s"""ns AS MATERIALIZED (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
+    |ranked AS MATERIALIZED (
     |  SELECT vec_id AS cell, embedding AS centroid,
     |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS rk
     |  FROM $seedSrc),
-    |cent AS (
+    |cent AS MATERIALIZED (
     |  SELECT CAST(rk // (SELECT v FROM nc) AS BIGINT) AS tbl, cell, centroid,
     |    rk % (SELECT v FROM nc) AS lrk
     |  FROM ranked WHERE rk < $tables * (SELECT v FROM nc)),
-    |sup AS (
+    |sup AS MATERIALIZED (
     |  SELECT tbl, cell AS sid, centroid AS scentroid FROM cent
     |  WHERE lrk < (SELECT v FROM ns)),
-    |leafmap AS (
+    |leafmap AS MATERIALIZED (
     |  SELECT tbl, cell, sid FROM (
     |    SELECT c.tbl, c.cell, s.sid, row_number() OVER (
     |      PARTITION BY c.tbl, c.cell
@@ -349,16 +362,20 @@ object VectorSuite {
   /** The assignment half: `{prefix}vsup` / `{prefix}assigned` for the
     * rows of `vecSrc` under the hierarchy CTEs above — the cross/
     * incremental mirrors assign a batch under the INDEX's hierarchy by
-    * calling this twice with different sources and prefixes. */
+    * calling this twice with different sources and prefixes.
+    * `nProbe`/`superProbe` splice verbatim: pass an Int literal or a
+    * scalar-subquery string like `(SELECT v FROM np)` for the DERIVED
+    * operating points ([[graft.operators.Similarity.indexProbesFor]]).
+    */
   private def sqlHierAssign(vecSrc: String = "embeddings",
-      prefix: String = "", nProbe: Int, superProbe: Int = 3): String =
-    s"""${prefix}vsup AS (
+      prefix: String = "", nProbe: Any, superProbe: Any = 3): String =
+    s"""${prefix}vsup AS MATERIALIZED (
     |  SELECT vec_id, tbl, sid FROM (
     |    SELECT e.vec_id, s.tbl, s.sid, row_number() OVER (
     |      PARTITION BY e.vec_id, s.tbl
     |      ORDER BY ${sqlCosD("e.embedding", "s.scentroid")} DESC, s.sid ASC) AS rk
     |    FROM $vecSrc e CROSS JOIN sup s) WHERE rk <= $superProbe),
-    |${prefix}assigned AS (
+    |${prefix}assigned AS MATERIALIZED (
     |  SELECT vec_id, vec, tbl, cell FROM (
     |    SELECT e.vec_id, e.embedding AS vec, lm.tbl, lm.cell, row_number() OVER (
     |      PARTITION BY e.vec_id, lm.tbl
@@ -369,6 +386,26 @@ object VectorSuite {
     |    JOIN cent c ON c.tbl = lm.tbl AND c.cell = lm.cell) WHERE rk <= $nProbe)"""
       .stripMargin
 
+  /** The CORPUS-SCALED INDEX cell-count CTE — mirrors
+    * [[graft.operators.Similarity.indexCellsFor]] (nc ∝ 4·√n, the
+    * sub-linear topK-index rule; sqrt is correctly-rounded IEEE and ×4
+    * a power-of-two scale, so both engines land on the same integer).
+    */
+  private val sqlNcIndex: String =
+    """nc AS MATERIALIZED (
+    |  SELECT GREATEST(16, CAST(CEIL(4 * SQRT(COUNT(*))) AS BIGINT)) AS v
+    |  FROM embeddings)""".stripMargin
+
+  /** Derived probe-count CTEs (expect prior nc/ns): np mirrors
+    * [[graft.operators.Similarity.indexProbesFor]] and sp mirrors
+    * [[graft.operators.Similarity.indexSuperProbesFor]] — pure BIGINT
+    * arithmetic, so the operating point is a FUNCTION of the corpus in
+    * both engines rather than a pinned constant.
+    */
+  private val sqlNpSp: String =
+    """np AS MATERIALIZED (SELECT GREATEST(6, (5 * v + 15) // 16) AS v FROM nc),
+    |sp AS MATERIALIZED (SELECT GREATEST(3, (v + 1) // 2) AS v FROM ns)""".stripMargin
+
   /** Single-table hierarchy CTEs over an ARBITRARY (cell, centroid)
     * source CTE (Lloyd means — the from-seed-ids form is
     * sqlHierCentroids): `{p}sup` = the ceil(√nc) lowest-cell centroids,
@@ -377,11 +414,11 @@ object VectorSuite {
     * Similarity.hierarchyOfCentroids.
     */
   private def sqlHier1(cents: String, p: String): String =
-    s"""${p}sup AS (
+    s"""${p}sup AS MATERIALIZED (
     |  SELECT cell AS sid, centroid AS scentroid FROM (
     |    SELECT cell, centroid, row_number() OVER (ORDER BY cell ASC) AS rk
     |    FROM $cents) WHERE rk <= (SELECT v FROM ns)),
-    |${p}leaf AS (
+    |${p}leaf AS MATERIALIZED (
     |  SELECT cell, sid FROM (
     |    SELECT c.cell, s.sid, row_number() OVER (
     |      PARTITION BY c.cell
@@ -395,15 +432,17 @@ object VectorSuite {
     * Similarity.assignWithHierarchy under hierarchyOfCentroids
     * (double cosines, id/cell tiebreaks).
     */
+  /** `keep`/`superProbe` splice verbatim — Int literal or a derived
+    * scalar-subquery string (see [[sqlNpSp]]). */
   private def sqlHier1Assign(cents: String, p: String, vecSrc: String,
-      q: String, keep: Int, superProbe: Int = 3): String =
-    s"""${q}vsup AS (
+      q: String, keep: Any, superProbe: Any = 3): String =
+    s"""${q}vsup AS MATERIALIZED (
     |  SELECT vec_id, sid FROM (
     |    SELECT e.vec_id, s.sid, row_number() OVER (
     |      PARTITION BY e.vec_id
     |      ORDER BY ${sqlCosD("e.embedding", "s.scentroid")} DESC, s.sid ASC) AS rk
     |    FROM $vecSrc e CROSS JOIN ${p}sup s) WHERE rk <= $superProbe),
-    |${q}asg AS (
+    |${q}asg AS MATERIALIZED (
     |  SELECT vec_id, vec, cell FROM (
     |    SELECT e.vec_id, e.embedding AS vec, lm.cell, row_number() OVER (
     |      PARTITION BY e.vec_id
@@ -423,20 +462,20 @@ object VectorSuite {
   private def sqlLloydDyn: String = {
     val means = (1 to 64).map(i =>
       s"CAST(CAST(SUM(CAST(CAST(vec[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-    s"""ns AS (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
-    |seedc AS (
+    s"""ns AS MATERIALIZED (SELECT CAST(CEIL(SQRT(v)) AS BIGINT) AS v FROM nc),
+    |seedc AS MATERIALIZED (
     |  SELECT vec_id AS cell, embedding AS centroid FROM (
     |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id ASC) AS rk
     |    FROM embeddings) WHERE rk <= (SELECT v FROM nc)),
-    |ktrain AS (
+    |ktrain AS MATERIALIZED (
     |  SELECT vec_id, embedding FROM embeddings
     |  WHERE vec_id < 39 * (SELECT v FROM nc)),
     |${sqlHier1("seedc", "h1")},
     |${sqlHier1Assign("seedc", "h1", "ktrain", "t1", 1)},
-    |kc1 AS (SELECT cell, [$means] AS centroid FROM t1asg GROUP BY cell),
+    |kc1 AS MATERIALIZED (SELECT cell, [$means] AS centroid FROM t1asg GROUP BY cell),
     |${sqlHier1("kc1", "h2")},
     |${sqlHier1Assign("kc1", "h2", "ktrain", "t2", 1)},
-    |cent2 AS (SELECT cell, [$means] AS centroid FROM t2asg GROUP BY cell)"""
+    |cent2 AS MATERIALIZED (SELECT cell, [$means] AS centroid FROM t2asg GROUP BY cell)"""
       .stripMargin
   }
 
@@ -618,34 +657,37 @@ object VectorSuite {
       "Random-hyperplane LSH ANN: bucket equi-join prunes the scan; multi-probe recall"),
 
     // --- IVF ANN: full SQL mirror oracle ------------------------------
-    // CORPUS-SCALED index: nCells from Similarity.cellsFor (cell size
-    // pinned at 128, the v10 rule — so each probe scans nProbe·128
-    // members at ANY corpus size, where the old pinned-16-cell index
-    // scanned nProbe·n/16, linear in n), and BOTH the corpus assignment
-    // (the shared hierDyn memo — one two-level pass per session, also
-    // v10's and v22's inverted list) and the per-query probe assignment
-    // run the O(√nCells) hierarchy. Recall at this operating point is
-    // the v17 audit's output (see its scaladoc for the measured ladder).
+    // INDEX-SCALED: nCells from Similarity.indexCellsFor (4·√n — the
+    // sub-linear topK rule, so the quantizer stays O(√n·dim)
+    // driver/broadcast state at ANY corpus size where the round-8
+    // linear n/128 rule grew it with the corpus), and the operating
+    // point is DERIVED, not pinned: nProbe/superProbe from
+    // indexProbesFor/indexSuperProbesFor target a fixed cell fraction
+    // so candidate coverage holds as n grows. Corpus assignment is the
+    // shared hierDyn memo (one two-level pass per session, also v22's
+    // inverted list); probes assign through the same O(√nCells)
+    // hierarchy. Recall at the derived operating point is the v17
+    // audit's output (0.88 at n=500 / 0.93 at n=2000, asserted ≥ 0.8
+    // at two scale factors by IndexRecallSpec).
     "v6_ivf_ann_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
-          minCells = 16)
+        val nc = Similarity.indexCellsFor(emb.count())
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = nc, nProbe = 6, superProbe = 4,
+            nCells = nc, nProbe = Similarity.indexProbesFor(nc),
+            superProbe = Similarity.indexSuperProbesFor(nc),
             prebuiltCentroids = Some(IvfShared.seedDyn(s, dir, nc)),
             prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH nc AS (
-        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-        |  FROM embeddings),
+      Some(s"""WITH $sqlNcIndex,
         |${sqlHierCentroids(tables = 1)},
         |${sqlHierAssign(nProbe = 1)},
+        |$sqlNpSp,
         |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
-            superProbe = 4)},
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
+            nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |scored AS (
         |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
         |  FROM assigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
@@ -656,8 +698,8 @@ object VectorSuite {
         |  FROM scored)
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "IVF coarse-quantizer ANN at corpus-scaled nCells: hierarchical " +
-        "corpus + probe assignment, probe cost pinned per cell"),
+      "IVF coarse-quantizer ANN at index-scaled (4·sqrt n) nCells: " +
+        "hierarchical corpus + probe assignment, derived probe counts"),
 
     // --- exact cosine near-dups, bounded scope (parity witness) -------
     // The FLAGSHIP low-threshold near-dup query is v7's IVF-cell
@@ -735,8 +777,9 @@ object VectorSuite {
 
     // --- IVF ANN with k-means refined centroids -----------------------
     // The quantizer is 2 Lloyd iterations from the deterministic seeds
-    // at CORPUS-SCALED nCells (Similarity.cellsFor) with trainCap =
-    // 39·nCells (Similarity.trainCapFor — the FAISS ~39-points-per-
+    // at INDEX-SCALED nCells (Similarity.indexCellsFor — 4·√n, the
+    // sub-linear topK rule) with trainCap = 39·nCells
+    // (Similarity.trainCapFor — the FAISS ~39-points-per-
     // centroid rule a pinned 2048 cap breaks once cells scale): assign
     // (double cosine through the TWO-LEVEL hierarchy of the current
     // means — O(trainCap·√nCells)/iteration) then per-dimension mean
@@ -749,23 +792,23 @@ object VectorSuite {
     "v8_ivf_kmeans_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
-          minCells = 16)
+        val nc = Similarity.indexCellsFor(emb.count())
         val q = emb.filter(col("vec_id") < 5)
         Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = nc, nProbe = 3,
+            nCells = nc, nProbe = Similarity.indexProbesFor(nc),
+            superProbe = Similarity.indexSuperProbesFor(nc),
             prebuiltCentroids = Some(IvfShared.kmeansDyn(s, dir, nc)),
             prebuiltCells = Some(CellsShared.kmeansDynCells(s, dir, nc)))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH nc AS (
-        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-        |  FROM embeddings),
+      Some(s"""WITH $sqlNcIndex,
         |$sqlLloydDyn,
+        |$sqlNpSp,
         |${sqlHier1("cent2", "hc")},
         |${sqlHier1Assign("cent2", "hc", "embeddings", "ca", 1)},
         |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |${sqlHier1Assign("cent2", "hc", "qsrc", "pa", 3)},
+        |${sqlHier1Assign("cent2", "hc", "qsrc", "pa",
+            "(SELECT v FROM np)", "(SELECT v FROM sp)")},
         |scored AS (
         |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
         |  FROM caasg a JOIN paasg p ON p.cell = a.cell
@@ -776,8 +819,9 @@ object VectorSuite {
         |  FROM scored)
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "IVF ANN with Lloyd centroids at corpus-scaled nCells: " +
-        "hierarchical training/corpus/probe assignment, trainCap = 39·nCells"),
+      "IVF ANN with Lloyd centroids at index-scaled (4·sqrt n) nCells: " +
+        "hierarchical training/corpus/probe assignment, derived probes, " +
+        "trainCap = 39·nCells"),
 
     // --- SemDeDup-style semantic dedup ---------------------------------
     // The named web-scale curation shape (Abbas et al. 2023): quantizer
@@ -879,11 +923,12 @@ object VectorSuite {
     // recall than raw-vector codes (measured in ProfilePqRecall). Each
     // query builds one distance table per probed cell from its residual
     // there (the asymmetric IVFADC form). The coarse stage is the
-    // CORPUS-SCALED Lloyd quantizer v8 declares — same nCells
-    // (cellsFor), same trainCap (39·nCells), same hierarchical train/
-    // corpus assignment, SHARED kmeansDyn/kmeansDynCells memos — and
-    // probes assign hierarchically too (hierProbes), so per-query cost
-    // stays pinned per probed cell at any corpus size. The oracle
+    // INDEX-SCALED Lloyd quantizer v8 declares — same nCells
+    // (indexCellsFor, 4·√n), same trainCap (39·nCells), same
+    // hierarchical train/corpus assignment, SHARED
+    // kmeansDyn/kmeansDynCells memos — probes assign hierarchically
+    // (hierProbes) at the DERIVED indexProbesFor/indexSuperProbesFor
+    // operating point, the coverage-holding rule of the family. The oracle
     // rebuilds BOTH stages end to end: the v8 Lloyd CTEs, hierarchical
     // cell assignment, residual computation, residual codebook training
     // (one DECIMAL-mean Lloyd refinement), corpus encoding,
@@ -892,9 +937,12 @@ object VectorSuite {
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
-        Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir), "vec_id",
-            "embedding", topK = 5, nProbe = 3,
-            hierProbes = true, superProbe = 3)
+        val idx = IvfPqShared.index(s, dir)
+        Similarity.ivfPqTopK(q, idx, "vec_id",
+            "embedding", topK = 5,
+            nProbe = Similarity.indexProbesFor(idx.nCells),
+            hierProbes = true,
+            superProbe = Similarity.indexSuperProbesFor(idx.nCells))
           .orderBy("qid", "rn")
       },
       Some(s"""WITH ${sqlIvfPqCtes(5)}
@@ -1071,28 +1119,29 @@ object VectorSuite {
     // --- ANN recall audit (the x35 pattern for vectors) ----------------
     // The measurement that decides whether an index's recall is good
     // enough to skip exact search, AS a first-class declared query:
-    // IVF top-5 in v6's EXACT configuration (corpus-scaled nCells,
+    // IVF top-5 in v6's EXACT configuration (index-scaled 4·√n nCells,
     // shared hierDyn cells memo, hierarchical probes) scored against
-    // the brute-force exact top-5 over 20 query rows. With the round-8
-    // move off the pinned-16-cell index this is the recorded
-    // operating-point artifact the scale rule requires. Measured mean
-    // recall@5 (DuckDB sweep over this same mirror): nProbe=3/sp=3
-    // gave 0.70 at sf0.01 / 0.81 at sf0.1 — below the 0.8 bar — so
-    // the declared operating point is nProbe=6/superProbe=4: 0.83 at
-    // sf0.01 (n=500, nc=16) and 0.89 at sf0.1 (n=2000, nc=16),
-    // re-measured by every verify run rather than pinned in a comment.
+    // the brute-force exact top-5 over 20 query rows. The round-9
+    // operating point is DERIVED — nProbe = indexProbesFor(nc),
+    // superProbe = indexSuperProbesFor(nc) — so it tracks the corpus
+    // instead of decaying as a pinned constant would (the round-8
+    // pinned nProbe=6/sp=4 point measured 0.83/0.89 at nc=16; the
+    // derived point measures 0.88 at sf0.01 (n=500, nc=90, np=29,
+    // sp=5) and 0.93 at sf0.1 (n=2000, nc=179, np=56, sp=7), swept in
+    // tools/sweep_index_recall.py, asserted ≥ 0.8 at both scale
+    // factors by IndexRecallSpec, and re-measured by every verify run).
     // Per-query n_hit/recall — both pipelines are existing mirrors, so
     // the oracle composes them and replays the same semi-join count.
     "v17_ann_recall_audit" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
-          minCells = 16)
+        val nc = Similarity.indexCellsFor(emb.count())
         val q = emb.filter(col("vec_id") < 20)
         val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
             "embedding", topK = 5).select("qid", "vec_id")
         val approx = Similarity.ivfTopKHier(q, emb, "vec_id", "embedding",
-            topK = 5, nCells = nc, nProbe = 6, superProbe = 4,
+            topK = 5, nCells = nc, nProbe = Similarity.indexProbesFor(nc),
+            superProbe = Similarity.indexSuperProbesFor(nc),
             prebuiltCentroids = Some(IvfShared.seedDyn(s, dir, nc)),
             prebuiltCells = Some(CellsShared.hierDyn(s, dir, nc)))
           .select("qid", "vec_id")
@@ -1117,14 +1166,13 @@ object VectorSuite {
         |    SELECT qid, vec_id, row_number() OVER (
         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         |    FROM bscored) WHERE rn <= 5),
-        |nc AS (
-        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-        |  FROM embeddings),
+        |$sqlNcIndex,
         |${sqlHierCentroids(tables = 1)},
         |${sqlHierAssign(nProbe = 1)},
+        |$sqlNpSp,
         |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
-        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
-            superProbe = 4)},
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
+            nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |iscored AS (
         |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
         |  FROM assigned a JOIN qassigned p ON p.tbl = a.tbl AND p.cell = a.cell
@@ -1217,14 +1265,15 @@ object VectorSuite {
 
     // --- IVFADC recall audit (completes the ladder: v17 IVF, v18 PQ) ---
     // The remaining rung: residual-encoded IVF-PQ (v12's exact
-    // configuration — the round-8 corpus-scaled coarse quantizer,
-    // hierarchical probes, nProbe=3) against the exact top-5 over the
-    // same 20 query rows. Honestly reported no-refine floor: measured
-    // mean recall@5 0.36 at sf0.01 / 0.22 at sf0.1 — the DuckDB probe
-    // sweep shows more probes barely help (0.36→0.42 at nProbe=6/sp=4
-    // at sf0.01) because PQ quantization error dominates (v11's
-    // unrefined 0.37); the production fix is the refine tier, whose
-    // ladder v18 records (~0.87-0.93 at refine=10). With this, every
+    // configuration — the index-scaled 4·√n coarse quantizer,
+    // hierarchical probes at the derived indexProbesFor operating
+    // point) against the exact top-5 over the same 20 query rows.
+    // Honestly reported no-refine floor: measured mean recall@5 0.39
+    // at sf0.01 / 0.29 at sf0.1 (up from 0.36/0.22 at round-8's pinned
+    // nProbe=3 — coverage helps, but PQ quantization error still
+    // dominates, v11's unrefined floor is 0.37); the production fix is
+    // the refine tier, whose ladder v18 records (~0.87-0.93 at
+    // refine=10). With this, every
     // declared index family carries its own oracled recall artifact —
     // the number that decides whether the index is fit to replace
     // exact search at its operating point.
@@ -1234,9 +1283,12 @@ object VectorSuite {
         val q = emb.filter(col("vec_id") < 20)
         val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
             "embedding", topK = 5).select("qid", "vec_id")
-        val approx = Similarity.ivfPqTopK(q, IvfPqShared.index(s, dir),
-            "vec_id", "embedding", topK = 5, nProbe = 3,
-            hierProbes = true, superProbe = 3)
+        val idx = IvfPqShared.index(s, dir)
+        val approx = Similarity.ivfPqTopK(q, idx,
+            "vec_id", "embedding", topK = 5,
+            nProbe = Similarity.indexProbesFor(idx.nCells),
+            hierProbes = true,
+            superProbe = Similarity.indexSuperProbesFor(idx.nCells))
           .select("qid", "vec_id")
         val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -1372,37 +1424,38 @@ object VectorSuite {
     // with the inverted list instead: the at-rest cell assignment
     // CARRIES the filter column, the predicate prunes the assigned
     // list BEFORE the probe join, and scoring touches only qualifying
-    // members of probed cells. Same shared CORPUS-SCALED hierDyn cells
-    // memo as v6/v10 — the filter is a view over the index, not a
-    // second index, and probe cost stays pinned per cell at any n.
+    // members of probed cells. Same shared INDEX-SCALED (4·√n) hierDyn
+    // cells memo and derived probe counts as v6 — the filter is a view
+    // over the index, not a second index. (v10 keeps its own
+    // linear-cells hierDyn entry: SemDeDup generates within-cell pairs,
+    // so IT needs bounded cell size, not a bounded quantizer.)
     "v22_filtered_ivf_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val nc = Similarity.cellsFor(emb.count(), cellSize = 128,
-          minCells = 16)
+        val nc = Similarity.indexCellsFor(emb.count())
         val q = emb.filter(col("vec_id") < 5)
         val labeled = CellsShared.hierDyn(s, dir, nc)
           .join(emb.select(col("vec_id").as("id"), col("label")), "id")
           .filter(col("label") === 2)
           .select("id", "vec", "cell")
         Similarity.ivfTopKHier(q, emb, "vec_id", "embedding", topK = 5,
-            nCells = nc, nProbe = 6, superProbe = 4,
+            nCells = nc, nProbe = Similarity.indexProbesFor(nc),
+            superProbe = Similarity.indexSuperProbesFor(nc),
             prebuiltCentroids = Some(IvfShared.seedDyn(s, dir, nc)),
             prebuiltCells = Some(labeled))
           .orderBy("qid", "rn")
       },
-      Some(s"""WITH nc AS (
-        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-        |  FROM embeddings),
+      Some(s"""WITH $sqlNcIndex,
         |${sqlHierCentroids(tables = 1)},
         |${sqlHierAssign(nProbe = 1)},
+        |$sqlNpSp,
         |lassigned AS (
         |  SELECT a.vec_id, a.vec, a.tbl, a.cell
         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
         |  WHERE e.label = 2),
         |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q", nProbe = 6,
-            superProbe = 4)},
+        |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
+            nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |scored AS (
         |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
         |  FROM lassigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
@@ -1413,7 +1466,7 @@ object VectorSuite {
         |  FROM scored)
         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin),
-      "Attribute-filtered IVF ANN at corpus-scaled nCells: the predicate " +
+      "Attribute-filtered IVF ANN at index-scaled nCells: the predicate " +
         "prunes the at-rest cell assignment before the probe join — " +
         "filter composed with the index, not a rescan"),
 
@@ -1512,36 +1565,42 @@ object VectorSuite {
   private def sqlPqCtes(maxQid: Int): String = {
     val means = (1 to 8).map(i =>
       s"CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT)").mkString(", ")
-    s"""ss AS (SELECT unnest(range(0, 8)) AS s),
-    |sv AS (
+    s"""ss AS MATERIALIZED (SELECT unnest(range(0, 8)) AS s),
+    |sv AS MATERIALIZED (
     |  SELECT vec_id AS id, s, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM embeddings CROSS JOIN ss),
-    |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
-    |seeds AS (
+    |svt AS MATERIALIZED (SELECT * FROM sv WHERE id < $TrainCap),
+    |seeds AS MATERIALIZED (
     |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $PqCodes),
-    |cb0 AS (
+    |cb0 AS MATERIALIZED (
     |  SELECT s, vec_id AS code, list_slice(embedding, s * 8 + 1, (s + 1) * 8) AS cw
     |  FROM seeds CROSS JOIN ss),
-    |a1 AS (${sqlPqAssign("cb0", "svt")}),
-    |cb1 AS (
+    |a1 AS MATERIALIZED (${sqlPqAssign("cb0", "svt")}),
+    |cb1 AS MATERIALIZED (
     |  SELECT s, code, [$means] AS cw
     |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
-    |codes AS (${sqlPqAssign("cb1")}),
-    |dtab AS (
+    |codes AS MATERIALIZED (${sqlPqAssign("cb1")}),
+    |dtab AS MATERIALIZED (
     |  SELECT q.id AS qid, cb.s, cb.code,
     |    CAST(FLOOR(${sqlL2Sub("q.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
     |  FROM sv q JOIN cb1 cb USING (s) WHERE q.id < $maxQid),""".stripMargin
   }
 
   /** The IVFADC trunk (v12's full mirror, shared with the v19 recall
-    * audit): the CORPUS-SCALED Lloyd coarse quantizer (sqlLloydDyn —
+    * audit): the INDEX-SCALED Lloyd coarse quantizer (nc from
+    * [[sqlNcIndex]] — the 4·√n topK-index rule — feeding sqlLloydDyn,
     * the exact CTEs v8 mirrors, since the engine shares the
     * kmeansDyn/kmeansDynCells memos between them), HIERARCHICAL corpus
-    * and probe assignment, residuals vec − centroid(cell), residual
-    * codebooks (seeded past the nc coarse-centroid ids), cell-inline
-    * corpus codes, per-(query, cell) distance tables (queries =
-    * vec_id < `maxQid`), and the exact-BIGINT ADC ranks. Emits CTEs
-    * nc … ranked — no leading WITH, no final SELECT.
+    * assignment, DERIVED probe counts ([[sqlNpSp]] — queries keep np
+    * nearest cells among sp probed supers), residuals
+    * vec − centroid(cell), residual codebooks (seeded past the nc
+    * coarse-centroid ids), cell-inline corpus codes, per-(query, cell)
+    * distance tables (queries = vec_id < `maxQid`), and the
+    * exact-BIGINT ADC ranks. Every stage is AS MATERIALIZED — DuckDB
+    * re-inlines plain CTEs per reference, and this trunk's references
+    * to its own upstream stages made the un-materialized round-8 form
+    * blow past the driver's DuckDB memory. Emits CTEs nc … ranked — no
+    * leading WITH, no final SELECT.
     */
   private def sqlIvfPqCtes(maxQid: Int): String = {
     val means = (1 to 8).map(i =>
@@ -1552,62 +1611,62 @@ object VectorSuite {
       |      PARTITION BY sv.id, sv.s
       |      ORDER BY ${sqlL2Sub("sv.sv", "cb.cw")} ASC, cb.code ASC) AS rk
       |    FROM $src sv JOIN $cbName cb USING (s)) WHERE rk = 1""".stripMargin
-    s"""nc AS (
-    |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS v
-    |  FROM embeddings),
+    s"""$sqlNcIndex,
     |$sqlLloydDyn,
+    |$sqlNpSp,
     |${sqlHier1("cent2", "hc")},
     |${sqlHier1Assign("cent2", "hc", "embeddings", "cc", 1)},
-    |cells AS (SELECT vec_id AS id, vec, cell FROM ccasg),
-    |res AS (
+    |cells AS MATERIALIZED (SELECT vec_id AS id, vec, cell FROM ccasg),
+    |res AS MATERIALIZED (
     |  SELECT cl.id, cl.cell,
     |    list_transform(range(1, 65), i ->
     |      CAST(cl.vec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
     |  FROM cells cl JOIN cent2 c ON c.cell = cl.cell),
-    |ss AS (SELECT unnest(range(0, 8)) AS s),
-    |sv AS (
+    |ss AS MATERIALIZED (SELECT unnest(range(0, 8)) AS s),
+    |sv AS MATERIALIZED (
     |  SELECT id, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM res CROSS JOIN ss),
-    |seeds AS (
+    |seeds AS MATERIALIZED (
     |  SELECT vec_id FROM (
     |    SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) AS rk
     |    FROM embeddings)
     |  WHERE rk > (SELECT v FROM nc)
     |    AND rk <= (SELECT v FROM nc) + $PqCodes),
-    |svt AS (SELECT * FROM sv WHERE id < $TrainCap),
-    |cb0 AS (
+    |svt AS MATERIALIZED (SELECT * FROM sv WHERE id < $TrainCap),
+    |cb0 AS MATERIALIZED (
     |  SELECT s, sv.id AS code, sv.sv AS cw
     |  FROM sv JOIN seeds ON seeds.vec_id = sv.id),
-    |a1 AS (${assign("cb0", "svt")}),
-    |cb1 AS (
+    |a1 AS MATERIALIZED (${assign("cb0", "svt")}),
+    |cb1 AS MATERIALIZED (
     |  SELECT s, code, [$means] AS cw
     |  FROM a1 JOIN svt USING (id, s) GROUP BY s, code),
-    |codes AS (${assign("cb1")}),
-    |qsrc AS (
+    |codes AS MATERIALIZED (${assign("cb1")}),
+    |qsrc AS MATERIALIZED (
     |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxQid),
-    |${sqlHier1Assign("cent2", "hc", "qsrc", "pp", 3)},
-    |probes AS (SELECT vec_id AS qid, cell FROM ppasg),
-    |qres AS (
+    |${sqlHier1Assign("cent2", "hc", "qsrc", "pp",
+        "(SELECT v FROM np)", "(SELECT v FROM sp)")},
+    |probes AS MATERIALIZED (SELECT vec_id AS qid, cell FROM ppasg),
+    |qres AS MATERIALIZED (
     |  SELECT p.qid, p.cell,
     |    list_transform(range(1, 65), i ->
     |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rvec
     |  FROM probes p
     |  JOIN embeddings q ON q.vec_id = p.qid
     |  JOIN cent2 c ON c.cell = p.cell),
-    |qsv AS (
+    |qsv AS MATERIALIZED (
     |  SELECT qid, cell, s, list_slice(rvec, s * 8 + 1, (s + 1) * 8) AS sv
     |  FROM qres CROSS JOIN ss),
-    |dtab AS (
+    |dtab AS MATERIALIZED (
     |  SELECT qid, qsv.cell, cb.s, cb.code,
     |    CAST(FLOOR(${sqlL2Sub("qsv.sv", "cb.cw")} * 1048576) AS BIGINT) AS dq
     |  FROM qsv JOIN cb1 cb USING (s)),
-    |adc AS (
+    |adc AS MATERIALIZED (
     |  SELECT d.qid, c.id AS vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
     |  FROM codes c
     |  JOIN cells cl ON cl.id = c.id
     |  JOIN dtab d ON d.cell = cl.cell AND d.s = c.s AND d.code = c.code
     |  WHERE d.qid <> c.id GROUP BY d.qid, c.id),
-    |ranked AS (
+    |ranked AS MATERIALIZED (
     |  SELECT qid, vec_id, adc, row_number() OVER (
     |    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
     |  FROM adc)""".stripMargin

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The round-9 index-family contracts: the DERIVED operating point
+  * (indexCellsFor / indexProbesFor / indexSuperProbesFor — functions of
+  * the corpus, not re-measured constants) must hold the recall bar at
+  * MULTIPLE scale factors, and the quantizer state must grow O(√n), not
+  * O(n) (the round-8 linear rule's driver-collect ceiling).
+  */
+class IndexRecallSpec extends SparkSpec {
+
+  /** Mean recall@5 of the v6-configured index (derived operating point,
+    * self-built — no cross-dir memo coupling in the spec) against the
+    * exact brute-force top-5 over the first 20 query ids of `dir`.
+    */
+  private def recallAt(dir: String): Double = {
+    val emb = Graft.table(spark, dir, "embeddings")
+    val nc = Similarity.indexCellsFor(emb.count())
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+      topK = 5, exact = false).select("qid", "vec_id")
+    val approx = Similarity.ivfTopKHier(q, emb, "vec_id", "embedding",
+        topK = 5, nCells = nc, nProbe = Similarity.indexProbesFor(nc),
+        superProbe = Similarity.indexSuperProbesFor(nc))
+      .select("qid", "vec_id")
+    val hit = exact.join(approx, Seq("qid", "vec_id"), "left_semi").count()
+    hit.toDouble / exact.count()
+  }
+
+  test("derived operating point holds recall >= 0.8 at two scale factors") {
+    // n = 500 (nc=90, np=29, sp=5) and n = 2000 (nc=179, np=56, sp=7):
+    // the point is that NOTHING here is pinned — every parameter is a
+    // function of count() — and the bar still clears at both corpus
+    // sizes (engine-measured 0.88 / 0.93; the oracled v17 re-measures
+    // per verify run). A pinned nProbe passes one SF and decays at the
+    // next; the derived rule is what makes the audit a contract.
+    val r001 = recallAt("/root/testdata/sf0.01")
+    assert(r001 >= 0.8, s"recall@5 at n=500 below bar: $r001")
+    val r01 = recallAt("/root/testdata/sf0.1")
+    assert(r01 >= 0.8, s"recall@5 at n=2000 below bar: $r01")
+    assert(r01 >= r001 - 0.1,
+      s"recall must not decay materially with corpus growth: $r001 -> $r01")
+  }
+
+  test("indexCellsFor grows O(sqrt n): quantizer state stays collectable") {
+    // The growth-rate probe behind the round-9 rule split: a 100×
+    // corpus must grow the index quantizer ~10×, not 100× (the linear
+    // cellsFor rule is for pair-generating blocking only). Checked over
+    // five decades so the asymptotic rate, not a small-n artifact, is
+    // what passes.
+    for (n <- Seq(1e4, 1e6, 1e8, 1e10).map(_.toLong)) {
+      val c1 = Similarity.indexCellsFor(n)
+      val c100 = Similarity.indexCellsFor(100 * n)
+      val ratio = c100.toDouble / c1
+      assert(ratio <= 10.01, s"indexCellsFor not O(sqrt n): $n -> ratio $ratio")
+      assert(ratio >= 9.9, s"unexpectedly sub-sqrt growth at $n: $ratio")
+      // and the linear rule stays linear — the two rules must not merge
+      // (checked only where cellsFor's Int cell count is representable;
+      // past ~10^11 rows the linear rule is exactly the thing the index
+      // rule exists to replace)
+      if (100 * n / 64 < Int.MaxValue) {
+        val p1 = Similarity.cellsFor(n)
+        val p100 = Similarity.cellsFor(100 * n)
+        assert(p100.toDouble / p1 > 99.0, "cellsFor must stay linear")
+      }
+    }
+    // At 10^11 vectors (the ~100 TB regime at 1 KB/doc) the quantizer
+    // is ~1.3M cells × 64 dims × 4 B ≈ 320 MB — large but collectable/
+    // broadcastable; the linear rule's would be ~400 GB.
+    assert(Similarity.indexCellsFor(100000000000L) < 1300000)
+  }
+
+  test("derived probe counts track the index: fixed fraction, floors hold") {
+    // The operating point is a FUNCTION: coverage (np/nc) pinned near
+    // 5/16 and sp near half the supers at any index size, with small-n
+    // floors — so recall holds by construction rather than by per-SF
+    // re-measurement.
+    for (nc <- Seq(16, 90, 179, 566, 4000, 1265000)) {
+      val np = Similarity.indexProbesFor(nc)
+      val sp = Similarity.indexSuperProbesFor(nc)
+      val ns = math.ceil(math.sqrt(nc.toDouble)).toInt
+      assert(np >= 6 && sp >= 3)
+      if (nc >= 32) {
+        val frac = np.toDouble / nc
+        assert(frac >= 5.0 / 16 && frac <= 5.0 / 16 + 1.0 / nc + 1e-9,
+          s"np fraction drifted at nc=$nc: $frac")
+        assert(sp == math.max(3, (ns + 1) / 2), s"sp rule broke at nc=$nc")
+      }
+    }
+  }
+}

@@ -27,6 +27,13 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Bounded-memory gate: the driver's DuckDB runs memory-constrained
+    # (the round-8 v12 oracle OOM'd there while passing unbounded here),
+    # so the local stand-in enforces a hard cap + a spill dir — an
+    # oracle that needs more than this is a bug in the SQL's shape
+    # (e.g. un-materialized CTE re-inlining), not a driver flake.
+    con.execute("SET memory_limit='4GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
