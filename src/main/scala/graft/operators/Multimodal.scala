@@ -28,7 +28,7 @@ object Multimodal {
   case class Asset(asset_id: Long, media_type: String, media: Array[Byte])
   case class DecodedAsset(asset_id: Long, media_type: String, byte_size: Long,
       width: Int, height: Int, duration_ms: Long, checksum: Long)
-  case class AssetFeatures(asset_id: Long, features: Array[Float])
+  case class AssetFeatures(asset_id: Long, features: Array[Double])
   case class Frame(asset_id: Long, frame_index: Int, offset_ms: Long,
       frame: Array[Byte])
 
@@ -85,23 +85,97 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB ======= fixed-width feature vector from media bytes
-    * (real implementation runs the vision/audio encoder on the decoded
-    * frames). Deterministic: dim i = hash of (checksum, i) scaled to
-    * [-1, 1).
+  /** Fixed-width feature vector from the GENUINELY DECODED media
+    * content (round 9 — this retires the hash-of-checksum stub for the
+    * two real-codec modalities):
+    *   - image (24-bpp BMP): mean-pooled block intensities — the pixel
+    *     grid is cut into √dim × √dim blocks (block of (x, y) =
+    *     (x·g)/w, (y·g)/h integer division) and dim i is the mean of
+    *     ALL channel bytes in block i, i.e. exact integer SUM ÷ exact
+    *     integer COUNT as one double division. The classic pre-neural
+    *     image descriptor (block intensity pooling), and every step is
+    *     bit-replicable from hex(media) in SQL — the m7 oracle
+    *     recomputes the vectors from the container bytes independently.
+    *   - audio (16-bit PCM WAV): windowed energy — frames are cut into
+    *     `dim` windows (window of frame f = (f·dim)/nFrames) and dim i
+    *     is the mean |sample| over every channel sample in window i
+    *     (mean absolute amplitude: same integer-sum/integer-count
+    *     shape; RMS would square into the same windows).
+    *   - video / unparseable payloads: ======= STUB ======= — the
+    *     deterministic hash fake remains, loudly, until a native
+    *     decoder exists for the modality.
+    * `dim` must be a perfect square for the image grid (default 16 →
+    * 4×4 blocks / 16 audio windows).
     */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
+    val g = math.sqrt(dim.toDouble).toInt
+    require(g * g == dim, s"dim $dim is not a perfect square")
     assets.mapPartitions { batch =>
       batch.map { a =>
-        val sum = a.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-        val fs = Array.tabulate(dim) { i =>
-          val h = java.util.Objects.hash(java.lang.Long.valueOf(sum),
-            java.lang.Integer.valueOf(i)).toLong
-          ((h % 1000003L) / 1000003.0f) * 2f - 1f
+        val real: Option[Array[Double]] = a.media_type match {
+          case "image" =>
+            graft.sources.MediaBinary.decodeBmp(a.media).map { bmp =>
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              var y = 0
+              while (y < bmp.height) {
+                val by = y * g / bmp.height
+                var x = 0
+                while (x < bmp.width) {
+                  val i = by * g + x * g / bmp.width
+                  val p = (y * bmp.width + x) * 3
+                  sums(i) += (bmp.pixels(p) & 0xff) +
+                    (bmp.pixels(p + 1) & 0xff) + (bmp.pixels(p + 2) & 0xff)
+                  counts(i) += 3
+                  x += 1
+                }
+                y += 1
+              }
+              Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+            }
+          case "audio" =>
+            graft.sources.MediaBinary.decodeWav(a.media)
+              .filter(w => w.bitsPerSample == 16 && w.channels > 0 &&
+                w.data.length >= 2 * w.channels)
+              .map { w =>
+                val bytesPerFrame = 2 * w.channels
+                val nFrames = w.data.length / bytesPerFrame
+                val sums = new Array[Long](dim)
+                val counts = new Array[Long](dim)
+                var k = 0
+                val nSamples = nFrames * w.channels
+                while (k < nSamples) {
+                  val f = k / w.channels
+                  val i = (f.toLong * dim / nFrames).toInt
+                  val off = k * 2
+                  val v = ((w.data(off) & 0xff) |
+                    ((w.data(off + 1) & 0xff) << 8)).toShort.toInt
+                  sums(i) += math.abs(v)
+                  counts(i) += 1
+                  k += 1
+                }
+                Array.tabulate(dim)(i =>
+                  if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+              }
+          case _ => None
         }
-        AssetFeatures(a.asset_id, fs)
+        AssetFeatures(a.asset_id, real.getOrElse(featureStub(a, dim)))
       }
+    }
+  }
+
+  /** ======= STUB ======= deterministic fake features for modalities
+    * without a pure-JVM decoder (video; unparseable payloads): dim i =
+    * hash of (byte-checksum, i) scaled to [-1, 1).
+    */
+  private def featureStub(a: Asset, dim: Int): Array[Double] = {
+    val sum = a.media.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    Array.tabulate(dim) { i =>
+      val h = java.util.Objects.hash(java.lang.Long.valueOf(sum),
+        java.lang.Integer.valueOf(i)).toLong
+      ((h % 1000003L) / 1000003.0d) * 2d - 1d
     }
   }
 

@@ -265,7 +265,83 @@ object MultimodalSuite {
       },
       "Real-codec audit: BMP dims and WAV durations from genuine " +
         "pure-JVM decoding, cross-checked by independent header " +
-        "parsing over hex(media) in the oracle"))
+        "parsing over hex(media) in the oracle"),
+
+    // --- REAL pooled features from decoded content (round 9) -----------
+    // extractFeatures no longer hashes a checksum for the real-codec
+    // modalities: image features are 4×4 mean-pooled block intensities
+    // over the genuinely decoded BMP pixels (block of (x,y) by integer
+    // division, exact integer sum ÷ count as one double division) and
+    // audio features are 16-window mean absolute amplitudes over the
+    // decoded 16-bit PCM samples. The oracle recomputes the vectors
+    // INDEPENDENTLY from hex(media) — walks the BMP header for
+    // dataOff/stride and the bottom-up row order, reassembles signed LE
+    // samples from the WAV data chunk — so the feature arithmetic, not
+    // a re-run of the operator, is what hash-matches. Bounded to
+    // asset_id < 60 (20 images + 20 audio) purely to keep the oracle's
+    // hex-domain pixel walk cheap; the operator itself is the
+    // full-corpus mapPartitions path. Video stays out: its features
+    // remain the declared stub.
+    "m7_pooled_features" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val sub = assets(s)
+          .filter(col("asset_id") < 60 && col("media_type") =!= "video")
+        Multimodal.extractFeatures(sub.as[Multimodal.Asset], dim = 16)
+          .select(col("asset_id"),
+            posexplode(col("features")).as(Seq("dim_index", "value")))
+          .orderBy("asset_id", "dim_index")
+      },
+      Some {
+        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+        def le32(p: Int): String =
+          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+        // byte value at 0-based offset k
+        def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+        // signed LE 16-bit sample magnitude at 0-based offset k
+        def samp(k: String) = {
+          val u = s"(${bv(k)} + 256 * ${bv(s"($k) + 1")})"
+          s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+        }
+        val px = "off0 + (h - 1 - y) * stride + x * 3"
+        s"""WITH m AS MATERIALIZED (
+        |  SELECT asset_id, media_type, hex(media) AS hx
+        |  FROM $A WHERE asset_id < 60 AND media_type <> 'video'),
+        |dims AS (SELECT unnest(range(0, 16)) AS i),
+        |im AS MATERIALIZED (
+        |  SELECT asset_id, hx, ${le32(19)} AS w, ${le32(23)} AS h,
+        |    ${le32(11)} AS off0, ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
+        |  FROM m WHERE media_type = 'image'),
+        |imf AS (
+        |  SELECT asset_id, CAST(i AS INT) AS dim_index,
+        |    CAST(list_sum(list_transform(
+        |        range(((i // 4) * h + 3) // 4, (((i // 4) + 1) * h + 3) // 4), y ->
+        |      list_sum(list_transform(
+        |          range(((i % 4) * w + 3) // 4, (((i % 4) + 1) * w + 3) // 4), x ->
+        |        ${bv(px)} + ${bv(s"$px + 1")} + ${bv(s"$px + 2")})))) AS DOUBLE)
+        |    / CAST(3 * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
+        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE)
+        |      AS value
+        |  FROM im CROSS JOIN dims),
+        |au AS MATERIALIZED (
+        |  SELECT asset_id, hx, ${le32(41)} // 4 AS nf
+        |  FROM m WHERE media_type = 'audio'),
+        |auf AS (
+        |  SELECT asset_id, CAST(i AS INT) AS dim_index,
+        |    CAST(list_sum(list_transform(
+        |        range((i * nf + 15) // 16, ((i + 1) * nf + 15) // 16), f ->
+        |      ${samp("44 + f * 4")} + ${samp("44 + f * 4 + 2")})) AS DOUBLE)
+        |    / CAST(2 * (((i + 1) * nf + 15) // 16 - (i * nf + 15) // 16) AS DOUBLE)
+        |      AS value
+        |  FROM au CROSS JOIN dims)
+        |SELECT asset_id, dim_index, value FROM (
+        |  SELECT * FROM imf UNION ALL SELECT * FROM auf)
+        |ORDER BY asset_id, dim_index""".stripMargin
+      },
+      "Real pooled features from decoded content: 4x4 BMP block " +
+        "intensity means + 16-window WAV mean amplitudes, recomputed " +
+        "independently from hex(media) by the oracle"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =

@@ -167,7 +167,12 @@ object ScaleStress {
     *     [[Similarity.cellsFor]]-scaled nCells against the flat
     *     baseline — flat grows ~size_ratio² (O(n·nCells) with cells ∝
     *     n), hier must stay well under it (O(n·√nCells));
-    *   - knn_graph: the full v15 build at scaled cells — near-linear.
+    *   - knn_graph: the full v15 build at scaled cells — near-linear;
+    *   - topk_hier_query: per-query probe cost under the prebuilt
+    *     index-scaled quantizer at the derived operating point;
+    *   - index_quantizer_state: collected centroid rows under
+    *     [[Similarity.indexCellsFor]] — rows_ratio ≈ √size_ratio is the
+    *     O(√n) driver-state demonstration.
     * Returns one JSON object (probes array + ratios).
     */
   def probeJson(spark: SparkSession, sfDir: String,
@@ -226,15 +231,14 @@ object ScaleStress {
         graft.Graft.releaseTruncated(g)
         rows
       }
-      // topK QUERY cost under the corpus-scaled index (the round-8
-      // v6-family contract): seed quantizer + corpus assignment are
-      // prebuilt OUTSIDE the timer (the at-rest ingest split every
-      // declared query memoizes), so the timed work is probe assignment
-      // (O(√nCells)) + the nProbe·cellSize candidate scan — the probe's
-      // time ratio at 4× rows must stay ~flat, where the old pinned-16
-      // index grew linearly with n.
+      // topK QUERY cost under the INDEX-SCALED (4·√n) quantizer at the
+      // round-9 DERIVED operating point: seed quantizer + corpus
+      // assignment are prebuilt OUTSIDE the timer (the at-rest ingest
+      // split every declared query memoizes), so the timed work is
+      // probe assignment (O(√nCells)) + the coverage-fraction candidate
+      // scan.
       locally {
-        val ncq = Similarity.cellsFor(n, cellSize = 128, minCells = 16)
+        val ncq = Similarity.indexCellsFor(n)
         val cents = Similarity.seedCentroidsLiteral(emb, "vec_id",
           "embedding", ncq)
         val cells = Similarity.quantizerCellsHier(emb, "vec_id",
@@ -243,10 +247,21 @@ object ScaleStress {
         cells.count()
         run("topk_hier_query", m, n)(
           Similarity.ivfTopKHier(emb.filter(col("vec_id") < 5), emb,
-            "vec_id", "embedding", topK = 5, nCells = ncq, nProbe = 6,
-            superProbe = 4, prebuiltCentroids = Some(cents),
+            "vec_id", "embedding", topK = 5, nCells = ncq,
+            nProbe = Similarity.indexProbesFor(ncq),
+            superProbe = Similarity.indexSuperProbesFor(ncq),
+            prebuiltCentroids = Some(cents),
             prebuiltCells = Some(cells)).count())
         cells.unpersist(false)
+        // Driver-state growth probe (the round-9 rule split's "Done"
+        // condition): rows = the quantizer's collected centroid count
+        // under indexCellsFor, sec = the literal's collect cost. At
+        // size_ratio 4 the artifact must show rows_ratio ≈ 2 (O(√n)
+        // driver/broadcast state) — the linear rule's would be 4.
+        run("index_quantizer_state", m, n) {
+          Similarity.seedCentroidsLiteral(emb, "vec_id", "embedding",
+            Similarity.indexCellsFor(n)).count()
+        }
       }
       emb.unpersist(false)
       spark.catalog.clearCache()

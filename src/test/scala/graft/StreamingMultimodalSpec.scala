@@ -495,4 +495,35 @@ class StreamingMultimodalSpec extends SparkSpec {
       threshold = 0.9)
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
+
+  test("extractFeatures: real pooled features match hand-computed values") {
+    import spark.implicits._
+    import graft.sources.MediaBinary
+    // 4x4 BMP with dim=16: each 4x4-grid block is exactly one pixel, and
+    // pixel (y, x) has all three channels = y*4+x — so feature[i] must
+    // equal i exactly (mean of three identical bytes).
+    val px = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      px((y * 4 + x) * 3 + c) = (y * 4 + x).toByte
+    val bmp = MediaBinary.encodeBmp(4, 4, px)
+    // mono 16-bit WAV, 32 frames, sample f = ±100·f (alternating sign):
+    // window i holds frames {2i, 2i+1} → mean |sample| = 200·i + 50.
+    val data = new Array[Byte](32 * 2)
+    for (f <- 0 until 32) {
+      val v = if (f % 2 == 0) 100 * f else -100 * f
+      data(2 * f) = (v & 0xff).toByte
+      data(2 * f + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = MediaBinary.encodeWav(8000, 1, 16, data)
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", bmp),
+      Multimodal.Asset(2L, "audio", wav),
+      Multimodal.Asset(3L, "video", Array[Byte](1, 2, 3, 4))).toDS()
+    val feats = Multimodal.extractFeatures(assets, dim = 16)
+      .collect().map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(feats(1L) == (0 until 16).map(_.toDouble))
+    assert(feats(2L) == (0 until 16).map(i => 200.0 * i + 50))
+    // video keeps the declared stub: deterministic, bounded to [-1, 1)
+    assert(feats(3L).length == 16 && feats(3L).forall(v => v >= -1 && v < 1))
+  }
 }
