@@ -416,16 +416,34 @@ object Similarity {
       hier, nProbe, superProbe)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
     // corpus keep=1 × probe multi-assign ⇒ each (qid, vec_id) at most
-    // once: no dedup stage, and the exchange carries one vector per row
+    // once: no dedup stage, and the exchange carries one vector per row.
+    // The RANKING decision runs on the codegen'd double cosine computed
+    // INSIDE the cell join (the v7/v15 double-decides/exact-reports
+    // split — round 9: with the derived operating point a query scans a
+    // constant FRACTION of the corpus, and exact-decimal-scoring every
+    // candidate made that scan the dominant sf1 cost); only the ≤ topK
+    // survivors per query re-attach vectors for the exact-decimal
+    // re-score, so reported sims stay oracle-exact. Deterministic:
+    // (double sim, vec_id) is a total order both engines reproduce.
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("vec_id"),
-        Vectors.cosine(col("qvec"), col("vec")).as("sim"))
+        Vectors.cosineFast(col("qvec"), col("vec")).as("simd"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+      .orderBy(col("simd").desc, col("vec_id").asc)
+    val kept = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
-      .select("qid", "vec_id", "sim", "rn")
+      .select("qid", "vec_id", "rn")
+    // survivor side is ≤ topK·|queries| rows — broadcast IT so the
+    // corpus re-attach is a map-only pass over the corpus scan, never a
+    // corpus shuffle
+    val keptQ = kept.join(
+      broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))),
+      "qid")
+    c.select(col("id").as("vec_id"), col("vec"))
+      .join(broadcast(keptQ), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("qvec"), col("vec")).as("sim"), col("rn"))
   }
 
   /** The IVF cell-count rule: pin cell SIZE, scale cell COUNT with the

@@ -689,17 +689,23 @@ object VectorSuite {
         |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
             nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |scored AS (
-        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
+        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCosD("q.vec", "a.vec")} AS simd
         |  FROM assigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
         |  WHERE q.vec_id <> a.vec_id),
         |rankedk AS (
-        |  SELECT qid, vec_id, sim, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY simd DESC, vec_id ASC) AS rn
         |  FROM scored)
-        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
+        |SELECT k.qid, k.vec_id, ${sqlCos("qe.embedding", "ce.embedding")} AS sim,
+        |  CAST(k.rn AS INT) AS rn
+        |FROM rankedk k
+        |JOIN embeddings qe ON qe.vec_id = k.qid
+        |JOIN embeddings ce ON ce.vec_id = k.vec_id
+        |WHERE k.rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "IVF coarse-quantizer ANN at index-scaled (4·sqrt n) nCells: " +
-        "hierarchical corpus + probe assignment, derived probe counts"),
+        "hierarchical corpus + probe assignment, derived probe counts, " +
+        "double-decides/exact-reports ranking"),
 
     // --- exact cosine near-dups, bounded scope (parity witness) -------
     // The FLAGSHIP low-threshold near-dup query is v7's IVF-cell
@@ -810,14 +816,19 @@ object VectorSuite {
         |${sqlHier1Assign("cent2", "hc", "qsrc", "pa",
             "(SELECT v FROM np)", "(SELECT v FROM sp)")},
         |scored AS (
-        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
+        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCosD("p.vec", "a.vec")} AS simd
         |  FROM caasg a JOIN paasg p ON p.cell = a.cell
         |  WHERE p.vec_id <> a.vec_id),
         |ranked AS (
-        |  SELECT qid, vec_id, sim, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY simd DESC, vec_id ASC) AS rn
         |  FROM scored)
-        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+        |SELECT k.qid, k.vec_id, ${sqlCos("qe.embedding", "ce.embedding")} AS sim,
+        |  CAST(k.rn AS INT) AS rn
+        |FROM ranked k
+        |JOIN embeddings qe ON qe.vec_id = k.qid
+        |JOIN embeddings ce ON ce.vec_id = k.vec_id
+        |WHERE k.rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "IVF ANN with Lloyd centroids at index-scaled (4·sqrt n) nCells: " +
         "hierarchical training/corpus/probe assignment, derived probes, " +
@@ -1174,13 +1185,13 @@ object VectorSuite {
         |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
             nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |iscored AS (
-        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCos("p.vec", "a.vec")} AS sim
+        |  SELECT p.vec_id AS qid, a.vec_id, ${sqlCosD("p.vec", "a.vec")} AS simd
         |  FROM assigned a JOIN qassigned p ON p.tbl = a.tbl AND p.cell = a.cell
         |  WHERE p.vec_id <> a.vec_id),
         |approx AS (
         |  SELECT qid, vec_id FROM (
         |    SELECT qid, vec_id, row_number() OVER (
-        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |      PARTITION BY qid ORDER BY simd DESC, vec_id ASC) AS rn
         |    FROM iscored) WHERE rn <= 5),
         |hits AS (
         |  SELECT e.qid, COUNT(*) AS n_hit
@@ -1457,14 +1468,19 @@ object VectorSuite {
         |${sqlHierAssign(vecSrc = "qsrc", prefix = "q",
             nProbe = "(SELECT v FROM np)", superProbe = "(SELECT v FROM sp)")},
         |scored AS (
-        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCos("q.vec", "a.vec")} AS sim
+        |  SELECT q.vec_id AS qid, a.vec_id, ${sqlCosD("q.vec", "a.vec")} AS simd
         |  FROM lassigned a JOIN qassigned q ON q.tbl = a.tbl AND q.cell = a.cell
         |  WHERE q.vec_id <> a.vec_id),
         |rankedk AS (
-        |  SELECT qid, vec_id, sim, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY simd DESC, vec_id ASC) AS rn
         |  FROM scored)
-        |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM rankedk WHERE rn <= 5
+        |SELECT k.qid, k.vec_id, ${sqlCos("qe.embedding", "ce.embedding")} AS sim,
+        |  CAST(k.rn AS INT) AS rn
+        |FROM rankedk k
+        |JOIN embeddings qe ON qe.vec_id = k.qid
+        |JOIN embeddings ce ON ce.vec_id = k.vec_id
+        |WHERE k.rn <= 5
         |ORDER BY qid, rn""".stripMargin),
       "Attribute-filtered IVF ANN at index-scaled nCells: the predicate " +
         "prunes the at-rest cell assignment before the probe join — " +
