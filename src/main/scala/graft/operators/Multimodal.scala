@@ -10,18 +10,19 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape — schema, partition-preserving batched
   * iteration (`mapPartitions` over a typed Dataset), stable UDF
   * signatures — has been real from the start; since round 8 the CODEC
-  * is real for two modalities too: image assets that parse as 24-bpp
-  * BMP and audio assets that parse as PCM WAV are genuinely decoded
-  * (sources.MediaBinary — pure-JVM header parsing, stride-aware pixel
-  * extraction, RIFF chunk walking), with width/height/duration and the
-  * content checksum computed from the DECODED pixels/samples. Payloads
-  * that don't parse (and the video modality — no pure-JVM video
-  * container is worth hand-rolling) fall back to `decodeStub`, the
-  * loudly-declared deterministic fake. In production the remaining stub
-  * body is replaced by the native decoder (e.g. ffmpeg via JNI) without
-  * touching any of the distributed plumbing; partitions arrive as
-  * iterators, so a per-partition codec context amortizes initialization
-  * exactly like a Pandas-UDF batch would.
+  * is real too: image assets that parse as 24-bpp BMP, audio assets
+  * that parse as PCM WAV, and (round 9) video assets that parse as
+  * uncompressed-DIB AVI are genuinely decoded (sources.MediaBinary —
+  * pure-JVM header parsing, stride-aware pixel extraction, recursive
+  * RIFF chunk walking), with width/height/duration and the content
+  * checksum computed from the DECODED pixels/samples/frames, and frame
+  * sampling seeking the container's frame chunks by offset. Payloads
+  * that don't parse fall back to `decodeStub`, the loudly-declared
+  * deterministic fake. In production the fallback body is replaced by
+  * the native decoder (e.g. ffmpeg via JNI) for compressed codecs
+  * without touching any of the distributed plumbing; partitions arrive
+  * as iterators, so a per-partition codec context amortizes
+  * initialization exactly like a Pandas-UDF batch would.
   */
 object Multimodal {
 
@@ -55,8 +56,11 @@ object Multimodal {
     * yields its actual parsed dimensions and a checksum over the
     * DECODED pixel bytes (stride-stripped, top-down); a genuine WAV
     * yields its actual duration (data bytes / byte rate from the parsed
-    * `fmt ` chunk) and a checksum over the decoded sample bytes. None →
-    * the caller falls back to the declared stub.
+    * `fmt ` chunk) and a checksum over the decoded sample bytes; a
+    * genuine AVI yields its avih dimensions, nFrames·usPerFrame
+    * duration, and a checksum over every decoded frame's pixels (frames
+    * extracted one at a time by chunk offset — bounded memory per row).
+    * None → the caller falls back to the declared stub.
     */
   private def decodeReal(a: Asset): Option[DecodedAsset] = a.media_type match {
     case "image" =>
@@ -70,6 +74,20 @@ object Multimodal {
         DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
           width = 0, height = 0, duration_ms = w.durationMs,
           checksum = rollingChecksum(w.data))
+      }
+    case "video" =>
+      graft.sources.MediaBinary.decodeAviMeta(a.media).map { m =>
+        var acc = 0L
+        var k = 0
+        while (k < m.nFrames) {
+          val px = graft.sources.MediaBinary.aviFramePixels(a.media, m, k)
+          var i = 0
+          while (i < px.length) { acc = acc * 31 + (px(i) & 0xff); i += 1 }
+          k += 1
+        }
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = m.width, height = m.height, duration_ms = m.durationMs,
+          checksum = acc)
       }
     case _ => None
   }
@@ -101,9 +119,14 @@ object Multimodal {
     *     is the mean |sample| over every channel sample in window i
     *     (mean absolute amplitude: same integer-sum/integer-count
     *     shape; RMS would square into the same windows).
-    *   - video / unparseable payloads: ======= STUB ======= — the
-    *     deterministic hash fake remains, loudly, until a native
-    *     decoder exists for the modality.
+    *   - video (uncompressed-DIB AVI, round 9): the image grid pooled
+    *     TEMPORALLY — every decoded frame contributes its pixels to the
+    *     same √dim × √dim spatial blocks, so dim i is the mean channel
+    *     byte of block i across the whole clip (the mean-frame
+    *     descriptor; same exact-integer sum/count arithmetic).
+    *   - unparseable payloads: ======= STUB ======= — the deterministic
+    *     hash fake remains, loudly, until a native decoder exists for
+    *     the payload's codec.
     * `dim` must be a perfect square for the image grid (default 16 →
     * 4×4 blocks / 16 audio windows).
     */
@@ -159,6 +182,32 @@ object Multimodal {
                 Array.tabulate(dim)(i =>
                   if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
               }
+          case "video" =>
+            graft.sources.MediaBinary.decodeAviMeta(a.media).map { m =>
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              var k = 0
+              while (k < m.nFrames) {
+                val px = graft.sources.MediaBinary.aviFramePixels(a.media, m, k)
+                var y = 0
+                while (y < m.height) {
+                  val by = y * g / m.height
+                  var x = 0
+                  while (x < m.width) {
+                    val i = by * g + x * g / m.width
+                    val p = (y * m.width + x) * 3
+                    sums(i) += (px(p) & 0xff) +
+                      (px(p + 1) & 0xff) + (px(p + 2) & 0xff)
+                    counts(i) += 3
+                    x += 1
+                  }
+                  y += 1
+                }
+                k += 1
+              }
+              Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+            }
           case _ => None
         }
         AssetFeatures(a.asset_id, real.getOrElse(featureStub(a, dim)))
@@ -166,8 +215,8 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB ======= deterministic fake features for modalities
-    * without a pure-JVM decoder (video; unparseable payloads): dim i =
+  /** ======= STUB ======= deterministic fake features for payloads no
+    * pure-JVM decoder parses (compressed codecs; alien bytes): dim i =
     * hash of (byte-checksum, i) scaled to [-1, 1).
     */
   private def featureStub(a: Asset, dim: Int): Array[Double] = {
@@ -235,19 +284,36 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB ======= sample up to `n` evenly-spaced frames from a
-    * video asset (real implementation seeks the container). Emitted rows
-    * carry slices of the source bytes as stand-in frame payloads.
+  /** Sample up to `n` evenly-spaced frames from a video asset. REAL
+    * for genuine AVIs (round 9): the container's frame index is parsed
+    * once (`decodeAviMeta` — header tree + `00db` chunk offsets), then
+    * ONLY the sampled frames are extracted by offset — sampling 4 of
+    * 1000 frames decodes 4 frames, the seek shape that matters when
+    * frames are large. Emitted frame payloads are the genuinely decoded
+    * stride-stripped top-down pixels; `offset_ms` is the frame's actual
+    * timestamp (frameIndex · usPerFrame / 1000). Payloads that don't
+    * parse keep the ======= STUB ======= fallback: evenly-spaced raw
+    * byte slices at an assumed 25 fps.
     */
   def sampleFrames(assets: Dataset[Asset], n: Int = 4): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.media_type == "video").flatMap { a =>
-      val len = a.media.length
-      val take = math.min(n, math.max(len, 1))
-      (0 until take).map { i =>
-        val off = (len.toLong * i) / take
-        Frame(a.asset_id, i, off * 40L,
-          a.media.slice(off.toInt, math.min(len, off.toInt + 16)))
+      graft.sources.MediaBinary.decodeAviMeta(a.media) match {
+        case Some(m) =>
+          val take = math.min(n, m.nFrames)
+          (0 until take).map { i =>
+            val idx = (m.nFrames.toLong * i / take).toInt
+            Frame(a.asset_id, i, idx.toLong * m.usPerFrame / 1000L,
+              graft.sources.MediaBinary.aviFramePixels(a.media, m, idx))
+          }
+        case None =>
+          val len = a.media.length
+          val take = math.min(n, math.max(len, 1))
+          (0 until take).map { i =>
+            val off = (len.toLong * i) / take
+            Frame(a.asset_id, i, off * 40L,
+              a.media.slice(off.toInt, math.min(len, off.toInt + 16)))
+          }
       }
     }
   }

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * real 24-bpp BMPs and PCM WAVs (sources.MediaBinary) whose pixel/
   * sample content is the deterministic LCG byte stream (incompressible,
   * like real encoded media) — so the decode path parses actual headers
-  * and extracts actual content; video assets stay raw LCG bytes behind
-  * the declared frame-sampling stub (no pure-JVM video container is
-  * worth hand-rolling). Container sizes remain pure arithmetic
-  * ([[containerLen]]) so tests recompute expected totals without
-  * materializing payloads.
+  * and extracts actual content. Round 9 closes the last modality:
+  * video assets are genuine RIFF/AVI containers of uncompressed 24-bpp
+  * DIB frames (the same LCG stream as frame pixels), so frame sampling
+  * seeks a real container index instead of slicing raw bytes. Container
+  * sizes remain pure arithmetic ([[containerLen]]) so tests recompute
+  * expected totals without materializing payloads.
   *
   * Generated DISTRIBUTED (range → mapPartitions), never on the driver:
   * the same code path writes 100 TB of assets on a cluster.
@@ -69,6 +70,15 @@ object MultimodalFixture {
   val WavRate = 16000; val WavChannels = 2; val WavBits = 16
   private val WavFrame = WavChannels * WavBits / 8
 
+  /** Video geometry: 96×32 frames (stride 288 — 4-byte aligned, no DIB
+    * row padding, so frame pixel bytes = consecutive payload slices
+    * exactly) at 25 fps; frames = how many full frames the payload
+    * supplies. Canonical encoder layout: 224-byte header tree, then
+    * (8 + 9216)-byte `00db` chunks.
+    */
+  val AviWidth = 96; val AviHeight = 32; val AviUsPerFrame = 40000
+  private val AviFrameBytes = AviWidth * AviHeight * 3
+
   /** On-disk media length for an asset id — pure arithmetic (the
     * payloadLen contract, now per container): BMP = 54-byte header +
     * whole pixel rows; WAV = 44-byte header + whole sample frames;
@@ -77,11 +87,11 @@ object MultimodalFixture {
   def containerLen(id: Long): Int = mediaType(id) match {
     case "image" => 54 + (payloadLen(id) / BmpRow) * BmpRow
     case "audio" => 44 + (payloadLen(id) / WavFrame) * WavFrame
-    case _ => payloadLen(id)
+    case _ => 224 + (payloadLen(id) / AviFrameBytes) * (8 + AviFrameBytes)
   }
 
   /** The asset's media bytes: a genuine container around the
-    * deterministic payload (image/audio), or the raw payload (video).
+    * deterministic payload — BMP, WAV, or AVI by modality.
     */
   def media(id: Long): Array[Byte] = {
     val p = payload(id)
@@ -94,17 +104,22 @@ object MultimodalFixture {
         val n = (p.length / WavFrame) * WavFrame
         graft.sources.MediaBinary.encodeWav(WavRate, WavChannels, WavBits,
           java.util.Arrays.copyOf(p, n))
-      case _ => p
+      case _ =>
+        val n = p.length / AviFrameBytes
+        graft.sources.MediaBinary.encodeAvi(AviWidth, AviHeight, AviUsPerFrame,
+          Array.tabulate(n)(k => java.util.Arrays.copyOfRange(p,
+            k * AviFrameBytes, (k + 1) * AviFrameBytes)))
     }
   }
 
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
-    * contract changes (V2 = genuine BMP/WAV containers), so a stale
-    * pre-upgrade fixture rebuilds instead of being served.
+    * contract changes (V2 = genuine BMP/WAV containers; V3 = genuine
+    * AVI videos), so a stale pre-upgrade fixture rebuilds instead of
+    * being served.
     */
-  private val versionMarker = "_GRAFT_MEDIA_V2"
+  private val versionMarker = "_GRAFT_MEDIA_V3"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return

@@ -139,13 +139,16 @@ object MultimodalSuite {
       "Multimodal: byte histogram by media type over the binary column"),
 
     // --- video frame sampling (flatMap fan-out shape) ------------------
-    // sampleFrames emits up to 4 evenly-spaced frames per video asset;
-    // the sampling geometry (offsets, slice lengths, timestamps) derives
-    // ONLY from octet_length, so DuckDB can replay it exactly with a
-    // range cross-join — the one stage of the stub pipeline whose output
-    // is fully oracle-checkable without a codec. Per-frame-index
-    // aggregate proves the fan-out row count, the byte slicing, and the
-    // 25 fps timestamp math end-to-end.
+    // sampleFrames seeks the GENUINE AVI container (round 9): the frame
+    // index is parsed once (header tree + 00db chunk offsets) and only
+    // the <=4 evenly-spaced sampled frames are extracted — emitted
+    // payloads are the decoded stride-stripped pixels and offset_ms the
+    // frame's actual timestamp (frameIndex · usPerFrame / 1000). The
+    // oracle replays the sampling geometry INDEPENDENTLY from the
+    // MainAVIHeader fields it parses out of hex(media) — usPerFrame,
+    // dwTotalFrames, dwWidth, dwHeight — so the per-frame-index
+    // aggregate proves the fan-out row count, the decoded frame sizes,
+    // and the container-derived timestamp math end-to-end.
     "m3_frame_sample" -> Q(
       (s, _) => {
         import s.implicits._
@@ -156,20 +159,30 @@ object MultimodalSuite {
             sum(col("offset_ms")).as("total_offset_ms"))
           .orderBy("frame_index")
       },
-      Some(s"""WITH v AS (
-        |  SELECT octet_length(media) AS len FROM $A WHERE media_type = 'video'),
+      Some {
+        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+        def le32(p: Int): String =
+          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+        s"""WITH v AS (
+        |  SELECT hex(media) AS hx FROM $A WHERE media_type = 'video'),
+        |p AS (
+        |  SELECT ${le32(33)} AS us, ${le32(49)} AS nf,
+        |    ${le32(65)} AS w, ${le32(69)} AS h FROM v),
         |f AS (
-        |  SELECT i AS frame_index, len,
-        |    (len * i) // LEAST(4, GREATEST(len, 1)) AS off
-        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
-        |  WHERE i < LEAST(4, GREATEST(len, 1)))
+        |  SELECT i AS frame_index, w * h * 3 AS fb,
+        |    ((nf * i) // LEAST(4, nf)) * us // 1000 AS off_ms
+        |  FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
+        |  WHERE i < LEAST(4, nf))
         |SELECT CAST(frame_index AS INT) AS frame_index,
         |  COUNT(*) AS n_frames,
-        |  CAST(SUM(LEAST(len, off + 16) - off) AS BIGINT) AS frame_bytes,
-        |  CAST(SUM(off * 40) AS BIGINT) AS total_offset_ms
-        |FROM f GROUP BY frame_index ORDER BY frame_index""".stripMargin),
-      "Multimodal: evenly-spaced video frame sampling; offsets/slices/timestamps " +
-        "replayed from octet_length alone in the oracle"),
+        |  CAST(SUM(fb) AS BIGINT) AS frame_bytes,
+        |  CAST(SUM(off_ms) AS BIGINT) AS total_offset_ms
+        |FROM f GROUP BY frame_index ORDER BY frame_index""".stripMargin
+      },
+      "Multimodal: genuine AVI frame sampling — container-seek by chunk " +
+        "offset; fan-out, decoded frame sizes, and timestamps replayed " +
+        "from MainAVIHeader fields parsed out of hex(media)"),
 
     // --- chunk-fingerprint near-dup (media dedup) ----------------------
     // How media dedup actually works at 100 TB: payloads are cut into
@@ -219,23 +232,23 @@ object MultimodalSuite {
         "connected components with min-id canonicals (the media " +
         "analogue of x18)"),
 
-    // --- REAL codec audit (round 8: the decode path is genuine) --------
-    // Image assets are real 24-bpp BMPs and audio assets real PCM WAVs
+    // --- REAL codec audit (round 8; all three modalities since r9) -----
+    // Image assets are real 24-bpp BMPs, audio assets real PCM WAVs,
+    // and video assets real uncompressed-DIB AVIs
     // (pipelines.MultimodalFixture encodes them; sources.MediaBinary
     // parses them back — pure-JVM header parsing, stride-aware pixel
-    // extraction, RIFF chunk walking). This query aggregates the
-    // GENUINELY DECODED metadata per modality, and the oracle replays
-    // the container-header parsing INDEPENDENTLY in SQL: DuckDB reads
-    // the same blobs, parses the little-endian BMP width/height fields
-    // and the WAV byte-rate/data-size fields out of hex(media), and
-    // must land on identical aggregates — so the decoder's arithmetic
-    // (not a re-run of itself) is what's checked. Video stays excluded:
-    // its decode path is the declared stub.
+    // extraction, recursive RIFF chunk walking). This query aggregates
+    // the GENUINELY DECODED metadata per modality, and the oracle
+    // replays the container-header parsing INDEPENDENTLY in SQL: DuckDB
+    // reads the same blobs, parses the little-endian BMP width/height
+    // fields, the WAV byte-rate/data-size fields, and the AVI
+    // MainAVIHeader usPerFrame/totalFrames/width/height fields out of
+    // hex(media), and must land on identical aggregates — so the
+    // decoder's arithmetic (not a re-run of itself) is what's checked.
     "m6_codec_audit" -> Q(
       (s, _) => {
         import s.implicits._
         Multimodal.decode(assets(s).as[Multimodal.Asset])
-          .filter(col("media_type") =!= "video")
           .groupBy("media_type")
           .agg(count(lit(1)).as("n"),
             sum(col("width").cast("long")).as("sum_width"),
@@ -251,42 +264,47 @@ object MultimodalSuite {
             s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
         s"""WITH m AS (
         |  SELECT media_type, hex(media) AS hx, octet_length(media) AS len
-        |  FROM $A WHERE media_type <> 'video')
+        |  FROM $A)
         |SELECT media_type, COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN media_type = 'image'
-        |    THEN ${le32(19)} ELSE 0 END) AS BIGINT) AS sum_width,
-        |  CAST(SUM(CASE WHEN media_type = 'image'
-        |    THEN ${le32(23)} ELSE 0 END) AS BIGINT) AS sum_height,
+        |  CAST(SUM(CASE WHEN media_type = 'image' THEN ${le32(19)}
+        |    WHEN media_type = 'video' THEN ${le32(65)}
+        |    ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(SUM(CASE WHEN media_type = 'image' THEN ${le32(23)}
+        |    WHEN media_type = 'video' THEN ${le32(69)}
+        |    ELSE 0 END) AS BIGINT) AS sum_height,
         |  CAST(SUM(CASE WHEN media_type = 'audio'
         |    THEN (${le32(41)} * 1000) // ${le32(29)}
+        |    WHEN media_type = 'video'
+        |    THEN (${le32(49)} * ${le32(33)}) // 1000
         |    ELSE 0 END) AS BIGINT) AS sum_duration_ms,
         |  CAST(SUM(len) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
       },
-      "Real-codec audit: BMP dims and WAV durations from genuine " +
-        "pure-JVM decoding, cross-checked by independent header " +
-        "parsing over hex(media) in the oracle"),
+      "Real-codec audit: BMP dims, WAV durations, and AVI frame-count " +
+        "durations from genuine pure-JVM decoding, cross-checked by " +
+        "independent header parsing over hex(media) in the oracle"),
 
     // --- REAL pooled features from decoded content (round 9) -----------
-    // extractFeatures no longer hashes a checksum for the real-codec
-    // modalities: image features are 4×4 mean-pooled block intensities
+    // extractFeatures no longer hashes a checksum for any fixture
+    // modality: image features are 4×4 mean-pooled block intensities
     // over the genuinely decoded BMP pixels (block of (x,y) by integer
-    // division, exact integer sum ÷ count as one double division) and
+    // division, exact integer sum ÷ count as one double division),
     // audio features are 16-window mean absolute amplitudes over the
-    // decoded 16-bit PCM samples. The oracle recomputes the vectors
-    // INDEPENDENTLY from hex(media) — walks the BMP header for
-    // dataOff/stride and the bottom-up row order, reassembles signed LE
-    // samples from the WAV data chunk — so the feature arithmetic, not
-    // a re-run of the operator, is what hash-matches. Bounded to
-    // asset_id < 60 (20 images + 20 audio) purely to keep the oracle's
-    // hex-domain pixel walk cheap; the operator itself is the
-    // full-corpus mapPartitions path. Video stays out: its features
-    // remain the declared stub.
+    // decoded 16-bit PCM samples, and video features are the image grid
+    // pooled TEMPORALLY — every decoded AVI frame contributes to the
+    // same 4×4 spatial blocks (the mean-frame descriptor). The oracle
+    // recomputes the vectors INDEPENDENTLY from hex(media) — walks the
+    // BMP header for dataOff/stride and the bottom-up row order,
+    // reassembles signed LE samples from the WAV data chunk, and walks
+    // every AVI 00db frame chunk's bottom-up rows — so the feature
+    // arithmetic, not a re-run of the operator, is what hash-matches.
+    // Bounded to asset_id < 60 (20 per modality) purely to keep the
+    // oracle's hex-domain pixel walk cheap; the operator itself is the
+    // full-corpus mapPartitions path.
     "m7_pooled_features" -> Q(
       (s, _) => {
         import s.implicits._
-        val sub = assets(s)
-          .filter(col("asset_id") < 60 && col("media_type") =!= "video")
+        val sub = assets(s).filter(col("asset_id") < 60)
         Multimodal.extractFeatures(sub.as[Multimodal.Asset], dim = 16)
           .select(col("asset_id"),
             posexplode(col("features")).as(Seq("dim_index", "value")))
@@ -305,9 +323,12 @@ object MultimodalSuite {
           s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
         }
         val px = "off0 + (h - 1 - y) * stride + x * 3"
+        // 0-based pixel offset inside frame k of the canonical AVI
+        // layout: first 00db data at 224, fb = stride·h per frame
+        val pxv = "224 + k * (8 + stride * h) + 8 + (h - 1 - y) * stride + x * 3"
         s"""WITH m AS MATERIALIZED (
         |  SELECT asset_id, media_type, hex(media) AS hx
-        |  FROM $A WHERE asset_id < 60 AND media_type <> 'video'),
+        |  FROM $A WHERE asset_id < 60),
         |dims AS (SELECT unnest(range(0, 16)) AS i),
         |im AS MATERIALIZED (
         |  SELECT asset_id, hx, ${le32(19)} AS w, ${le32(23)} AS h,
@@ -334,14 +355,33 @@ object MultimodalSuite {
         |      ${samp("44 + f * 4")} + ${samp("44 + f * 4 + 2")})) AS DOUBLE)
         |    / CAST(2 * (((i + 1) * nf + 15) // 16 - (i * nf + 15) // 16) AS DOUBLE)
         |      AS value
-        |  FROM au CROSS JOIN dims)
+        |  FROM au CROSS JOIN dims),
+        |av AS MATERIALIZED (
+        |  SELECT asset_id, hx, ${le32(49)} AS nf,
+        |    ${le32(65)} AS w, ${le32(69)} AS h,
+        |    ((${le32(65)} * 3 + 3) // 4) * 4 AS stride
+        |  FROM m WHERE media_type = 'video'),
+        |avf AS (
+        |  SELECT asset_id, CAST(i AS INT) AS dim_index,
+        |    CAST(list_sum(list_transform(range(0, nf), k ->
+        |      list_sum(list_transform(
+        |          range(((i // 4) * h + 3) // 4, (((i // 4) + 1) * h + 3) // 4), y ->
+        |        list_sum(list_transform(
+        |            range(((i % 4) * w + 3) // 4, (((i % 4) + 1) * w + 3) // 4), x ->
+        |          ${bv(pxv)} + ${bv(s"$pxv + 1")} + ${bv(s"$pxv + 2")})))))) AS DOUBLE)
+        |    / CAST(3 * nf * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
+        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE)
+        |      AS value
+        |  FROM av CROSS JOIN dims)
         |SELECT asset_id, dim_index, value FROM (
-        |  SELECT * FROM imf UNION ALL SELECT * FROM auf)
+        |  SELECT * FROM imf UNION ALL SELECT * FROM auf
+        |  UNION ALL SELECT * FROM avf)
         |ORDER BY asset_id, dim_index""".stripMargin
       },
       "Real pooled features from decoded content: 4x4 BMP block " +
-        "intensity means + 16-window WAV mean amplitudes, recomputed " +
-        "independently from hex(media) by the oracle"))
+        "intensity means + 16-window WAV mean amplitudes + " +
+        "temporally-pooled AVI frame blocks, recomputed independently " +
+        "from hex(media) by the oracle"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =

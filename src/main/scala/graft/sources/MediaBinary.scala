@@ -1,20 +1,23 @@
 package graft.sources
 
 /** Pure-JVM media container codecs: BMP (BITMAPINFOHEADER, 24 bpp
-  * uncompressed) and WAV (RIFF/WAVE, integer PCM) — the XlsBinary
-  * precedent (hand-built OLE2/BIFF8) applied to the multimodal stubs so
-  * one image and one audio modality decode GENUINELY end to end with no
-  * external jar. Formats follow the public specifications only
-  * (Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout; the RIFF/WAVE
-  * chunk grammar with canonical `fmt ` and `data` chunks).
+  * uncompressed), WAV (RIFF/WAVE, integer PCM), and AVI (RIFF/'AVI ',
+  * uncompressed 24-bpp DIB video frames) — the XlsBinary precedent
+  * (hand-built OLE2/BIFF8) applied to the multimodal stubs so all three
+  * modalities decode GENUINELY end to end with no external jar. Formats
+  * follow the public specifications only (Windows BITMAPFILEHEADER/
+  * BITMAPINFOHEADER layout; the RIFF chunk grammar with canonical
+  * `fmt `/`data` chunks for WAVE and `hdrl`/`movi` LISTs, MainAVIHeader
+  * `avih`, AVIStreamHeader `strh`, and `00db` frame chunks for AVI).
   *
-  * Both decoders are defensive parsers, not trusted-layout slicers:
+  * All decoders are defensive parsers, not trusted-layout slicers:
   * magic bytes, header sizes, dimension/bit-depth sanity, and
-  * bounds-checked pixel/sample extents are validated, and WAV walks the
-  * chunk list (skipping unknown chunks with RIFF's even-byte padding)
-  * instead of assuming the canonical 44-byte prefix — so a truncated or
-  * alien payload returns None and the caller falls back to its declared
-  * stub rather than throwing mid-partition.
+  * bounds-checked pixel/sample extents are validated, and the RIFF
+  * formats walk the chunk list (skipping unknown chunks with RIFF's
+  * even-byte padding; AVI descends nested LISTs recursively) instead of
+  * assuming a canonical prefix — so a truncated or alien payload
+  * returns None and the caller falls back to its declared stub rather
+  * than throwing mid-partition.
   */
 object MediaBinary {
 
@@ -164,4 +167,164 @@ object MediaBinary {
          if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0)
       yield Wav(ch, rate, bits, d)
   }
+
+  /** Parsed AVI structure WITHOUT pixel extraction: `frameOffsets`
+    * point at each `00db` chunk's data bytes inside the source buffer,
+    * so sampling k of n frames decodes k frames, not n — the seek shape
+    * a real container index gives you. Dimensions/timing come from the
+    * MainAVIHeader (`avih`).
+    */
+  final case class AviMeta(width: Int, height: Int, usPerFrame: Int,
+      frameOffsets: Array[Int]) {
+    def nFrames: Int = frameOffsets.length
+    def stride: Int = ((width * 3 + 3) / 4) * 4
+    def durationMs: Long = nFrames.toLong * usPerFrame / 1000L
+  }
+
+  /** Fully decoded AVI: frames are BGR, row-major TOP-DOWN, stride
+    * padding removed — width·height·3 bytes each (the [[Bmp]] pixel
+    * contract, per frame).
+    */
+  final case class Avi(width: Int, height: Int, usPerFrame: Int,
+      frames: Array[Array[Byte]]) {
+    def nFrames: Int = frames.length
+    def durationMs: Long = nFrames.toLong * usPerFrame / 1000L
+  }
+
+  /** Encode top-down BGR frames (width·height·3 bytes each) as a
+    * genuine RIFF/'AVI ' file: LIST `hdrl` holding the 56-byte `avih`
+    * and a LIST `strl` with a 'vids'/'DIB ' `strh` plus a 24-bpp BI_RGB
+    * BITMAPINFOHEADER `strf`, then LIST `movi` with one `00db` chunk
+    * per frame (bottom-up rows padded to 4-byte strides — the DIB
+    * default, exactly the BMP pixel-array layout). Canonical fixed
+    * layout: avih data at byte offset 32, first `00db` chunk at 224
+    * (frame data at 232).
+    */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty,
+      s"bad AVI geometry ${width}x$height us=$usPerFrame n=${frames.length}")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame ${f.length} != $width*$height*3"))
+    val stride = ((width * 3 + 3) / 4) * 4
+    val fb = stride * height
+    val n = frames.length
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // = 192
+    val moviSize = 4 + n * (8 + fb)
+    val out = new Array[Byte](12 + (8 + hdrlSize) + (8 + moviSize))
+    def fcc(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    fcc(0, "RIFF"); wle32(out, 4, out.length - 8); fcc(8, "AVI ")
+    fcc(12, "LIST"); wle32(out, 16, hdrlSize); fcc(20, "hdrl")
+    fcc(24, "avih"); wle32(out, 28, 56)
+    val av = 32 // MainAVIHeader data
+    wle32(out, av, usPerFrame)
+    wle32(out, av + 4,
+      math.min(fb.toLong * 1000000L / usPerFrame, Int.MaxValue.toLong).toInt)
+    wle32(out, av + 16, n) // dwTotalFrames
+    wle32(out, av + 24, 1) // dwStreams
+    wle32(out, av + 28, fb) // dwSuggestedBufferSize
+    wle32(out, av + 32, width); wle32(out, av + 36, height)
+    val sl = av + 56 // LIST strl
+    fcc(sl, "LIST"); wle32(out, sl + 4, 4 + 64 + 48); fcc(sl + 8, "strl")
+    val sh = sl + 12 + 8 // AVIStreamHeader data
+    fcc(sh - 8, "strh"); wle32(out, sh - 4, 56)
+    fcc(sh, "vids"); fcc(sh + 4, "DIB ")
+    wle32(out, sh + 20, usPerFrame) // dwScale
+    wle32(out, sh + 24, 1000000) // dwRate → fps = rate/scale
+    wle32(out, sh + 32, n) // dwLength
+    wle32(out, sh + 36, fb)
+    wle16(out, sh + 52, width); wle16(out, sh + 54, height) // rcFrame r/b
+    val sf = sh + 56 + 8 // BITMAPINFOHEADER data
+    fcc(sf - 8, "strf"); wle32(out, sf - 4, 40)
+    wle32(out, sf, 40); wle32(out, sf + 4, width); wle32(out, sf + 8, height)
+    wle16(out, sf + 12, 1); wle16(out, sf + 14, 24) // planes, bpp
+    wle32(out, sf + 16, 0); wle32(out, sf + 20, fb) // BI_RGB, biSizeImage
+    val mo = sf + 40 // LIST movi (byte 212 by construction)
+    fcc(mo, "LIST"); wle32(out, mo + 4, moviSize); fcc(mo + 8, "movi")
+    var k = 0
+    while (k < n) {
+      val base = mo + 12 + k * (8 + fb)
+      fcc(base, "00db"); wle32(out, base + 4, fb)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(frames(k), (height - 1 - y) * width * 3,
+          out, base + 8 + y * stride, width * 3)
+        y += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Parse an uncompressed 24-bpp DIB AVI by recursively walking the
+    * RIFF LIST tree — `hdrl`/`strl` for the headers, `movi` for the
+    * `00db`/`00dc` frame chunks, unknown chunks skipped with RIFF's
+    * even-byte padding. None unless the stream is 'vids' with a 24-bpp
+    * BI_RGB format, every frame chunk holds exactly one stride-padded
+    * frame, and `avih`'s dwTotalFrames agrees with the movi scan (so a
+    * crafted header can't make the metadata and the pixels disagree).
+    */
+  def decodeAviMeta(b: Array[Byte]): Option[AviMeta] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    var usPerFrame = 0; var w = 0; var h = 0; var totalFrames = -1
+    var vids = false; var dib24 = false; var bad = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (!bad && off + 8 <= to) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4)
+        if (size < 0 || off + 8 + size.toLong > to) { bad = true; return }
+        id match {
+          case "LIST" | "RIFF" if size >= 4 =>
+            val lt = fourcc(b, off + 8)
+            // frames may be grouped in 'rec ' LISTs inside movi
+            walk(off + 12, off + 8 + size,
+              inMovi = lt == "movi" || (inMovi && lt == "rec "))
+          case "avih" if size >= 56 =>
+            usPerFrame = le32(b, off + 8)
+            totalFrames = le32(b, off + 24)
+            w = le32(b, off + 40); h = le32(b, off + 44)
+          case "strh" if size >= 4 =>
+            if (fourcc(b, off + 8) == "vids") vids = true
+          case "strf" if size >= 40 =>
+            if (le16(b, off + 22) == 24 && le32(b, off + 24) == 0) dib24 = true
+          case "00db" | "00dc" if inMovi =>
+            frames += ((off + 8, size))
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    if (bad || !vids || !dib24 || usPerFrame <= 0 || frames.isEmpty) return None
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (totalFrames != frames.length) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (!frames.forall(_._2 == stride * h)) return None
+    Some(AviMeta(w, h, usPerFrame, frames.map(_._1).toArray))
+  }
+
+  /** Extract one frame's pixels (BGR top-down, stride-stripped) by
+    * offset — the per-frame seek [[decodeAviMeta]] enables.
+    */
+  def aviFramePixels(b: Array[Byte], m: AviMeta, k: Int): Array[Byte] = {
+    val w3 = m.width * 3
+    val out = new Array[Byte](w3 * m.height)
+    var y = 0
+    while (y < m.height) {
+      System.arraycopy(b, m.frameOffsets(k) + (m.height - 1 - y) * m.stride,
+        out, y * w3, w3)
+      y += 1
+    }
+    out
+  }
+
+  /** Full decode: every frame extracted. */
+  def decodeAvi(b: Array[Byte]): Option[Avi] =
+    decodeAviMeta(b).map(m => Avi(m.width, m.height, m.usPerFrame,
+      Array.tabulate(m.nFrames)(k => aviFramePixels(b, m, k))))
 }

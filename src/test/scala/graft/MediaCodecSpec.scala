@@ -4,9 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.MediaBinary
 
-/** Pure-JVM BMP/WAV codec round-trips and defensive-parse behavior —
-  * the real half of the multimodal decode path (the video modality
-  * keeps its declared stub).
+/** Pure-JVM BMP/WAV/AVI codec round-trips and defensive-parse
+  * behavior — since round 9 all three multimodal decode paths are
+  * real (the stub remains only for payloads no pure-JVM codec parses).
   */
 class MediaCodecSpec extends AnyFunSuite {
 
@@ -90,6 +90,53 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaBinary.decodeWav(overrun).isEmpty)
   }
 
+  test("AVI: encode/decode round-trips dims, timing, and exact frame pixels") {
+    val (w, h, us) = (96, 32, 40000)
+    val frames = Array.tabulate(5)(k => lcgBytes(w * h * 3, 100L + k))
+    val bytes = MediaBinary.encodeAvi(w, h, us, frames)
+    assert(bytes.length == 224 + 5 * (8 + w * h * 3)) // aligned stride
+    val dec = MediaBinary.decodeAvi(bytes)
+    assert(dec.isDefined)
+    val a = dec.get
+    assert(a.width == w && a.height == h && a.usPerFrame == us && a.nFrames == 5)
+    for (k <- 0 until 5)
+      assert(java.util.Arrays.equals(a.frames(k), frames(k)),
+        s"frame $k pixel round-trip failed")
+    assert(a.durationMs == 5L * us / 1000)
+    // unaligned width exercises per-row stride padding inside frames
+    val frames2 = Array.tabulate(3)(k => lcgBytes(7 * 4 * 3, 7L + k))
+    val d2 = MediaBinary.decodeAvi(MediaBinary.encodeAvi(7, 4, 33367, frames2)).get
+    assert(d2.width == 7 && d2.height == 4 && d2.nFrames == 3)
+    for (k <- 0 until 3)
+      assert(java.util.Arrays.equals(d2.frames(k), frames2(k)))
+  }
+
+  test("AVI: meta parse seeks single frames without full decode") {
+    val frames = Array.tabulate(10)(k => lcgBytes(96 * 32 * 3, 500L + k))
+    val bytes = MediaBinary.encodeAvi(96, 32, 40000, frames)
+    val m = MediaBinary.decodeAviMeta(bytes).get
+    assert(m.nFrames == 10 && m.frameOffsets(0) == 232) // 00db hdr at 224
+    assert(m.durationMs == 400L)
+    assert(java.util.Arrays.equals(
+      MediaBinary.aviFramePixels(bytes, m, 7), frames(7)))
+  }
+
+  test("AVI: rejects alien, truncated, compressed, and lying headers") {
+    assert(MediaBinary.decodeAviMeta(lcgBytes(300, 3L)).isEmpty) // no magic
+    val wav = MediaBinary.encodeWav(8000, 1, 16, lcgBytes(64, 5L))
+    assert(MediaBinary.decodeAviMeta(wav).isEmpty) // RIFF but WAVE
+    val good = MediaBinary.encodeAvi(8, 8, 40000, Array(lcgBytes(8 * 8 * 3, 1L)))
+    assert(MediaBinary.decodeAviMeta(good).isDefined)
+    assert(MediaBinary.decodeAviMeta(good.take(200)).isEmpty) // header cut
+    assert(MediaBinary.decodeAviMeta(
+      good.take(good.length - 4)).isEmpty) // frame chunk overruns buffer
+    val comp = good.clone(); comp(188) = 1 // strf biCompression != BI_RGB
+    assert(MediaBinary.decodeAviMeta(comp).isEmpty)
+    // avih dwTotalFrames disagreeing with the movi scan must not decode
+    val lie = good.clone(); lie(48) = 2
+    assert(MediaBinary.decodeAviMeta(lie).isEmpty)
+  }
+
   test("fixture media: genuine containers, pure-arithmetic lengths") {
     import graft.pipelines.MultimodalFixture._
     for (id <- 0L until 12L) {
@@ -110,7 +157,14 @@ class MediaCodecSpec extends AnyFunSuite {
           val expect = payload(id).take(d.get.data.length)
           assert(java.util.Arrays.equals(d.get.data, expect))
         case _ =>
-          assert(java.util.Arrays.equals(m, payload(id))) // raw video
+          val d = MediaBinary.decodeAviMeta(m)
+          assert(d.isDefined && d.get.width == AviWidth &&
+            d.get.height == AviHeight && d.get.usPerFrame == AviUsPerFrame)
+          // decoded frame pixels ARE consecutive payload slices — the
+          // genuine encode -> container -> seek-decode cycle per frame
+          val all = Array.concat((0 until d.get.nFrames).map(k =>
+            MediaBinary.aviFramePixels(m, d.get, k)): _*)
+          assert(java.util.Arrays.equals(all, payload(id).take(all.length)))
       }
     }
   }

@@ -196,8 +196,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
 
     // round-trip totals match the generator's pure-arithmetic
-    // expectation (containerLen: genuine BMP/WAV container sizes for
-    // image/audio, raw payload for video)
+    // expectation (containerLen: genuine BMP/WAV/AVI container sizes)
     import spark.implicits._
     val expectedBytes = (0 until MultimodalFixture.nAssets)
       .map(i => MultimodalFixture.containerLen(i.toLong).toLong).sum
@@ -515,15 +514,22 @@ class StreamingMultimodalSpec extends SparkSpec {
       data(2 * f + 1) = ((v >> 8) & 0xff).toByte
     }
     val wav = MediaBinary.encodeWav(8000, 1, 16, data)
+    // two 4x4 AVI frames: frame 0 pixel (y,x) = y*4+x, frame 1 doubles
+    // it — temporal pooling over one-pixel blocks → feature[i] = 1.5·i.
+    val avi = MediaBinary.encodeAvi(4, 4, 40000, Array(
+      px, px.map(b => (b * 2).toByte)))
     val assets = Seq(
       Multimodal.Asset(1L, "image", bmp),
       Multimodal.Asset(2L, "audio", wav),
-      Multimodal.Asset(3L, "video", Array[Byte](1, 2, 3, 4))).toDS()
+      Multimodal.Asset(3L, "video", avi),
+      Multimodal.Asset(4L, "video", Array[Byte](1, 2, 3, 4))).toDS()
     val feats = Multimodal.extractFeatures(assets, dim = 16)
       .collect().map(f => f.asset_id -> f.features.toSeq).toMap
     assert(feats(1L) == (0 until 16).map(_.toDouble))
     assert(feats(2L) == (0 until 16).map(i => 200.0 * i + 50))
-    // video keeps the declared stub: deterministic, bounded to [-1, 1)
-    assert(feats(3L).length == 16 && feats(3L).forall(v => v >= -1 && v < 1))
+    assert(feats(3L) == (0 until 16).map(i => 1.5 * i))
+    // unparseable payloads keep the declared stub: deterministic,
+    // bounded to [-1, 1)
+    assert(feats(4L).length == 16 && feats(4L).forall(v => v >= -1 && v < 1))
   }
 }
