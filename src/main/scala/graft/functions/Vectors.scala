@@ -86,4 +86,42 @@ object Vectors {
   def i8RoundTrip(v: Column, scale: Column): Column =
     transform(v, x =>
       floor(x.cast("double") / scale + lit(0.5d)).cast("double") * scale)
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign for (seed, output dim
+    * `j`, input dim `d` — 1-based Column): the SAME engine-replicable
+    * 31-bit LCG mix the hyperplane machinery uses
+    * (graft.expressions.HyperplaneImpl / the sqlBucket oracle mirror),
+    * thresholded at 2³⁰ instead of scaled to a weight — so the oracle
+    * regenerates identical signs with pure integer SQL.
+    */
+  private def jlSign(seed: Int, j: Int, d: Column): Column = {
+    val M = 2147483648L // 2^31
+    val key = (lit(seed.toLong * 1000003L + j.toLong * 4096L) +
+      d.cast("long") - lit(1L)) % lit(M)
+    val mixed =
+      ((key * lit(2654435761L) + lit(2654435769L)) % lit(M) *
+        lit(2654435761L) + lit(40503L)) % lit(M)
+    when(mixed >= lit(1073741824L), lit(1.0d)).otherwise(lit(-1.0d))
+  }
+
+  /** Johnson-Lindenstrauss random projection with Achlioptas ±1 signs:
+    * `out[j] = Σ_d v[d]·s(seed,j,d)`, `s ∈ {−1,+1}` from [[jlSign]].
+    * The dimensionality-reduction stage of an embedding pipeline —
+    * JL preserves pairwise angles to ~1/√outDim, so a 64→16 projection
+    * is the cheap prefilter space (4× less compute/storage per
+    * comparison) ahead of exact re-scoring. A pure per-row expression:
+    * no shuffle, no state, embarrassingly parallel at any corpus size.
+    * The canonical JL 1/√outDim scale factor is deliberately omitted —
+    * cosine similarity (the only consumer here) is scale-invariant.
+    *
+    * Engine parity: each term is `CAST(v[d] AS DOUBLE) · (±1)` (exact),
+    * and the in-row left fold is order-deterministic on both engines
+    * (Spark `aggregate` == DuckDB `list_sum` over `list_transform`), so
+    * projected vectors are bit-identical to the oracle's.
+    */
+  def jlProject(v: Column, outDim: Int, inDim: Int, seed: Int): Column =
+    array((0 until outDim).map { j =>
+      aggregate(sequence(lit(1), lit(inDim)), lit(0.0d),
+        (acc, d) => acc + element_at(v, d).cast("double") * jlSign(seed, j, d))
+    }: _*)
 }

@@ -1384,10 +1384,21 @@ object Similarity {
     * instead of the flat centroid scan — the query-side half of the
     * [[cellsFor]] contract (flat probing re-grows O(nCells) = O(n) per
     * query once cells scale with the corpus).
+    *
+    * `refine > 1` adds the exact re-rank tier over the IVFADC shortlist
+    * (FAISS `IndexRefineFlat` over `IVFx,PQy` — the full production
+    * composition): the ADC ranking keeps `refine · topK` candidates and
+    * only THOSE full vectors are read for an exact squared-L2 re-rank,
+    * so the at-rest float vectors are touched O(R) per query while the
+    * scan stays codes-only. This is the tier that repairs the residual-
+    * PQ quantization error v19 measures (recall@5 ~0.3 unrefined on the
+    * near-random synthetic corpus); output carries l2_dist instead of
+    * adc_dist, exactly as [[pqAdcTopK]]'s refine branch does.
     */
   def ivfPqTopK(queries: DataFrame, idx: IvfPqIndex,
       idCol: String, vecCol: String, topK: Int, nProbe: Int,
-      hierProbes: Boolean = false, superProbe: Int = 3): DataFrame = {
+      hierProbes: Boolean = false, superProbe: Int = 3,
+      refine: Int = 1): DataFrame = {
     val probes =
       if (hierProbes)
         assignWithHierarchy(
@@ -1415,11 +1426,29 @@ object Similarity {
       .groupBy("qid", "id")
       .agg(sum(col("dq")).as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
-    adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("qid"), col("id").as("vec_id"),
-        (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
-        col("rn"))
+    val ranked = adc.withColumn("rn", row_number().over(w))
+    if (refine <= 1)
+      ranked.filter(col("rn") <= topK)
+        .select(col("qid"), col("id").as("vec_id"),
+          (col("adc").cast("double") / lit(1048576d)).as("adc_dist"),
+          col("rn"))
+    else {
+      // exact re-rank tier: the shortlist is tiny (≤ topK·refine rows
+      // per query) and broadcasts into the corpus join, so full vectors
+      // are read for shortlist members only — never shuffled corpus-wide
+      val shortlist = ranked.filter(col("rn") <= topK * refine)
+        .select("qid", "id")
+      val qv = broadcast(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+      val rescored = broadcast(shortlist.join(qv, Seq("qid")))
+        .join(idx.corpus, Seq("id"))
+        .select(col("qid"), col("id"), l2sq(col("qv"), col("vec")).as("l2"))
+      val w2 = Window.partitionBy("qid").orderBy(col("l2").asc, col("id").asc)
+      rescored.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= topK)
+        .select(col("qid"), col("id").as("vec_id"),
+          col("l2").as("l2_dist"), col("rn"))
+    }
   }
 
   /** RAW-encoding IVF-PQ over a flat [[PqIndex]] — kept as the

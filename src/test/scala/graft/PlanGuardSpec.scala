@@ -55,10 +55,17 @@ class PlanGuardSpec extends SparkSpec {
   //   v18/v19 — same shape as v17: the exact arm broadcasts the 20
   //     filtered query rows; the PQ/IVFADC arms scan codes via
   //     equi-joins only
+  //   v25 — v19's shape with the refine tail: the exact arm broadcasts
+  //     the 20 filtered query rows; the refine re-score joins the
+  //     ≤ topK·refine shortlist by equi-key
+  //   v26 — BOTH sides of the a_id < b_id pair join are the same
+  //     vec_id < 20 slice (≤ 190 pairs at any corpus size); the
+  //     projection itself is per-row
   private val boundedBySemantics =
     Set("v5_cosine_neardups", "v2_cosine_topk", "v14_mmr_rerank",
       "v16_filtered_ann_topk", "v17_ann_recall_audit",
-      "v18_pq_recall_audit", "v19_ivfpq_recall_audit")
+      "v18_pq_recall_audit", "v19_ivfpq_recall_audit",
+      "v25_ivfpqr_recall_audit", "v26_jl_projection")
 
   /** Flatten across the wrappers AQE puts between logical operators. */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
