@@ -172,7 +172,11 @@ object ScaleStress {
     *     index-scaled quantizer at the derived operating point;
     *   - index_quantizer_state: collected centroid rows under
     *     [[Similarity.indexCellsFor]] — rows_ratio ≈ √size_ratio is the
-    *     O(√n) driver-state demonstration.
+    *     O(√n) driver-state demonstration;
+    *   - blocking_bcast_state: largest BroadcastExchange row count in
+    *     the cellsFor-scaled blocking assignment with auto-broadcast
+    *     disabled — rows_ratio ≈ √size_ratio shows the distributed
+    *     quantizer's only broadcast is the supers table (round 10).
     * Returns one JSON object (probes array + ratios).
     */
   def probeJson(spark: SparkSession, sfDir: String,
@@ -230,6 +234,52 @@ object ScaleStress {
         val rows = g.count()
         graft.Graft.releaseTruncated(g)
         rows
+      }
+      // Blocking-family BROADCAST-STATE probe (the round-10 distributed
+      // quantizer's "Done" condition): with the auto-broadcast
+      // thresholds disabled — so the size-capped adaptive conversions
+      // that legitimately localize small shuffles at spec scale can't
+      // mask the design — the only broadcast left in the
+      // cellsFor-scaled assignment is the HINTED supers table. rows =
+      // the largest BroadcastExchange's numOutputRows: at size_ratio 4
+      // the artifact must show rows_ratio ≈ 2 (tables·√nCells — O(√n)
+      // broadcast state while nCells itself grows linearly); the
+      // round-9 leaf-table broadcast would read 4.
+      run("blocking_bcast_state", m, n) {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+        val conf = spark.conf
+        val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          // cellSize 8 / minCells 4: at probe sizes the default rule
+          // sits on its minCells floor (nCells flat → any state reads
+          // ratio 1); the tighter cell size puts both probe points in
+          // the LINEAR regime the rule has at production n, which is
+          // the regime the broadcast-state claim is about
+          val ncb = Similarity.cellsFor(n, cellSize = 8, minCells = 4)
+          val df = Similarity.multiQuantizerCells(emb, "vec_id",
+            "embedding", ncb, nProbe = 2, tables = 4)
+          // drive THIS QueryExecution (df.count() would build its own,
+          // leaving these metrics unpopulated)
+          df.queryExecution.toRdd.count()
+          def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+            case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+            case q: QueryStageExec => p +: flat(q.plan)
+            case r: ReusedExchangeExec => p +: flat(r.child)
+            case _ => p +: p.children.flatMap(flat)
+          }
+          flat(df.queryExecution.executedPlan).collect {
+            case e: BroadcastExchangeExec =>
+              e.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          }.foldLeft(0L)(math.max)
+        } finally {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+        }
       }
       // topK QUERY cost under the INDEX-SCALED (4·√n) quantizer at the
       // round-9 DERIVED operating point: seed quantizer + corpus

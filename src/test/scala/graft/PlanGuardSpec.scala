@@ -82,6 +82,14 @@ class PlanGuardSpec extends SparkSpec {
     case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
     case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
          _: CollectLimitExec | _: LocalTableScanExec => true
+    // the blocking-family SUPERS table: a Filter whose condition holds
+    // the pmod seed-rank rule (lrk = pmod(rank, nCells) < nSuper ∧
+    // id-rank < tables·nCells) — tables·√nCells rows at any corpus
+    // size. The distributed quantizer (round 10) replaced the Limit
+    // node the tree used to prove this bound; the dedicated
+    // blocking-quantizer guard test pins the full hint-level shape.
+    case f: FilterExec if f.condition.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Pmod]) => true
     case _ => false
   }
 
@@ -104,6 +112,65 @@ class PlanGuardSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"pair products without a bounded side:\n${offenders.mkString("\n")}")
+  }
+
+  test("blocking-family quantizer: no broadcast hint or seed funnel on linear-nCells state") {
+    // Round-9 verdict finding #1 retired: under the linear cellsFor rule
+    // (nCells ∝ n — pair-generating blocking) the quantizer build must
+    // keep seeds AND leaves distributed. Asserted on the OPTIMIZED
+    // LOGICAL plan of the three blocking entry points (the v7/v10/v15/
+    // v20/v21/v23 substrate — their declared queries consume these
+    // builds directly or via session memos):
+    //   1. no Limit node anywhere — the old orderBy(id).limit(t·nCells)
+    //      seed funnel was a TakeOrdered whose driver merge is O(n·dim)
+    //      under the linear rule;
+    //   2. no LocalRelation — no collected centroid literal;
+    //   3. every broadcast-HINTED join side is the √nCells supers table
+    //      (identified by its pmod-rank filter, the lrk < nSuper rule) —
+    //      tables·√nCells rows, broadcastable at any corpus size. The
+    //      physical planner may still broadcast other sides at spec
+    //      scale under its bounded autoBroadcastJoinThreshold; that is
+    //      size-capped adaptivity, not linear state, so the HINT level
+    //      is what this guard pins.
+    // (Construction runs one thin agg job per build — the seed-density
+    // guard, the trainSlice precedent — cheap at this SF.)
+    import org.apache.spark.sql.catalyst.expressions.Pmod
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, GlobalLimit, Join => LJoin, LocalLimit,
+      LocalRelation, LogicalPlan, BROADCAST}
+    import org.apache.spark.sql.functions.col
+    val emb = Graft.table(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val nc = graft.operators.Similarity.cellsFor(n)
+    val plans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "multiQuantizerCells" -> graft.operators.Similarity
+        .multiQuantizerCells(emb, "vec_id", "embedding", nc, 2, 4),
+      "cosineNearDupsIvfCross" -> graft.operators.Similarity
+        .cosineNearDupsIvfCross(emb, emb.filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", 0.3, nc, 2, 4),
+      "semanticDropIds" -> graft.operators.Similarity
+        .semanticDropIds(emb, "vec_id", "embedding", 0.5, nc))
+    plans.foreach { case (nm, df) =>
+      val lp = df.queryExecution.optimizedPlan
+      assert(lp.collect { case g: GlobalLimit => g
+                          case l: LocalLimit => l }.isEmpty,
+        s"$nm: TakeOrdered/limit seed funnel present in the plan")
+      assert(lp.collect { case l: LocalRelation => l }.isEmpty,
+        s"$nm: collected literal (LocalRelation) present in the plan")
+      val hintedSides: Seq[LogicalPlan] = lp.collect {
+        case j: LJoin =>
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+            .collect { case (Some(h), side)
+                if h.strategy.contains(BROADCAST) => side }
+      }.flatten
+      hintedSides.foreach { side =>
+        val isSupers = side.collectFirst {
+          case f: LFilter if f.condition.exists(_.isInstanceOf[Pmod]) => f
+        }.isDefined
+        assert(isSupers,
+          s"$nm: broadcast-hinted side is not the √nCells supers table:\n$side")
+      }
+    }
   }
 
   test("v21: no shuffle exchange carries more than one embedding payload") {

@@ -694,6 +694,40 @@ class TextDedupSpec extends SparkSpec {
     assert(Similarity.cellsFor(100000, cellSize = 128, minCells = 16) == 782)
   }
 
+  test("lowestIdRanked: sparse/offset ids reproduce the TakeOrdered seed rule distributedly") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // ids offset and gapped (1000 + 3·vec_id) — NOT dense from 0, so
+    // the bucket-rank fallback runs (approx-quantile split points +
+    // per-bucket offsets; O(P) driver state), which must reproduce the
+    // orderBy(id).limit(k) seed semantics EXACTLY
+    val sparse = emb.select((col("vec_id") * 3 + 1000).as("id"),
+      col("embedding").as("vec"))
+    val k = 40
+    val got = Similarity.lowestIdRanked(sparse, k)
+      .select("id", "__rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = sparse.orderBy(col("id")).limit(k).collect()
+      .map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }
+    assert(got.toSeq == want.toSeq,
+      "distributed rank must equal the TakeOrdered rule on sparse ids")
+    // and a hierarchy built over the sparse ids still assigns every
+    // (row, table) its nProbe cells, with cell labels from the table's
+    // own seed rank range — the dense fast path is an optimization,
+    // never a semantic precondition
+    val nCells = 16; val tables = 2; val nProbe = 2
+    val a = Similarity.multiQuantizerCells(sparse, "id", "vec",
+      nCells, nProbe, tables).collect()
+    val n = sparse.count()
+    assert(a.length == n * tables * nProbe)
+    a.foreach { r =>
+      val (t, cell) = (r.getInt(2), r.getLong(3))
+      assert(cell >= 1000 + 3 * (t * nCells) &&
+        cell < 1000 + 3 * ((t + 1) * nCells) && (cell - 1000) % 3 == 0,
+        s"cell $cell outside table $t's sparse leaf range")
+    }
+  }
+
   test("knnGraphClusters: mutual filter breaks hub chaining; components close chains") {
     // Geometry: a "hub" h at the bisector of two tight groups A={1,2}
     // and B={5,6}. With topK=1 every A/B member picks its own partner,
