@@ -336,25 +336,25 @@ object MultimodalSuite {
         |  FROM m WHERE media_type = 'image'),
         |imf AS (
         |  SELECT asset_id, CAST(i AS INT) AS dim_index,
-        |    CAST(list_sum(list_transform(
+        |    COALESCE(CAST(list_sum(list_transform(
         |        range(((i // 4) * h + 3) // 4, (((i // 4) + 1) * h + 3) // 4), y ->
         |      list_sum(list_transform(
         |          range(((i % 4) * w + 3) // 4, (((i % 4) + 1) * w + 3) // 4), x ->
         |        ${bv(px)} + ${bv(s"$px + 1")} + ${bv(s"$px + 2")})))) AS DOUBLE)
-        |    / CAST(3 * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
-        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE)
-        |      AS value
+        |    / NULLIF(CAST(3 * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
+        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE), 0.0)
+        |    , 0.0) AS value
         |  FROM im CROSS JOIN dims),
         |au AS MATERIALIZED (
         |  SELECT asset_id, hx, ${le32(41)} // 4 AS nf
         |  FROM m WHERE media_type = 'audio'),
         |auf AS (
         |  SELECT asset_id, CAST(i AS INT) AS dim_index,
-        |    CAST(list_sum(list_transform(
+        |    COALESCE(CAST(list_sum(list_transform(
         |        range((i * nf + 15) // 16, ((i + 1) * nf + 15) // 16), f ->
         |      ${samp("44 + f * 4")} + ${samp("44 + f * 4 + 2")})) AS DOUBLE)
-        |    / CAST(2 * (((i + 1) * nf + 15) // 16 - (i * nf + 15) // 16) AS DOUBLE)
-        |      AS value
+        |    / NULLIF(CAST(2 * (((i + 1) * nf + 15) // 16 - (i * nf + 15) // 16) AS DOUBLE), 0.0)
+        |    , 0.0) AS value
         |  FROM au CROSS JOIN dims),
         |av AS MATERIALIZED (
         |  SELECT asset_id, hx, ${le32(49)} AS nf,
@@ -363,15 +363,15 @@ object MultimodalSuite {
         |  FROM m WHERE media_type = 'video'),
         |avf AS (
         |  SELECT asset_id, CAST(i AS INT) AS dim_index,
-        |    CAST(list_sum(list_transform(range(0, nf), k ->
+        |    COALESCE(CAST(list_sum(list_transform(range(0, nf), k ->
         |      list_sum(list_transform(
         |          range(((i // 4) * h + 3) // 4, (((i // 4) + 1) * h + 3) // 4), y ->
         |        list_sum(list_transform(
         |            range(((i % 4) * w + 3) // 4, (((i % 4) + 1) * w + 3) // 4), x ->
         |          ${bv(pxv)} + ${bv(s"$pxv + 1")} + ${bv(s"$pxv + 2")})))))) AS DOUBLE)
-        |    / CAST(3 * nf * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
-        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE)
-        |      AS value
+        |    / NULLIF(CAST(3 * nf * ((((i // 4) + 1) * h + 3) // 4 - ((i // 4) * h + 3) // 4)
+        |         * ((((i % 4) + 1) * w + 3) // 4 - ((i % 4) * w + 3) // 4) AS DOUBLE), 0.0)
+        |    , 0.0) AS value
         |  FROM av CROSS JOIN dims)
         |SELECT asset_id, dim_index, value FROM (
         |  SELECT * FROM imf UNION ALL SELECT * FROM auf

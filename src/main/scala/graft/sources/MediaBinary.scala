@@ -272,7 +272,12 @@ object MediaBinary {
     var usPerFrame = 0; var w = 0; var h = 0; var totalFrames = -1
     var vids = false; var dib24 = false; var bad = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      // depth cap: a crafted payload of nested 12-byte LISTs would
+      // otherwise recurse ~len/12 deep and raise StackOverflowError
+      // instead of honoring the alien-payload-returns-None contract
+      // (real AVI needs depth 3: RIFF → LIST movi → LIST 'rec ')
+      if (depth > 32) { bad = true; return }
       var off = from
       while (!bad && off + 8 <= to) {
         val id = fourcc(b, off)
@@ -283,7 +288,7 @@ object MediaBinary {
             val lt = fourcc(b, off + 8)
             // frames may be grouped in 'rec ' LISTs inside movi
             walk(off + 12, off + 8 + size,
-              inMovi = lt == "movi" || (inMovi && lt == "rec "))
+              inMovi = lt == "movi" || (inMovi && lt == "rec "), depth + 1)
           case "avih" if size >= 56 =>
             usPerFrame = le32(b, off + 8)
             totalFrames = le32(b, off + 24)
@@ -299,12 +304,18 @@ object MediaBinary {
         off += 8 + size + (size & 1)
       }
     }
-    walk(12, b.length, inMovi = false)
+    walk(12, b.length, inMovi = false, depth = 0)
     if (bad || !vids || !dib24 || usPerFrame <= 0 || frames.isEmpty) return None
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
     if (totalFrames != frames.length) return None
     val stride = ((w * 3 + 3) / 4) * 4
-    if (!frames.forall(_._2 == stride * h)) return None
+    // Long arithmetic: w,h are allowed up to 2^20 each, so stride·h can
+    // wrap Int for a crafted header (e.g. w=2^20, h=1366) and a wrapped
+    // "match" would send negative/overflowed offsets into
+    // aviFramePixels. Chunk sizes are Ints already bounds-checked
+    // against the buffer, so equality in Long also proves the per-frame
+    // pixel buffer (≤ stride·h) fits an Int.
+    if (!frames.forall(_._2.toLong == stride.toLong * h)) return None
     Some(AviMeta(w, h, usPerFrame, frames.map(_._1).toArray))
   }
 

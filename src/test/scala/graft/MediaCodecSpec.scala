@@ -137,6 +137,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaBinary.decodeAviMeta(lie).isEmpty)
   }
 
+  test("AVI: crafted overflow header and LIST-nesting bomb return None, never throw") {
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    // 32-bit stride·h wrap: a legit 1024×1024 AVI (fb = 3·2²⁰) with the
+    // avih patched to w=2²⁰, h=4097 — stride'·h' = 3145728·4097 wraps
+    // mod 2³² back to exactly 3145728, so an Int-arithmetic validator
+    // "matches" the chunk size and later frame extraction overflows
+    // offsets/allocation mid-partition. Long validation must reject it.
+    val big = MediaBinary.encodeAvi(1024, 1024, 40000,
+      Array(lcgBytes(1024 * 1024 * 3, 9L)))
+    assert(MediaBinary.decodeAviMeta(big).isDefined)
+    val ovf = big.clone()
+    putLe(ovf, 64, 1 << 20) // avih dwWidth  (avih chunk at 24, data +40)
+    putLe(ovf, 68, 4097)    // avih dwHeight (data +44)
+    assert(MediaBinary.decodeAviMeta(ovf).isEmpty,
+      "wrapped stride*h must not validate against the frame chunk size")
+    // recursion bomb: 500k nested 12-byte LISTs — an unbounded walk
+    // raises StackOverflowError instead of honoring the None contract
+    val n = 500000
+    val bomb = new Array[Byte](12 + 12 * n)
+    def put4(off: Int, s: String): Unit =
+      (0 until 4).foreach(i => bomb(off + i) = s.charAt(i).toByte)
+    put4(0, "RIFF"); putLe(bomb, 4, bomb.length - 8); put4(8, "AVI ")
+    var off = 12
+    while (off + 12 <= bomb.length) {
+      put4(off, "LIST"); putLe(bomb, off + 4, bomb.length - off - 8)
+      put4(off + 8, "rec "); off += 12
+    }
+    assert(MediaBinary.decodeAviMeta(bomb).isEmpty)
+  }
+
   test("fixture media: genuine containers, pure-arithmetic lengths") {
     import graft.pipelines.MultimodalFixture._
     for (id <- 0L until 12L) {
