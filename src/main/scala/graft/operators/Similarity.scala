@@ -584,6 +584,11 @@ object Similarity {
     * On real clustered corpora the trained quantizer concentrates true
     * neighbors into few cells and callers can drop nProbe toward
     * O(log n) at the same recall; the rule keeps the BAR, not the cost.
+    * MEASURED (round 10, IndexRecallSpec's clustered-corpus case): on a
+    * 32-cluster mixture-of-Gaussians corpus, recall@5 ≥ 0.8 holds at
+    * nProbe = 2·log₂n — probed fraction ~0.12 at n=2000 falling to
+    * ~0.07 at n=8000, vs this rule's constant ~0.31 — while the
+    * near-random fixture bars stay green at the derived point.
     */
   def indexProbesFor(nCells: Int, minProbe: Int = 6): Int =
     math.max(minProbe, (5 * nCells + 15) / 16)
