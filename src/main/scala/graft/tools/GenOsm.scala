@@ -63,8 +63,18 @@ object GenOsm {
   private val tailKeys = Vector("building", "source", "barrier", "landuse",
     "leisure", "shop", "religion", "operator")
   private val problemKeys = Vector("odd key", "a.b", "shop&more", "k,v")
-  private val users: Vector[String] =
-    (0 until 400).map(i => f"mapper_$i%03d").toVector
+  private def userPool(n: Int): Vector[String] =
+    (0 until n).map(i => f"mapper_$i%03d").toVector
+  // realistic low-frequency OSM keys used as FILLER when an exact tag
+  // census is requested (all class "lower"; overflow cycles get a
+  // ":<n>" suffix → "lower_colon")
+  private val fillerKeys = Vector("wikidata", "wikipedia", "ele", "layer",
+    "surface", "lit", "lanes", "maxspeed", "oneway", "access", "bicycle",
+    "foot", "width", "tracktype", "smoothness", "incline", "sidewalk",
+    "cycleway", "bridge", "tunnel", "ref", "old_ref", "int_ref", "network",
+    "route", "denomination", "wheelchair", "opening_hours", "website",
+    "fee", "capacity", "covered", "start_date", "height", "levels",
+    "material", "roof", "colour", "direction", "note")
 
   private val tsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(ZoneOffset.UTC)
@@ -81,29 +91,83 @@ object GenOsm {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** The reference's San Francisco census — the scale point its
+    * commented asserts pin (mapparser.py:29-36: 1,510,907 nodes /
+    * 117,911 ways; tags.py:56-59: 5,925,339 tags; users.py:34: 1,120
+    * contributors). [[write]] reproduces it exactly with
+    * `nNodes = sfNodes, nWays = sfWays, nUsers = sfUsers,
+    * targetTags = Some(sfTags), coverUsers = true` (OsmScaleSpec's
+    * capstone case).
+    */
+  val sfNodes = 1510907
+  val sfWays = 117911
+  val sfUsers = 1120
+  val sfTags = 5925339L
+
   /** Write the synthetic extract. Default sizes sum to the reference's
     * 243,046-element count at ~50 MB on disk.
+    *
+    * `targetTags` — when set, the generator emits EXACTLY that many
+    * `<tag>` elements: a deterministic feedback controller spreads
+    * filler tags (realistic low-frequency OSM keys) across elements on
+    * top of the rolled content — fill ≈ deficit/remaining with a small
+    * under-fill margin so the trajectory can never overshoot — and the
+    * final element closes the count exactly. `coverUsers` forces the
+    * first `nUsers` elements through the pool in order so every
+    * contributor appears at least once (a skewed random pick over 1,120
+    * users leaves the rarest tail users unsampled with non-trivial
+    * probability even at 1.6M draws). Both default OFF so the 243k
+    * metro fixture stays byte-identical.
     */
   def write(path: String, nNodes: Int = 220000, nWays: Int = 23046,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, nUsers: Int = 400,
+      targetTags: Option[Long] = None, coverUsers: Boolean = false): Unit = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
+    val users = userPool(nUsers)
     val w = new BufferedWriter(new FileWriter(f), 1 << 20)
     val rng = new Rng(seed)
+    var nTags = 0L
+    var elemsLeft = nNodes.toLong + nWays.toLong
+    var elemOrdinal = 0L
     def attr(k: String, v: String): String = s""" $k="${esc(v)}""""
-    def tag(sb: StringBuilder, k: String, v: String): Unit =
+    def tag(sb: StringBuilder, k: String, v: String): Unit = {
+      nTags += 1
       sb.append("    <tag").append(attr("k", k)).append(attr("v", v)).append("/>\n")
+    }
+    /** Exact-census controller: called once per element AFTER its
+      * rolled tags. Fill floor(deficit/remaining) − 3 keys (the margin
+      * out-paces the ~1.2-tag/element rolled average, so the deficit
+      * never goes negative); the last element closes exactly.
+      */
+    def fillTags(sb: StringBuilder): Unit = targetTags.foreach { target =>
+      val deficit = target - nTags
+      val fill: Long =
+        if (elemsLeft <= 1) math.max(0L, deficit)
+        else math.min(64L, math.max(0L, deficit / elemsLeft - 3L))
+      var j = 0L
+      while (j < fill) {
+        val base = fillerKeys((j % fillerKeys.length).toInt)
+        val k = if (j < fillerKeys.length) base
+                else s"$base:${j / fillerKeys.length}"
+        tag(sb, k, "gen")
+        j += 1
+      }
+      elemsLeft -= 1
+    }
 
     def common(sb: StringBuilder, id: Long): Unit = {
       // Reproduce the reference's contributor skew: its top editor owns
       // 27.2% of all documents (n76 = 66,090 of 243,046, README.md:923).
-      // user 0 gets ~27% of elements; the rest spread over 399 users
+      // user 0 gets ~27% of elements; the rest spread over the pool
       // with a mild low-index bias. This is the skew witness o16/o17's
       // salted operators exist for.
       val uIdx =
-        if (rng.nextInt(1000) < 272) 0
+        if (coverUsers && elemOrdinal < nUsers) elemOrdinal.toInt
+        else if (rng.nextInt(1000) < 272) 0
         else 1 + math.min(rng.nextInt(users.length - 1),
           rng.nextInt(users.length - 1))
+      elemOrdinal += 1
       val ts = tsFmt.format(Instant.ofEpochSecond(
         tsBase + ((rng.nextLong() >>> 11) % tsRange)))
       sb.append(attr("id", id.toString))
@@ -150,18 +214,22 @@ object GenOsm {
       common(sb, nodeId(i))
       sb.append(attr("lat", (37.70000 + rng.nextInt(200000) / 1e6).toString))
         .append(attr("lon", (-122.30000 + rng.nextInt(200000) / 1e6).toString))
+      // rolled tags go to a side buffer so the exact-census filler can
+      // open an otherwise-bare node; with targetTags off the buffer is
+      // empty exactly when the old code wrote the self-closing form,
+      // so default output stays byte-identical
+      val tb = new StringBuilder(128)
       val roll = rng.nextInt(100)
-      if (roll < 55) sb.append("/>\n") // bare node, no tags
-      else {
-        sb.append(">\n")
-        if (roll < 75) addressTags(sb)
-        else if (roll < 90) amenityTags(sb, i)
-        else if (roll < 98) {
-          tag(sb, rng.pick(tailKeys), "yes")
-          if (rng.nextInt(10) < 3) tag(sb, "highway", rng.pick(highways))
-        } else tag(sb, rng.pick(problemKeys), "x")
-        sb.append("  </node>\n")
-      }
+      if (roll < 55) () // bare node (unless filler opens it)
+      else if (roll < 75) addressTags(tb)
+      else if (roll < 90) amenityTags(tb, i)
+      else if (roll < 98) {
+        tag(tb, rng.pick(tailKeys), "yes")
+        if (rng.nextInt(10) < 3) tag(tb, "highway", rng.pick(highways))
+      } else tag(tb, rng.pick(problemKeys), "x")
+      fillTags(tb)
+      if (tb.isEmpty) sb.append("/>\n")
+      else sb.append(">\n").append(tb).append("  </node>\n")
       w.write(sb.toString); i += 1
     }
 
@@ -188,11 +256,16 @@ object GenOsm {
           rng.pick(streetSuffixes))
       } else if (roll < 80) addressTags(sb)
       else if (roll < 85) tag(sb, rng.pick(problemKeys), "x")
+      fillTags(sb)
       sb.append("  </way>\n")
       w.write(sb.toString); i += 1
     }
 
     w.write("</osm>\n")
     w.close()
+    targetTags.foreach { t =>
+      require(nTags == t,
+        s"exact-census controller failed: emitted $nTags of $t tags")
+    }
   }
 }
