@@ -89,6 +89,13 @@ object Multimodal {
           width = m.width, height = m.height, duration_ms = m.durationMs,
           checksum = acc)
       }
+    case "jpeg" => // baseline JPEG (round 10): genuine entropy decode +
+      // IDCT — dims from SOF0, checksum over the DECODED pixel bytes
+      graft.sources.JpegBinary.decodeJpeg(a.media).map { j =>
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = j.width, height = j.height, duration_ms = 0L,
+          checksum = rollingChecksum(j.pixels))
+      }
     case _ => None
   }
 
@@ -208,6 +215,29 @@ object Multimodal {
               Array.tabulate(dim)(i =>
                 if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
             }
+          case "jpeg" => // same block-intensity grid as "image", pooled
+            // over the genuinely JPEG-DECODED pixels (entropy decode +
+            // IDCT) — the compressed-payload rung of the ladder
+            graft.sources.JpegBinary.decodeJpeg(a.media).map { j =>
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              var y = 0
+              while (y < j.height) {
+                val by = y * g / j.height
+                var x = 0
+                while (x < j.width) {
+                  val i = by * g + x * g / j.width
+                  val p = (y * j.width + x) * 3
+                  sums(i) += (j.pixels(p) & 0xff) +
+                    (j.pixels(p + 1) & 0xff) + (j.pixels(p + 2) & 0xff)
+                  counts(i) += 3
+                  x += 1
+                }
+                y += 1
+              }
+              Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+            }
           case _ => None
         }
         AssetFeatures(a.asset_id, real.getOrElse(featureStub(a, dim)))
@@ -243,33 +273,53 @@ object Multimodal {
   def resize(assets: Dataset[Asset], maxW: Int = 256,
       maxH: Int = 256): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
+    // shared nearest-neighbor resample over the decoded-pixel contract
+    // (BGR top-down) — BMP and JPEG payloads differ only in the codec
+    // on either side of it
+    def resample(sw: Int, sh: Int, spx: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / sw, maxH.toDouble / sh))
+      val w = math.max(1, (sw * scale).toInt)
+      val h = math.max(1, (sh * scale).toInt)
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * sw / w).toInt
+          val src = (sy * sw + sx) * 3
+          val dst = (y * w + x) * 3
+          px(dst) = spx(src)
+          px(dst + 1) = spx(src + 1)
+          px(dst + 2) = spx(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
     assets.mapPartitions { batch =>
       // per-partition scaler context would be allocated here
-      batch.filter(_.media_type == "image").map { a =>
-        graft.sources.MediaBinary.decodeBmp(a.media) match {
-          case Some(bmp) =>
-            val scale = math.min(1.0,
-              math.min(maxW.toDouble / bmp.width, maxH.toDouble / bmp.height))
-            val w = math.max(1, (bmp.width * scale).toInt)
-            val h = math.max(1, (bmp.height * scale).toInt)
-            val px = new Array[Byte](w * h * 3)
-            var y = 0
-            while (y < h) {
-              val sy = (y.toLong * bmp.height / h).toInt
-              var x = 0
-              while (x < w) {
-                val sx = (x.toLong * bmp.width / w).toInt
-                val src = (sy * bmp.width + sx) * 3
-                val dst = (y * w + x) * 3
-                px(dst) = bmp.pixels(src)
-                px(dst + 1) = bmp.pixels(src + 1)
-                px(dst + 2) = bmp.pixels(src + 2)
-                x += 1
-              }
-              y += 1
+      batch.filter(a => a.media_type == "image" || a.media_type == "jpeg")
+        .map { a =>
+        (a.media_type match {
+          case "jpeg" => // decode → resample → RE-ENCODE as baseline
+            // JPEG: the output is a genuine compressed payload decode()
+            // round-trips, not a truncated byte slice
+            graft.sources.JpegBinary.decodeJpeg(a.media).map { j =>
+              val (w, h, px) = resample(j.width, j.height, j.pixels)
+              ResizedAsset(a.asset_id, a.media_type, w, h,
+                graft.sources.JpegBinary.encodeJpeg(w, h, px))
             }
-            ResizedAsset(a.asset_id, a.media_type, w, h,
-              graft.sources.MediaBinary.encodeBmp(w, h, px))
+          case _ =>
+            graft.sources.MediaBinary.decodeBmp(a.media).map { bmp =>
+              val (w, h, px) = resample(bmp.width, bmp.height, bmp.pixels)
+              ResizedAsset(a.asset_id, a.media_type, w, h,
+                graft.sources.MediaBinary.encodeBmp(w, h, px))
+            }
+        }) match {
+          case Some(r) => r
           case None =>
             val d = decodeStub(a)
             val scale = math.min(1.0,

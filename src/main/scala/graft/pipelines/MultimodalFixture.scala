@@ -112,6 +112,54 @@ object MultimodalFixture {
     }
   }
 
+  // --- baseline-JPEG asset set (round 10) -----------------------------
+  // A SEPARATE table (jpeg.parquet) rather than a fourth modality inside
+  // assets.parquet: the m1-m7 oracles walk BMP/WAV/AVI layouts at fixed
+  // offsets, and compressed payloads would poison those mirrors. The
+  // jpeg set gets its own audit query (m8) whose oracle parses the SOF0
+  // header out of hex(media).
+  def jpegPath: String = s"$root/jpeg.parquet"
+  val nJpegs = 40
+
+  /** JPEG geometry — varied so partial MCU blocks (non-multiple-of-8
+    * edges) are exercised: 64..128 × 48..96.
+    */
+  def jpegDims(id: Long): (Int, Int) =
+    (64 + ((id % 5) * 16).toInt, 48 + ((id % 7) * 8).toInt)
+
+  /** Deterministic STRUCTURED pixels (BGR top-down): per-id gradients +
+    * a keyed rectangle — smooth content a DCT codec actually compresses
+    * (LCG noise would be pathological for JPEG and hide codec bugs
+    * behind quantization saturation).
+    */
+  def jpegPixels(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val out = new Array[Byte](w * h * 3)
+    val m = mix(id)
+    val (rx, ry) = (((m >>> 8) % w).toInt, ((m >>> 24) % h).toInt)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val inRect = x >= rx / 2 && x < (rx / 2 + w / 3) &&
+          y >= ry / 2 && y < (ry / 2 + h / 3)
+        out(o) = ((x * 255 / w + (m & 0x3f)).min(255)).toByte
+        out(o + 1) = ((y * 255 / h + ((m >>> 6) & 0x3f)).min(255)).toByte
+        out(o + 2) = (if (inRect) 200 else 40 + ((m >>> 12) & 0x1f)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The jpeg asset's media bytes — a genuine baseline JFIF stream. */
+  def jpegMedia(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    graft.sources.JpegBinary.encodeJpeg(w, h, jpegPixels(id))
+  }
+
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
@@ -120,12 +168,26 @@ object MultimodalFixture {
     * being served.
     */
   private val versionMarker = "_GRAFT_MEDIA_V3"
+  private val jpegMarker = "_GRAFT_JPEG_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
     if (!new File(s"$assetsPath/_SUCCESS").exists() ||
         !new File(s"$assetsPath/$versionMarker").exists()) build(spark)
+    if (!new File(s"$jpegPath/_SUCCESS").exists() ||
+        !new File(s"$jpegPath/$jpegMarker").exists()) buildJpeg(spark)
     ready = true
+  }
+
+  def buildJpeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nJpegs.toLong, 1, 4)
+      .map(id => graft.operators.Multimodal.Asset(id, "jpeg", jpegMedia(id)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(jpegPath)
+    new File(s"$jpegPath/$jpegMarker").createNewFile()
   }
 
   def build(spark: SparkSession): Unit = {

@@ -30,6 +30,14 @@ object MultimodalSuite {
 
   private def A = s"read_parquet('${MultimodalFixture.assetsPath}/*.parquet')"
 
+  private def jpegAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.jpegPath))
+  }
+
+  private def J = s"read_parquet('${MultimodalFixture.jpegPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -381,7 +389,46 @@ object MultimodalSuite {
       "Real pooled features from decoded content: 4x4 BMP block " +
         "intensity means + 16-window WAV mean amplitudes + " +
         "temporally-pooled AVI frame blocks, recomputed independently " +
-        "from hex(media) by the oracle"))
+        "from hex(media) by the oracle"),
+
+    // --- baseline-JPEG audit (round 10) --------------------------------
+    // The compressed-payload rung: jpeg.parquet holds genuine baseline
+    // JFIF streams (sources.JpegBinary — Annex K tables, 4:4:4, q75).
+    // The Spark side runs the FULL entropy decode + IDCT (decode()
+    // fails → stub dims would mismatch, so a green row proves the codec
+    // path ran); the oracle independently parses the SOF0 marker out of
+    // hex(media): height/width are BIG-endian in JPEG so the hex
+    // substring reads directly, and 'FFC0' first occurs at the real
+    // SOF0 by construction — the encoder pins quality 75, whose scaled
+    // DQT values (≤ 61) and the fixed APP0 bytes contain no 0xFC/0xFF,
+    // and SOF0 is emitted before the DHT segments (the only ones
+    // carrying 0xF0+ values). Pixel-level decode correctness is
+    // asserted by JpegCodecSpec: round-trip error bound, independent
+    // JDK ImageIO cross-decode, and features pooling exactly from the
+    // decoded pixel surface.
+    "m8_jpeg_audit" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decode(jpegAssets(s).as[Multimodal.Asset])
+          .toDF()
+          .select(col("asset_id"), col("width"), col("height"),
+            col("byte_size"))
+          .orderBy("asset_id")
+      },
+      Some {
+        s"""WITH j AS (
+        |  SELECT asset_id, hex(media) AS hx, octet_length(media) AS bs
+        |  FROM $J),
+        |sof AS (SELECT asset_id, hx, bs, strpos(hx, 'FFC0') AS p FROM j)
+        |SELECT asset_id,
+        |  CAST('0x' || substr(hx, p + 14, 4) AS INT) AS width,
+        |  CAST('0x' || substr(hx, p + 10, 4) AS INT) AS height,
+        |  CAST(bs AS BIGINT) AS byte_size
+        |FROM sof ORDER BY asset_id""".stripMargin
+      },
+      "Baseline-JPEG audit: genuine T.81 entropy decode + IDCT on the " +
+        "Spark side; the oracle independently parses SOF0 dims from " +
+        "hex(media)"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =
