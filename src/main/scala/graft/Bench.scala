@@ -42,9 +42,23 @@ object Bench {
     // was cut off mid-pass-2 and cold codegen/stall numbers leaked into
     // the reported JSON.
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toLong
+    // When the sf1 section is enabled, the warm sf0.1 passes must not
+    // eat its reservation: round 9's driver-window artifact LOST its
+    // sf1 section because the extra passes ran to 0.8·budget (576 s)
+    // under tenant load and the sf1 gate (budget − 150) had already
+    // passed — the de-noising passes starved the scale section. Cap
+    // extras at budget − 320 (≥ one cold sf1 pass + the ScaleUp
+    // synthesis) so an sf1-enabled run ALWAYS reaches the attempt;
+    // a partial third/fourth pass de-noises less, which is the right
+    // trade — sf0.1 has pass 1 + usually 2+ passes either way.
+    val sf1Planned = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
+    val extraCutSec: Double =
+      if (sf1Planned) math.min(budget * 0.8, (budget - 320).toDouble)
+      else budget * 0.8
     def extraPass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        if ((System.nanoTime() - t0) / 1e9 > budget * 0.8) None
+        if ((System.nanoTime() - t0) / 1e9 > extraCutSec) None
         else {
           val q0 = System.nanoTime(); val g0 = gcMillis()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -65,9 +79,12 @@ object Bench {
     // first so a clipped pass still covers them; a hard deadline keeps
     // the whole bench inside the driver's patience.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/dev/shm/graft-sf1")
-    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" &&
-      sfDir.stripSuffix("/").endsWith("sf0.1")
+    val sf1Enabled = sf1Planned
     val sf1Deadline = t0 + ((budget + 60) * 1e9).toLong
+    // When the section ends up empty, the artifact RECORDS why (the
+    // round-9 ask: an absent sf1 section was indistinguishable from a
+    // clobbered artifact)
+    var sf1Skip: String = if (sf1Enabled) "" else "disabled or non-sf0.1 dir"
     var sf1Pass2N = 0
     // pass-1 (cold) per-query times, kept alongside the min-of-N minima:
     // per-query minima erase one-time memo-build costs (pass 1 charges a
@@ -92,8 +109,12 @@ object Bench {
           }
         }.toMap
     val sf1Results: Map[String, Double] =
-      if (!sf1Enabled || (System.nanoTime() - t0) / 1e9 > budget - 150) Map.empty
-      else try {
+      if (!sf1Enabled) Map.empty
+      else if ((System.nanoTime() - t0) / 1e9 > budget - 150) {
+        sf1Skip = f"sf0.1 section ran to ${(System.nanoTime() - t0) / 1e9}%.0f s" +
+          s" of the $budget s budget - under 150 s left for sf1"
+        Map.empty
+      } else try {
         graft.tools.ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
         // min-of-2: this host's external load oscillates on ~10-minute
         // cycles — a single sf1 pass read 144 s vs 287 s on IDENTICAL
@@ -109,6 +130,7 @@ object Bench {
         sf1Pass2N = p2.size // honesty for the min_of field (see below)
         p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
       } catch { case e: Throwable =>
+        sf1Skip = s"exception: ${e.getMessage}"
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
     // ---- machine-readable scale probes (SCALE_LAST.json) --------------
     // The ScaleStress linearity measurements as a per-round artifact:
@@ -149,7 +171,10 @@ object Bench {
     val memoShared = SparkEntry.memoSharedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf1Section =
-      if (sf1Results.isEmpty) ""
+      if (sf1Results.isEmpty) {
+        if (sf1Skip.isEmpty) ""
+        else s""","sf1_skipped":"${sf1Skip.replace("\"", "'")}""""
+      }
       else {
         val q1 = sf1Results.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + r2(v) }
