@@ -156,14 +156,16 @@ object Similarity {
     *     density check is one thin agg job per hierarchy BUILD (the
     *     [[trainSlice]] guard precedent — builds run once per query or
     *     once per session memo, never per row).
-    *   - sparse NUMERIC ids: exact distributed rank — approx-quantile
-    *     split points (O(P) driver doubles, P = defaultParallelism)
-    *     bucket ids with a pure monotone expression, per-bucket counts
-    *     (O(P) driver longs) turn within-bucket `row_number`s into
-    *     global ranks, and only buckets intersecting [0, k) are ever
-    *     windowed. Monotonicity of the double cast keeps bucket ranges
-    *     order-contiguous, so offset + local rank is the exact global
-    *     rank regardless of where the approximate boundaries fall.
+    *   - sparse NUMERIC ids: exact distributed rank, fully in-plan —
+    *     uniform [min, max] range buckets (a pure monotone function of
+    *     id), per-bucket counts cum-summed into offsets by a P-row
+    *     window (P = defaultParallelism — bounded algorithm state)
+    *     and broadcast back, within-bucket `row_number` + offset =
+    *     exact global rank; only buckets intersecting [0, k) are ever
+    *     windowed, and the rank shuffle carries thin (id, bucket) rows.
+    *     Monotone bucketing keeps bucket ranges order-contiguous, so
+    *     the composition is exact wherever the boundaries fall —
+    *     skewed id distributions skew bucket SIZES, never ranks.
     *   - non-numeric ids: the legacy TakeOrdered (no declared corpus
     *     hits this; documented small-corpus fallback).
     */
@@ -183,25 +185,45 @@ object Similarity {
     if (mn == 0L && mx == n - 1L)
       c.filter(col("id") < k).withColumn("__rk", col("id").cast("long"))
     else {
+      // Exact distributed rank, fully IN-PLAN (no driver jobs beyond
+      // the shared density-check agg): ids bucket by uniform [mn, mx]
+      // ranges — a pure MONOTONE function of id, so bucket ranges are
+      // order-contiguous and offset + within-bucket row_number is the
+      // exact global rank wherever the boundaries fall (skewed id
+      // distributions only skew bucket sizes, never correctness).
+      // Per-bucket offsets are a P-row aggregate cum-summed by a tiny
+      // single-partition window (P = defaultParallelism — bounded
+      // algorithm state) and broadcast back; buckets entirely past
+      // rank k are pruned before the rank window, which ranks THIN
+      // (id, bucket) rows only; the ≤ k survivors re-attach their
+      // vector with one equi-join on id (AQE localizes it while seeds
+      // are small).
       val p = math.max(2, c.sparkSession.sparkContext.defaultParallelism)
-      val splits = c.stat.approxQuantile("id",
-        (1 until p).map(_.toDouble / p).toArray, 0.001)
-        .map(math.floor).distinct.sorted
-      val bkt = aggregate(typedLit(splits), lit(0),
-        (acc, s) => acc + when(col("id").cast("double") > s, 1).otherwise(0))
-      val bucketed = c.withColumn("__bkt", bkt)
+      val span = math.max(1.0, (mx - mn).toDouble + 1.0)
+      val bkt = least(lit(p - 1), floor(
+        (col("id").cast("double") - lit(mn.toDouble)) * p / lit(span)))
+        .cast("int")
+      val bucketed = c.select(col("id")).withColumn("__bkt", bkt)
       val cnts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offs: Map[Int, Long] =
-        cnts.map { case (b, cnt) => val o = (b, acc); acc += cnt; o }.toMap
-      val live = offs.filter(_._2 < k).keys.toSeq
+      val wOff = Window.orderBy(col("__bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = cnts
+        .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+        .filter(col("__off") < k)
+        .select("__bkt", "__off")
       val w = Window.partitionBy("__bkt").orderBy(col("id").asc)
-      bucketed.filter(col("__bkt").isin(live: _*))
+      val ranked = bucketed.join(broadcast(offs), Seq("__bkt"))
         .withColumn("__rk", row_number().over(w).cast("long") - 1L +
-          element_at(typedLit(offs), col("__bkt")))
+          col("__off"))
         .filter(col("__rk") < k)
-        .drop("__bkt")
+        .select("id", "__rk")
+      // lazy localCheckpoint of the THIN (id, rank) result: the
+      // multi-stage ranking runs once even when the hierarchy build
+      // consumes the seeds several times (supers / leaf-super / leaf
+      // attach); ≤ k thin rows of truncated-lineage distributed state
+      // (the dupClusters per-round pattern). The dense fast path needs
+      // none of this — its seeds are a plain pushed-down filter.
+      c.join(ranked.localCheckpoint(false), Seq("id"))
     }
   }
 
