@@ -1170,11 +1170,14 @@ object Similarity {
     val c = graft.Graft.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     // SemDeDup scales nCells with the corpus (cellsFor), so the
-    // centroid table is DISTRIBUTED (value-identical to the broadcast
-    // lowestIdCentroids form) and the centroid-distance attach below is
-    // a shuffle equi-join on cell — AQE localizes it while small
-    val centroids = lowestIdRanked(c, nCells)
-      .select(col("id").as("cell"), col("vec").as("centroid"))
+    // centroid table must be DISTRIBUTED. Under the seed quantizer a
+    // cell's centroid IS the corpus vector whose id equals the cell
+    // label, so the centroid-distance attach is a plain equi-join of
+    // the assignment against the corpus itself on cell = id — no
+    // ranking, no broadcast, value-identical to the lowestIdCentroids
+    // form (non-seed ids simply never match), and co-partitionable at
+    // any scale; AQE localizes it while small.
+    val centroids = c.select(col("id").as("cell"), col("vec").as("centroid"))
     prebuiltCells.getOrElse(
         multiQuantizerCells(c, "id", "vec", nCells, nProbe = 1, tables = 1)
           .select("id", "vec", "cell"))
