@@ -51,10 +51,15 @@ object Bench {
     // synthesis) so an sf1-enabled run ALWAYS reaches the attempt;
     // a partial third/fourth pass de-noises less, which is the right
     // trade — sf0.1 has pass 1 + usually 2+ passes either way.
+    // 380 (up from round 10's 320): the sf1 section now runs a timed
+    // BUILDS phase before its query passes, and the r10 window (320+60)
+    // only covered 73/156 queries — the larger reservation plus the
+    // cheapest-first ordering below is what makes `complete: true`
+    // reachable under tenant load.
     val sf1Planned = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1" &&
       sfDir.stripSuffix("/").endsWith("sf0.1")
     val extraCutSec: Double =
-      if (sf1Planned) math.min(budget * 0.8, (budget - 320).toDouble)
+      if (sf1Planned) math.min(budget * 0.8, (budget - 380).toDouble)
       else budget * 0.8
     def extraPass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -93,10 +98,18 @@ object Bench {
     // number no single cold run achieves. cold_total below keeps the
     // cold story readable from the artifact alone.
     var sf1Cold: Map[String, Double] = Map.empty
+    // sf1 builds phase result: (memo name, seconds) with -1.0 marking a
+    // deadline skip — see SparkEntry.prebuild
+    var sf1Builds: Seq[(String, Double)] = Nil
+    // CHEAPEST-FIRST (VERDICT r10 #1): order the sf1 pass by each
+    // query's measured sf0.1 cold time (pass 1 of this same run), name
+    // as tiebreak — the ~83 sub-second queries land in the first minute
+    // and a deadline-cut pass loses only the heavy tail, so the section
+    // total stays complete-or-nearly so instead of r10's 73/156 (the
+    // old heavy-families-first order spent the whole window on builds).
     def sf1Pass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq
-        .sortBy { case (n, _) =>
-          (if ("vxm".contains(n.head)) 0 else 1, n) }
+        .sortBy { case (n, _) => (p1.getOrElse(n, 0.0), n) }
         .flatMap { case (name, fn) =>
           if (System.nanoTime() > sf1Deadline) None
           else {
@@ -116,19 +129,32 @@ object Bench {
         Map.empty
       } else try {
         graft.tools.ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
+        // BUILDS phase (VERDICT r10 #1): force every session memo —
+        // index builds, dedup pipelines — up front, timed per item into
+        // the sf1_builds section, so the per-query numbers below
+        // measure WARM query time (the production ingest/query split).
+        // The phase keeps a 120 s reservation for the query passes: a
+        // deadline-cut phase skips its tail (recorded) and those memos
+        // fall back to lazy first-family-member charging.
+        val buildDeadline = sf1Deadline - (120 * 1e9).toLong
+        sf1Builds = SparkEntry.prebuild(spark, sf1Dir,
+          () => System.nanoTime() < buildDeadline)
+        sf1Builds.foreach { case (n, s) =>
+          System.err.println(f"[sf1-build] $n%-28s $s%8.2f s") }
         // min-of-2: this host's external load oscillates on ~10-minute
         // cycles — a single sf1 pass read 144 s vs 287 s on IDENTICAL
         // code in round 7. Pass 2 is best-effort within the deadline
         // (a partial pass still de-noises what it reached); per-query
         // min matches the sf0.1 section's semantics, including the
-        // memo_shared disclosure (pass 2 reads warm session memos).
-        val p1 = sf1Pass("sf1")
-        sf1Cold = p1
-        val p2 =
+        // memo_shared disclosure (both passes read warm session memos
+        // now that the builds phase precedes them).
+        val s1 = sf1Pass("sf1")
+        sf1Cold = s1
+        val s2 =
           if (System.nanoTime() > sf1Deadline) Map.empty[String, Double]
           else sf1Pass("sf1b")
-        sf1Pass2N = p2.size // honesty for the min_of field (see below)
-        p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+        sf1Pass2N = s2.size // honesty for the min_of field (see below)
+        s1.map { case (k, v) => k -> math.min(v, s2.getOrElse(k, v)) }
       } catch { case e: Throwable =>
         sf1Skip = s"exception: ${e.getMessage}"
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
@@ -160,6 +186,13 @@ object Bench {
     //     wholly inside any tail window: total, query count, and the 10
     //     slowest queries, with a pointer to the full file.
     def r2(v: Double): String = f"$v%.2f"
+    // JSON string sanitizer for free-text fields (exception messages):
+    // escape backslashes/quotes and flatten control chars — an
+    // unescaped newline or backslash in sf1Skip previously produced an
+    // invalid artifact line (ADVICE r10).
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .map(c => if (c < ' ') ' ' else c).mkString
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
@@ -170,10 +203,26 @@ object Bench {
     // the family together.
     val memoShared = SparkEntry.memoSharedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // builds phase: items that ran (seconds) + items the deadline
+    // skipped (fell back to lazy charging) — `complete` means every
+    // memo was built up front, so every sf1 per-query number is pure
+    // warm query time
+    val sf1BuildsSection =
+      if (sf1Builds.isEmpty) ""
+      else {
+        val done = sf1Builds.filter(_._2 >= 0)
+        val skipped = sf1Builds.filter(_._2 < 0).map(_._1)
+        val items = done.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString("{", ",", "}")
+        val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1_builds":{"total":${r2(done.map(_._2).sum)},""" +
+          s""""n":${done.size},"complete":${skipped.isEmpty},""" +
+          s""""items":$items,"skipped":$sk}"""
+      }
     val sf1Section =
       if (sf1Results.isEmpty) {
         if (sf1Skip.isEmpty) ""
-        else s""","sf1_skipped":"${sf1Skip.replace("\"", "'")}""""
+        else s""","sf1_skipped":"${jstr(sf1Skip)}""""
       }
       else {
         val q1 = sf1Results.toSeq.sortBy(_._1)
@@ -186,10 +235,12 @@ object Bench {
         // pass (those queries keep 1-pass cold times)
         val minOf =
           if (sf1Results.nonEmpty && sf1Pass2N >= sf1Results.size) 2 else 1
-        // cold_total = the pass-1 sum: what one cold run actually costs,
-        // vs `total` = the warm-memo steady-state min-of-N sum
+        // pass1_total = the pass-1 sum: with the builds phase ahead of
+        // it this is a warm-memo single-pass number (the name `cold_*`
+        // kept r10 semantics when builds were charged to queries;
+        // pass-1 is no longer cold for memo families)
         s""","sf1":{"dir":"$sf1Dir","total":${r2(sf1Results.values.sum)},""" +
-          s""""cold_total":${r2(sf1Cold.values.sum)},"cold_n":${sf1Cold.size},""" +
+          s""""pass1_total":${r2(sf1Cold.values.sum)},"pass1_n":${sf1Cold.size},""" +
           s""""n_queries":${sf1Results.size},"complete":$complete,""" +
           s""""min_of":$minOf,"pass2_n":$sf1Pass2N,"queries":$q1}"""
       }
@@ -210,14 +261,17 @@ object Bench {
     // not baked into every future artifact. (The round-7 sf1
     // "regressions" were single-pass reads bundling cold session-memo
     // builds; min-of-2 exists precisely to separate those.)
-    val notes = "sf1 times are per-query minima over min_of passes " +
-      "(pass2_n = queries the second pass reached; the rest keep " +
-      "1-pass times; cold_total is the pass-1 sum — the one-cold-run " +
-      "cost the minima deliberately erase); cold session-memo builds " +
-      "charge the first family member executed (memo_shared) and " +
-      "v20_split records the v20 build's graph-vs-closure seconds"
+    val notes = "sf1 runs a timed BUILDS phase first (sf1_builds: every " +
+      "session memo forced up front), then min_of query passes in " +
+      "cheapest-first order (by measured sf0.1 pass-1 time), so sf1 " +
+      "per-query numbers are WARM query time and build cost is " +
+      "attributable per memo; pass2_n = queries the second pass " +
+      "reached (the rest keep 1-pass times); at sf0.1, cold memo " +
+      "builds still charge the first family member executed " +
+      "(memo_shared) and v20_split records the v20 build's " +
+      "graph-vs-closure seconds"
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$v20Section,"notes":"$notes"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$sf1BuildsSection$v20Section,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

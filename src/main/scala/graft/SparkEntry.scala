@@ -43,6 +43,21 @@ object SparkEntry {
       System.err.println(s"[warm] ERCOT fixture build failed: ${e.getMessage}") }
   }
 
+  /** Force every per-session memo (index builds, dedup pipelines) for
+    * `dir`, timed per item — the bench's builds section: with the
+    * builds run and charged here, the per-query bench numbers measure
+    * warm query time (the production at-rest split: indexes are built
+    * at ingest, queries read them). Items a false `go()` skips return
+    * -1.0 and fall back to the old lazy first-family-member charging.
+    * Ordered cheap-to-expensive families so a deadline-cut phase still
+    * warms the most entries.
+    */
+  def prebuild(spark: SparkSession, dir: String,
+      go: () => Boolean = () => true): Seq[(String, Double)] =
+    MultimodalSuite.prebuild(spark, go) ++
+      TextSuite.prebuild(spark, dir, go) ++
+      VectorSuite.prebuild(spark, dir, go)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     all("a1_pricing_summary").fn(spark, "/root/testdata/sf0.001")

@@ -178,11 +178,21 @@ object Similarity {
       return c.orderBy(col("id").asc).limit(k)
         .withColumn("__rk", row_number().over(wSeed).cast("long") - 1L)
     }
+    // Density check for the filter fast path — all in ONE agg job:
+    // rank == id only holds when the ids are exactly {0..n-1}, so the
+    // guard requires n DISTINCT INTEGRAL values with min 0 / max n-1
+    // (pigeonhole ⇒ dense). min/max alone pass corpora with duplicate
+    // or fractional ids (ADVICE r10) — those now take the exact
+    // bucketed-rank path below.
     val st = c.agg(min(col("id")).cast("long"), max(col("id")).cast("long"),
-      count(lit(1))).head()
+      count(lit(1)), countDistinct(col("id").cast("long")),
+      max(col("id").cast("double") =!= col("id").cast("long").cast("double"))
+    ).head()
     if (st.isNullAt(0)) return c.withColumn("__rk", lit(0L)) // empty frame
     val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
-    if (mn == 0L && mx == n - 1L)
+    val dense = mn == 0L && mx == n - 1L && st.getLong(3) == n &&
+      !st.getBoolean(4)
+    if (dense)
       c.filter(col("id") < k).withColumn("__rk", col("id").cast("long"))
     else {
       // Exact distributed rank, fully IN-PLAN (no driver jobs beyond

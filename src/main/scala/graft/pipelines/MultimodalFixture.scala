@@ -121,11 +121,14 @@ object MultimodalFixture {
   def jpegPath: String = s"$root/jpeg.parquet"
   val nJpegs = 40
 
-  /** JPEG geometry — varied so partial MCU blocks (non-multiple-of-8
-    * edges) are exercised: 64..128 × 48..96.
+  /** JPEG geometry — strides 13/9 are coprime to 8, so most of the 40
+    * assets have non-multiple-of-8 edges and the m7/m8 integration path
+    * genuinely covers partial MCU blocks (the round-10 strides 16/8
+    * were always multiples of 8, leaving partial edges to the unit spec
+    * only — ADVICE r10): 64..116 × 48..102.
     */
   def jpegDims(id: Long): (Int, Int) =
-    (64 + ((id % 5) * 16).toInt, 48 + ((id % 7) * 8).toInt)
+    (64 + ((id % 5) * 13).toInt, 48 + ((id % 7) * 9).toInt)
 
   /** Deterministic STRUCTURED pixels (BGR top-down): per-id gradients +
     * a keyed rectangle — smooth content a DCT codec actually compresses
@@ -168,7 +171,7 @@ object MultimodalFixture {
     * being served.
     */
   private val versionMarker = "_GRAFT_MEDIA_V3"
-  private val jpegMarker = "_GRAFT_JPEG_V1"
+  private val jpegMarker = "_GRAFT_JPEG_V2" // V2 = odd-dim strides (partial MCU edges)
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return

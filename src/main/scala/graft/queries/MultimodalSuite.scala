@@ -113,6 +113,29 @@ object MultimodalSuite {
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
     "m5_media_dedup_clusters")
 
+  /** Force the media-dedup memos, timed — Bench's `sf1_builds` section
+    * (see VectorSuite.prebuild). Keyed by the FIXTURE path, not the SF
+    * dir, so a second call in the same session (the sf1 phase after the
+    * sf0.1 passes) reads warm state and records ~0 — documenting the
+    * share rather than re-paying it.
+    */
+  private[graft] def prebuild(s: SparkSession,
+      go: () => Boolean): Seq[(String, Double)] = {
+    val items: Seq[(String, () => Unit)] = Seq(
+      "media_chunks" -> (() => { ChunkShared.table(s); () }),
+      "media_minhash_pairs" -> (() => { MediaDedupShared.pairs(s); () }),
+      "media_dup_clusters" -> (() => { MediaDedupShared.clusters(s); () }))
+    items.map { case (name, f) =>
+      if (!go()) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable =>
+          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- decode + content-integrity stats -----------------------------

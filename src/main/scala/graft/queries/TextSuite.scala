@@ -47,6 +47,26 @@ object TextSuite {
     }
   }
 
+  /** Force the per-session dedup-pipeline memos for `dir`, timed per
+    * item — Bench's `sf1_builds` section (see VectorSuite.prebuild).
+    * Skipped-for-time items return -1.0 and fall back to lazy builds.
+    */
+  private[graft] def prebuild(s: org.apache.spark.sql.SparkSession,
+      dir: String, go: () => Boolean): Seq[(String, Double)] = {
+    val items: Seq[(String, () => Unit)] = Seq(
+      "text_minhash_pairs" -> (() => { DedupShared.pairs(s, dir); () }),
+      "text_dup_clusters" -> (() => { DedupShared.clusters(s, dir); () }))
+    items.map { case (name, f) =>
+      if (!go()) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable =>
+          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+  }
+
   // DuckDB fragment: whitespace tokens of trimmed text.
   private val sqlTokens = "string_split_regex(trim(text), '\\s+')"
   // DuckDB fragment: 3-token shingles of `text` (mirrors Text.wordShingles).

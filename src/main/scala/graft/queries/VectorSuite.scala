@@ -280,6 +280,49 @@ object VectorSuite {
       }(t => Graft.releaseTruncated(t.codes))
   }
 
+  /** Force every per-session index/cluster memo for `dir`, timed per
+    * item — Bench's `sf1_builds` section (VERDICT r10 #1): running the
+    * builds up front and charging them here makes the per-query bench
+    * numbers measure WARM query time, generalizing the v20_split
+    * pattern to the whole index family. `go` is a deadline check — an
+    * item skipped for time is returned with value -1.0 and its memo is
+    * then built lazily by the first family member that needs it (the
+    * old charging, honestly degraded). Ordered cheap-to-expensive so a
+    * partial phase still warms the most entries. nCells derivations
+    * replicate the query call sites exactly (same memo keys).
+    */
+  private[graft] def prebuild(s: org.apache.spark.sql.SparkSession,
+      dir: String, go: () => Boolean): Seq[(String, Double)] = {
+    val emb = table(s, dir, "embeddings")
+    val n = emb.count()
+    val nIdx = Similarity.indexCellsFor(n)          // v6/v8/v12/v22/v23
+    val nPair = Similarity.cellsFor(n)              // v7/v15/v20/v26
+    val nSem = Similarity.cellsFor(n, cellSize = 128, minCells = 16) // v10
+    val nCross = Similarity.cellsFor(               // v21's index slice
+      emb.filter(col("vec_id") < 400).count())
+    val items: Seq[(String, () => Unit)] = Seq(
+      "vec_cells_seed16" -> (() => { CellsShared.seed16(s, dir); () }),
+      "vec_seed_quantizer" -> (() => { IvfShared.seedDyn(s, dir, nIdx); () }),
+      "vec_kmeans_quantizer" -> (() => { IvfShared.kmeansDyn(s, dir, nIdx); () }),
+      "vec_cells_index" -> (() => { CellsShared.hierDyn(s, dir, nIdx); () }),
+      "vec_cells_kmeans" -> (() => { CellsShared.kmeansDynCells(s, dir, nIdx); () }),
+      "vec_cells_sem" -> (() => { CellsShared.hierDyn(s, dir, nSem); () }),
+      "vec_cross_index" -> (() => { CrossShared.idxAssigned(s, dir, nCross); () }),
+      "vec_cells_blocking" -> (() => { CellsShared.multiDyn(s, dir, nPair); () }),
+      "vec_pq_index" -> (() => { PqShared.index(s, dir); () }),
+      "vec_ivfpq_index" -> (() => { IvfPqShared.index(s, dir); () }),
+      "vec_knn_graph_clusters" -> (() => { GraphClustersShared.clusters(s, dir); () }))
+    items.map { case (name, f) =>
+      if (!go()) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable =>
+          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+  }
+
   // DuckDB: exact-decimal dot product of two 64-dim FLOAT lists.
   private def sqlDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, 65), i -> CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(18,7)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(18,7)))) AS DOUBLE)"

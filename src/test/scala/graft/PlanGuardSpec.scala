@@ -88,8 +88,26 @@ class PlanGuardSpec extends SparkSpec {
     // size. The distributed quantizer (round 10) replaced the Limit
     // node the tree used to prove this bound; the dedicated
     // blocking-quantizer guard test pins the full hint-level shape.
-    case f: FilterExec if f.condition.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Pmod]) => true
+    // Matched on the exact supers shape — pmod(rank) LESS-THAN a
+    // LITERAL (the lrk < nSuper rule), conjoined with a plain
+    // rank < LITERAL bound (the tables·nCells cut) on the SAME
+    // column — not any Pmod occurrence, so an unrelated query
+    // filtering on pmod can't silently satisfy the generic
+    // pair-product guard (ADVICE r10). The rank column's NAME is
+    // deliberately unchecked: under the dense-id fast path the rule
+    // rewrites onto the id column itself (rank == id).
+    case f: FilterExec => {
+      import org.apache.spark.sql.catalyst.expressions.{
+        LessThan, Literal, Pmod}
+      val pmodRefs = f.condition.collect {
+        case LessThan(l, _: Literal)
+            if l.exists(_.isInstanceOf[Pmod]) => l.references
+      }.flatten
+      pmodRefs.nonEmpty && f.condition.collect {
+        case LessThan(l, _: Literal)
+            if !l.exists(_.isInstanceOf[Pmod]) => l.references
+      }.flatten.exists(pmodRefs.contains)
+    }
     case _ => false
   }
 
