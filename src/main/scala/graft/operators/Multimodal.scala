@@ -96,7 +96,47 @@ object Multimodal {
           width = j.width, height = j.height, duration_ms = 0L,
           checksum = rollingChecksum(j.pixels))
       }
+    case "png" => // PNG (round 11): genuine chunk walk + zlib inflate +
+      // defilter — dims from IHDR, checksum over the DECODED pixels
+      graft.sources.PngBinary.decodePng(a.media).map { p =>
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = p.width, height = p.height, duration_ms = 0L,
+          checksum = rollingChecksum(p.pixels))
+      }
     case _ => None
+  }
+
+  /** PNG content audit row for m9: dims + EXACT per-channel pixel sums
+    * over the genuinely decoded (inflate + defilter) pixels. PNG is
+    * lossless, so the oracle recomputes these sums from the fixture's
+    * deterministic pixel generator — a bit-exact end-to-end decode
+    * check no lossy codec can offer. Assets that fail to decode emit a
+    * -1-dim row (visible mismatch, never a silent skip).
+    */
+  case class PngAudit(asset_id: Long, width: Int, height: Int,
+      byte_size: Long, sum_b: Long, sum_g: Long, sum_r: Long)
+
+  def pngAudit(assets: Dataset[Asset]): Dataset[PngAudit] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        graft.sources.PngBinary.decodePng(a.media) match {
+          case Some(p) =>
+            var sb = 0L; var sg = 0L; var sr = 0L
+            var i = 0
+            while (i < p.pixels.length) {
+              sb += p.pixels(i) & 0xff
+              sg += p.pixels(i + 1) & 0xff
+              sr += p.pixels(i + 2) & 0xff
+              i += 3
+            }
+            PngAudit(a.asset_id, p.width, p.height, a.media.length.toLong,
+              sb, sg, sr)
+          case None =>
+            PngAudit(a.asset_id, -1, -1, a.media.length.toLong, -1L, -1L, -1L)
+        }
+      }
+    }
   }
 
   /** Decode metadata for every asset — batched per partition; a codec
@@ -137,6 +177,32 @@ object Multimodal {
     * `dim` must be a perfect square for the image grid (default 16 →
     * 4×4 blocks / 16 audio windows).
     */
+  /** Accumulate one frame's pixels into the √dim×√dim block-intensity
+    * grid (block of (x, y) = (y·g)/h·g + (x·g)/w, integer division) —
+    * the shared inner loop of every image-like feature case below.
+    */
+  private def poolBlocks(w: Int, h: Int, px: Array[Byte], g: Int,
+      sums: Array[Long], counts: Array[Long]): Unit = {
+    var y = 0
+    while (y < h) {
+      val by = y * g / h
+      var x = 0
+      while (x < w) {
+        val i = by * g + x * g / w
+        val p = (y * w + x) * 3
+        sums(i) += (px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)
+        counts(i) += 3
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def blockMeans(dim: Int, sums: Array[Long],
+      counts: Array[Long]): Array[Double] =
+    Array.tabulate(dim)(i =>
+      if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+
   def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     val g = math.sqrt(dim.toDouble).toInt
@@ -148,22 +214,8 @@ object Multimodal {
             graft.sources.MediaBinary.decodeBmp(a.media).map { bmp =>
               val sums = new Array[Long](dim)
               val counts = new Array[Long](dim)
-              var y = 0
-              while (y < bmp.height) {
-                val by = y * g / bmp.height
-                var x = 0
-                while (x < bmp.width) {
-                  val i = by * g + x * g / bmp.width
-                  val p = (y * bmp.width + x) * 3
-                  sums(i) += (bmp.pixels(p) & 0xff) +
-                    (bmp.pixels(p + 1) & 0xff) + (bmp.pixels(p + 2) & 0xff)
-                  counts(i) += 3
-                  x += 1
-                }
-                y += 1
-              }
-              Array.tabulate(dim)(i =>
-                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+              poolBlocks(bmp.width, bmp.height, bmp.pixels, g, sums, counts)
+              blockMeans(dim, sums, counts)
             }
           case "audio" =>
             graft.sources.MediaBinary.decodeWav(a.media)
@@ -196,24 +248,10 @@ object Multimodal {
               var k = 0
               while (k < m.nFrames) {
                 val px = graft.sources.MediaBinary.aviFramePixels(a.media, m, k)
-                var y = 0
-                while (y < m.height) {
-                  val by = y * g / m.height
-                  var x = 0
-                  while (x < m.width) {
-                    val i = by * g + x * g / m.width
-                    val p = (y * m.width + x) * 3
-                    sums(i) += (px(p) & 0xff) +
-                      (px(p + 1) & 0xff) + (px(p + 2) & 0xff)
-                    counts(i) += 3
-                    x += 1
-                  }
-                  y += 1
-                }
+                poolBlocks(m.width, m.height, px, g, sums, counts)
                 k += 1
               }
-              Array.tabulate(dim)(i =>
-                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+              blockMeans(dim, sums, counts)
             }
           case "jpeg" => // same block-intensity grid as "image", pooled
             // over the genuinely JPEG-DECODED pixels (entropy decode +
@@ -221,22 +259,16 @@ object Multimodal {
             graft.sources.JpegBinary.decodeJpeg(a.media).map { j =>
               val sums = new Array[Long](dim)
               val counts = new Array[Long](dim)
-              var y = 0
-              while (y < j.height) {
-                val by = y * g / j.height
-                var x = 0
-                while (x < j.width) {
-                  val i = by * g + x * g / j.width
-                  val p = (y * j.width + x) * 3
-                  sums(i) += (j.pixels(p) & 0xff) +
-                    (j.pixels(p + 1) & 0xff) + (j.pixels(p + 2) & 0xff)
-                  counts(i) += 3
-                  x += 1
-                }
-                y += 1
-              }
-              Array.tabulate(dim)(i =>
-                if (counts(i) == 0) 0d else sums(i).toDouble / counts(i).toDouble)
+              poolBlocks(j.width, j.height, j.pixels, g, sums, counts)
+              blockMeans(dim, sums, counts)
+            }
+          case "png" => // same grid over the inflate+defilter-decoded
+            // pixels — the LOSSLESS compressed-payload rung
+            graft.sources.PngBinary.decodePng(a.media).map { p =>
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              poolBlocks(p.width, p.height, p.pixels, g, sums, counts)
+              blockMeans(dim, sums, counts)
             }
           case _ => None
         }

@@ -163,6 +163,71 @@ object MultimodalFixture {
     graft.sources.JpegBinary.encodeJpeg(w, h, jpegPixels(id))
   }
 
+  // --- PNG asset set (round 11) ---------------------------------------
+  // Like the jpeg set, a SEPARATE table (png.parquet) with its own audit
+  // query (m9). PNG is LOSSLESS, so unlike m8 (header fields only) the
+  // m9 oracle can check the DECODED CONTENT end-to-end: the pixel
+  // generator below uses only engine-replicable arithmetic (md5-derived
+  // per-id constants, integer division, min), and the oracle recomputes
+  // the exact per-channel pixel sums the Spark side reads out of the
+  // decoded bytes — a bit-exact round trip through DEFLATE + the five
+  // scanline filters.
+  def pngPath: String = s"$root/png.parquet"
+  val nPngs = 40
+
+  /** PNG geometry — 56..111 × 40..94 (no block-alignment concerns:
+    * PNG filters are per-scanline).
+    */
+  def pngDims(id: Long): (Int, Int) =
+    (56 + ((id % 6) * 11).toInt, 40 + ((id % 7) * 9).toInt)
+
+  /** Per-id constants from md5 of the DECIMAL id string — the one hash
+    * both engines compute identically (DuckDB `md5(CAST(id AS VARCHAR))`
+    * == Spark/JVM md5 of the same string): four 16-bit hex fields.
+    */
+  def pngConsts(id: Long): (Int, Int, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def c(o: Int) = Integer.parseInt(hex.substring(o, o + 4), 16)
+    (c(0), c(4), c(8), c(12))
+  }
+
+  /** Deterministic structured pixels (BGR top-down): per-id gradients +
+    * a keyed rectangle, all arithmetic integer-exact and expressible in
+    * SQL (x·255/w etc. with integer division) so the m9 oracle
+    * recomputes channel sums independently of the codec.
+    */
+  def pngPixels(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val (a0, a1, a2, a3) = pngConsts(id)
+    val (rx, ry) = (a2 % w, a3 % h)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val inRect = x >= rx / 2 && x < (rx / 2 + w / 3) &&
+          y >= ry / 2 && y < (ry / 2 + h / 3)
+        out(o) = math.min(255, x * 255 / w + a0 % 64).toByte
+        out(o + 1) = math.min(255, y * 255 / h + a1 % 64).toByte
+        out(o + 2) = (if (inRect) 200 else 40 + a2 % 32).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The png asset's media bytes — a genuine RFC 2083 stream (filter
+    * types cycling 0..4 by row, one ancillary tEXt chunk).
+    */
+  def pngMedia(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    graft.sources.PngBinary.encodePng(w, h, pngPixels(id))
+  }
+
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
@@ -172,6 +237,7 @@ object MultimodalFixture {
     */
   private val versionMarker = "_GRAFT_MEDIA_V3"
   private val jpegMarker = "_GRAFT_JPEG_V2" // V2 = odd-dim strides (partial MCU edges)
+  private val pngMarker = "_GRAFT_PNG_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -179,6 +245,8 @@ object MultimodalFixture {
         !new File(s"$assetsPath/$versionMarker").exists()) build(spark)
     if (!new File(s"$jpegPath/_SUCCESS").exists() ||
         !new File(s"$jpegPath/$jpegMarker").exists()) buildJpeg(spark)
+    if (!new File(s"$pngPath/_SUCCESS").exists() ||
+        !new File(s"$pngPath/$pngMarker").exists()) buildPng(spark)
     ready = true
   }
 
@@ -191,6 +259,17 @@ object MultimodalFixture {
       .repartition(2)
       .write.mode("overwrite").parquet(jpegPath)
     new File(s"$jpegPath/$jpegMarker").createNewFile()
+  }
+
+  def buildPng(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nPngs.toLong, 1, 4)
+      .map(id => graft.operators.Multimodal.Asset(id, "png", pngMedia(id)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(pngPath)
+    new File(s"$pngPath/$pngMarker").createNewFile()
   }
 
   def build(spark: SparkSession): Unit = {

@@ -38,6 +38,14 @@ object MultimodalSuite {
 
   private def J = s"read_parquet('${MultimodalFixture.jpegPath}/*.parquet')"
 
+  private def pngAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.pngPath))
+  }
+
+  private def P = s"read_parquet('${MultimodalFixture.pngPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -451,7 +459,64 @@ object MultimodalSuite {
       },
       "Baseline-JPEG audit: genuine T.81 entropy decode + IDCT on the " +
         "Spark side; the oracle independently parses SOF0 dims from " +
-        "hex(media)"))
+        "hex(media)"),
+
+    // --- m9: PNG content audit (round 11) ------------------------------
+    // PNG is LOSSLESS, so this audit checks the DECODED CONTENT, not
+    // just header fields: the Spark side genuinely inflates + defilters
+    // every asset (sources.PngBinary — rows cycle through all five
+    // filter types) and reports exact per-channel pixel sums; the
+    // oracle parses IHDR dims from hex(media) at the fixed chunk offset
+    // AND recomputes the sums from the fixture's deterministic pixel
+    // generator (md5-derived per-id constants, integer arithmetic) —
+    // any codec bug anywhere in the DEFLATE/filter/byte-order path
+    // breaks the hash.
+    "m9_png_audit" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.pngAudit(pngAssets(s).as[Multimodal.Asset])
+          .toDF()
+          .orderBy("asset_id")
+      },
+      Some {
+        s"""WITH p AS (
+        |  SELECT asset_id, hex(media) AS hx, octet_length(media) AS bs
+        |  FROM $P),
+        |d AS (
+        |  SELECT asset_id, bs,
+        |    CAST('0x' || substr(hx, 33, 8) AS INT) AS w,
+        |    CAST('0x' || substr(hx, 41, 8) AS INT) AS h,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 1, 4) AS INT) AS a0,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 5, 4) AS INT) AS a1,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 9, 4) AS INT) AS a2,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 13, 4) AS INT) AS a3
+        |  FROM p),
+        |xs AS (
+        |  SELECT asset_id, bs, w, h, a0, a1, a2, a3,
+        |    unnest(range(0, w)) AS x
+        |  FROM d),
+        |ys AS (
+        |  SELECT asset_id, bs, w, h, a0, a1, a2, a3, x,
+        |    unnest(range(0, h)) AS y
+        |  FROM xs),
+        |px AS (
+        |  SELECT asset_id, bs, w, h,
+        |    LEAST(255, x * 255 // w + a0 % 64) AS b,
+        |    LEAST(255, y * 255 // h + a1 % 64) AS g,
+        |    CASE WHEN x >= (a2 % w) // 2 AND x < (a2 % w) // 2 + w // 3
+        |          AND y >= (a3 % h) // 2 AND y < (a3 % h) // 2 + h // 3
+        |      THEN 200 ELSE 40 + a2 % 32 END AS r
+        |  FROM ys)
+        |SELECT asset_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(MIN(bs) AS BIGINT) AS byte_size,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin
+      },
+      "PNG content audit: genuine inflate + defilter on the Spark side; " +
+        "the oracle parses IHDR dims from hex(media) and recomputes the " +
+        "exact decoded channel sums from the deterministic generator"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =
