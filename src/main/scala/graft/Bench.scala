@@ -255,6 +255,20 @@ object Bench {
         s""""$d":{"graph":${r2(g)},"closure":${r2(c)}}"""
       }.mkString(""","v20_split":{""", ",", "}")
     }
+    // p14's measured data-skipping, one entry per dir whose layout memo
+    // was built this run: rows the pushed range scan decoded vs the
+    // table total (the VERDICT-r10 ask that a DECLARED query's skip
+    // ratio be a recorded artifact number)
+    val layoutSection = {
+      import scala.jdk.CollectionConverters._
+      val m = graft.queries.Core.layoutSkip.asScala.toSeq.sortBy(_._1)
+      if (m.isEmpty) ""
+      else m.map { case (d, (read, total)) =>
+        val ratio = if (total > 0) read.toDouble / total else 0.0
+        s""""$d":{"rows_read":$read,"rows_total":$total,""" +
+          s""""read_fraction":${f"$ratio%.4f"}}"""
+      }.mkString(""","layout_skip":{""", ",", "}")
+    }
     // Durable interpretation aid only — run-specific attribution lives
     // in the structured fields (min_of/pass2_n, memo_shared, v20_split)
     // and one-time cross-round comparisons belong in ADVICE/commits,
@@ -271,7 +285,7 @@ object Bench {
       "(memo_shared) and v20_split records the v20 build's " +
       "graph-vs-closure seconds"
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$sf1BuildsSection$v20Section,"notes":"$notes"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$sf1BuildsSection$v20Section$layoutSection,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

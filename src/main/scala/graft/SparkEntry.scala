@@ -26,7 +26,9 @@ object SparkEntry {
     * comparisons stay interpretable.
     */
   val memoSharedQueries: Set[String] =
-    TextSuite.memoShared ++ VectorSuite.memoShared ++ MultimodalSuite.memoShared
+    TextSuite.memoShared ++ VectorSuite.memoShared ++
+      MultimodalSuite.memoShared +
+      "p14_layout_range_skip" // first run pays the range-sorted write
 
   /** One-time fixture builds (the ~50 MB OSM extract) — called by
     * Bench/Verify up front so no single query's timing pays the build.
@@ -54,7 +56,8 @@ object SparkEntry {
     */
   def prebuild(spark: SparkSession, dir: String,
       go: () => Boolean = () => true): Seq[(String, Double)] =
-    MultimodalSuite.prebuild(spark, go) ++
+    Core.prebuild(spark, dir, go) ++
+      MultimodalSuite.prebuild(spark, go) ++
       TextSuite.prebuild(spark, dir, go) ++
       VectorSuite.prebuild(spark, dir, go)
 

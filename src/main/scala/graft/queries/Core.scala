@@ -521,6 +521,116 @@ object Core {
         |  (SELECT MIN(o_orderkey) FROM orders
         |   WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)) AS argmax_orderkey
         |FROM (SELECT MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price FROM orders) t""".stripMargin),
-      "A11 max/min + deterministic argmax (excel_csv.py:33-41); tie → min key")
+      "A11 max/min + deterministic argmax (excel_csv.py:33-41); tie → min key"),
+
+    // --- data layout at rest: row-group skipping as a DECLARED query ---
+    // The narrow range scan runs against the session's RANGE-SORTED
+    // lineitem copy (LayoutShared — the writer-side half of predicate
+    // pushdown: disjoint row-group min/max stats on the sort key, so a
+    // pushed BETWEEN prunes whole groups/files). Identical rows to the
+    // original table, so the oracle runs on `lineitem` directly; the
+    // measured rows-read vs rows-total lands in the bench artifact's
+    // layout_skip section. At 100 TB this layout choice is the
+    // difference between scanning the partition pruned-to and scanning
+    // everything in it (LayoutSpec proves the mechanism; this query
+    // DECLARES it).
+    "p14_layout_range_skip" -> Q(
+      (s, dir) =>
+        s.read.parquet(LayoutShared.sortedPath(s, dir))
+          .filter(col("l_orderkey").between(1000L, 2000L))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+      "Narrow range scan over the range-sorted layout: row-group " +
+        "skipping declared and measured (rows-read/rows-total in the " +
+        "bench layout_skip section); results identical to the unsorted " +
+        "table, which is what the oracle checks")
   )
+
+  /** Measured skip for the LAST LayoutShared build per dir:
+    * (rows the narrow scan decoded, rows in the table) — read by Bench
+    * into the artifact's layout_skip section so the skipping ratio is a
+    * recorded number, not archaeology (the v20_split pattern).
+    */
+  private[graft] val layoutSkip =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Per-(session, dir) memo of the range-sorted lineitem copy — the
+    * ingest-time half of data skipping (write once sorted, every narrow
+    * scan after that prunes). 1 MiB row groups so the skip granularity
+    * is visible at every test SF; the sort key is the BIGINT surrogate
+    * deliberately (on this Spark build parquet prunes INT/string stats
+    * but never timestamp stats — see the verify skill's gotcha).
+    */
+  private object LayoutShared {
+    import graft.SessionMemo
+    def sortedPath(s: SparkSession, dir: String): String =
+      SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
+          "layout-sorted-v1") {
+        val path = "/dev/shm/graft-layout/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val hc = s.sparkContext.hadoopConfiguration
+        val prev = Option(hc.get("parquet.block.size"))
+        hc.setInt("parquet.block.size", 1 << 20)
+        try
+          graft.sinks.Sinks.writeRangeSorted(
+            table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_quantity", "l_extendedprice"),
+            path, Seq("l_orderkey"), numFiles = 8)
+        finally prev match {
+          case Some(v) => hc.set("parquet.block.size", v)
+          case None => hc.unset("parquet.block.size")
+        }
+        // measure the skip once per build: rows the pushed BETWEEN
+        // actually decodes (scan-node output) vs the table total
+        val narrow = s.read.parquet(path)
+          .filter(col("l_orderkey").between(1000L, 2000L))
+        narrow.queryExecution.toRdd.count()
+        val read = scanOutputRows(narrow)
+        val total = table(s, dir, "lineitem").count()
+        layoutSkip.put(dir, (read, total))
+        path
+      }(_ => ())
+  }
+
+  /** Sum of FileSourceScanExec numOutputRows over an EXECUTED frame's
+    * plan (AQE/stage wrappers unwrapped) — rows that survived row-group
+    * pruning and reached the decoder.
+    */
+  private def scanOutputRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+      case q: QueryStageExec => p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    flat(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
+  /** Force the layout memo for `dir`, timed — Bench's builds section
+    * (see VectorSuite.prebuild).
+    */
+  private[graft] def prebuild(s: SparkSession, dir: String,
+      go: () => Boolean): Seq[(String, Double)] =
+    Seq("layout_sorted" -> {
+      if (!go()) -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { LayoutShared.sortedPath(s, dir); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[prebuild] layout_sorted failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+    })
 }

@@ -68,4 +68,18 @@ class LayoutSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
     }
   }
+
+  test("p14 declares the skip: memo records rows-read well under rows-total") {
+    val dir = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("p14_layout_range_skip")(spark, dir)
+    assert(df.count() > 0, "narrow range must be non-empty")
+    val stats = graft.queries.Core.layoutSkip.get(dir)
+    assert(stats != null, "the layout memo must record its measured skip")
+    val (read, total) = stats
+    assert(read > 0 && total > 0)
+    // 8 range-partitioned files: the 1000..2000 slice lives in one of
+    // them, so the pushed BETWEEN must decode well under half the table
+    assert(read.toDouble / total < 0.5,
+      s"range-sorted layout should skip most rows: read=$read total=$total")
+  }
 }
