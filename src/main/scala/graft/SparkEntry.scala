@@ -28,7 +28,8 @@ object SparkEntry {
   val memoSharedQueries: Set[String] =
     TextSuite.memoShared ++ VectorSuite.memoShared ++
       MultimodalSuite.memoShared +
-      "p14_layout_range_skip" // first run pays the range-sorted write
+      "p14_layout_range_skip" + // first run pays the range-sorted write
+      "p15_zorder_two_col_skip" // first run pays the z-ordered write
 
   /** One-time fixture builds (the ~50 MB OSM extract) — called by
     * Bench/Verify up front so no single query's timing pays the build.

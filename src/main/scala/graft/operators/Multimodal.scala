@@ -333,7 +333,8 @@ object Multimodal {
     }
     assets.mapPartitions { batch =>
       // per-partition scaler context would be allocated here
-      batch.filter(a => a.media_type == "image" || a.media_type == "jpeg")
+      batch.filter(a => a.media_type == "image" || a.media_type == "jpeg" ||
+          a.media_type == "png")
         .map { a =>
         (a.media_type match {
           case "jpeg" => // decode → resample → RE-ENCODE as baseline
@@ -343,6 +344,13 @@ object Multimodal {
               val (w, h, px) = resample(j.width, j.height, j.pixels)
               ResizedAsset(a.asset_id, a.media_type, w, h,
                 graft.sources.JpegBinary.encodeJpeg(w, h, px))
+            }
+          case "png" => // decode → resample → RE-ENCODE as PNG: losslessly
+            // round-trippable (the resampled pixels come back bit-exact)
+            graft.sources.PngBinary.decodePng(a.media).map { p =>
+              val (w, h, px) = resample(p.width, p.height, p.pixels)
+              ResizedAsset(a.asset_id, a.media_type, w, h,
+                graft.sources.PngBinary.encodePng(w, h, px))
             }
           case _ =>
             graft.sources.MediaBinary.decodeBmp(a.media).map { bmp =>

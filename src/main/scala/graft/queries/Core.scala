@@ -551,7 +551,30 @@ object Core {
       "Narrow range scan over the range-sorted layout: row-group " +
         "skipping declared and measured (rows-read/rows-total in the " +
         "bench layout_skip section); results identical to the unsorted " +
-        "table, which is what the oracle checks")
+        "table, which is what the oracle checks"),
+
+    // --- multi-column skipping: the Z-ORDER claim as a declared query --
+    // The filter is on l_partkey — the NON-leading column a linear sort
+    // cannot prune (ZOrderSpec measures linear reading ~all rows for
+    // it) — over the session's Morton-curve lineitem copy. Same
+    // contract as p14: identical rows to the original table (the oracle
+    // runs on `lineitem`), measured rows-read vs rows-total recorded
+    // under the dir's "zorder" key in layout_skip.
+    "p15_zorder_two_col_skip" -> Q(
+      (s, dir) =>
+        s.read.parquet(ZLayoutShared.zPath(s, dir))
+          .filter(col("l_partkey").between(100L, 300L))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+      "Narrow scan on the SECOND z-order dimension: multi-column " +
+        "row-group skipping declared and measured; a linear sort on " +
+        "l_orderkey reads ~everything for this predicate (ZOrderSpec)")
   )
 
   /** Measured skip for the LAST LayoutShared build per dir:
@@ -618,19 +641,59 @@ object Core {
     }.sum
   }
 
-  /** Force the layout memo for `dir`, timed — Bench's builds section
+  /** Per-(session, dir) memo of the Z-ORDERED lineitem copy (p15) —
+    * Morton curve over 12-bit quantized (l_orderkey, l_partkey), the
+    * multi-column variant of LayoutShared: row-group min/max stats
+    * prune filters on EITHER column. The z-value lives only in the
+    * shuffle/sort keys (schema untouched), so the reader needs no curve
+    * arithmetic at all.
+    */
+  private object ZLayoutShared {
+    import graft.SessionMemo
+    import graft.sinks.Sinks
+    def zPath(s: SparkSession, dir: String): String =
+      SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
+          "layout-zorder-v1") {
+        val path = "/dev/shm/graft-layout/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_z"
+        val li = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
+        val z = Sinks.zValue(
+          Sinks.quantize(col("l_orderkey"), 0, mx.getLong(0).toDouble, 12),
+          Sinks.quantize(col("l_partkey"), 0, mx.getLong(1).toDouble, 12), 12)
+        val hc = s.sparkContext.hadoopConfiguration
+        val prev = Option(hc.get("parquet.block.size"))
+        hc.setInt("parquet.block.size", 1 << 20)
+        try Sinks.writeZOrdered(li, path, z, numFiles = 8)
+        finally prev match {
+          case Some(v) => hc.set("parquet.block.size", v)
+          case None => hc.unset("parquet.block.size")
+        }
+        val narrow = s.read.parquet(path)
+          .filter(col("l_partkey").between(100L, 300L))
+        narrow.queryExecution.toRdd.count()
+        layoutSkip.put(s"$dir zorder",
+          (scanOutputRows(narrow), li.count()))
+        path
+      }(_ => ())
+  }
+
+  /** Force the layout memos for `dir`, timed — Bench's builds section
     * (see VectorSuite.prebuild).
     */
   private[graft] def prebuild(s: SparkSession, dir: String,
       go: () => Boolean): Seq[(String, Double)] =
-    Seq("layout_sorted" -> {
-      if (!go()) -1.0
-      else {
-        val t0 = System.nanoTime()
-        try { LayoutShared.sortedPath(s, dir); () }
-        catch { case e: Throwable =>
-          System.err.println(s"[prebuild] layout_sorted failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+    Seq[(String, () => Unit)](
+      "layout_sorted" -> (() => { LayoutShared.sortedPath(s, dir); () }),
+      "layout_zorder" -> (() => { ZLayoutShared.zPath(s, dir); () }))
+      .map { case (name, f) =>
+        if (!go()) name -> -1.0
+        else {
+          val t0 = System.nanoTime()
+          try f() catch { case e: Throwable =>
+            System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
-    })
 }

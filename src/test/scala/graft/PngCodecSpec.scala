@@ -163,5 +163,24 @@ class PngCodecSpec extends SparkSpec {
       .collect().head
     assert(fs.features.forall(v => math.abs(v - 20.0) < 1e-9),
       s"solid png features must equal the channel mean: ${fs.features.toSeq}")
+    // resize re-ENCODES a genuine PNG the decoder round-trips exactly:
+    // nearest-neighbor resample is deterministic, PNG is lossless, so
+    // the resized payload decodes to exactly the resampled pixels
+    val big = MultimodalFixture.pngMedia(3L)
+    val (bw, bh) = MultimodalFixture.pngDims(3L)
+    val rz = graft.operators.Multimodal.resize(
+      Seq(graft.operators.Multimodal.Asset(3L, "png", big)).toDS(),
+      maxW = 32, maxH = 32).collect().head
+    assert(rz.width <= 32 && rz.height <= 32 && rz.width < bw && rz.height < bh)
+    val rdec = PngBinary.decodePng(rz.media).get
+    assert(rdec.width == rz.width && rdec.height == rz.height)
+    val src = PngBinary.decodePng(big).get
+    for (y <- 0 until rz.height; x <- 0 until rz.width; c <- 0 until 3) {
+      val sy = (y.toLong * bh / rz.height).toInt
+      val sx = (x.toLong * bw / rz.width).toInt
+      assert(rdec.pixels((y * rz.width + x) * 3 + c) ==
+        src.pixels((sy * bw + sx) * 3 + c),
+        s"resized pixel ($x,$y,$c) must equal the nearest-neighbor source")
+    }
   }
 }

@@ -88,4 +88,18 @@ class ZOrderSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
     }
   }
+
+  test("p15 declares the z-skip: memo records rows-read well under rows-total") {
+    val dir = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("p15_zorder_two_col_skip")(spark, dir)
+    assert(df.count() > 0, "narrow partkey range must be non-empty")
+    val stats = graft.queries.Core.layoutSkip.get(s"$dir zorder")
+    assert(stats != null, "the z-layout memo must record its measured skip")
+    val (read, total) = stats
+    assert(read > 0 && total > 0)
+    // the filter is on the SECOND z dimension — the one a linear
+    // l_orderkey sort reads ~all rows for (the test above measures it)
+    assert(read.toDouble / total < 0.5,
+      s"z-order should skip most rows on l_partkey: read=$read total=$total")
+  }
 }
