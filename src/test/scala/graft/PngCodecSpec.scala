@@ -72,6 +72,47 @@ class PngCodecSpec extends SparkSpec {
       "lossless both ways: JDK-encoded stream must decode to the same pixels")
   }
 
+  test("color types beyond the encoder's: ImageIO RGBA and grayscale streams decode") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (33, 21)
+    // RGBA (color type 6): alpha dropped, color channels exact
+    val argb = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      argb.setRGB(x, y, ((64 + x * 4) << 24) | ((x * 7 % 256) << 16) |
+        ((y * 11 % 256) << 8) | ((x + y) % 256))
+    val bosA = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(argb, "png", bosA))
+    val decA = PngBinary.decodePng(bosA.toByteArray)
+    assert(decA.isDefined, "RGBA png must decode (alpha dropped)")
+    assert(decA.get.width == w && decA.get.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      assert((decA.get.pixels(o) & 0xff) == (x + y) % 256 &&
+        (decA.get.pixels(o + 1) & 0xff) == y * 11 % 256 &&
+        (decA.get.pixels(o + 2) & 0xff) == x * 7 % 256,
+        s"RGBA color channels must survive alpha drop at ($x,$y)")
+    }
+    // grayscale (color type 0): replicated to BGR. Write samples
+    // through the raster directly — setRGB on TYPE_BYTE_GRAY applies an
+    // sRGB→linear colorspace conversion that would change the stored
+    // byte; the raster sample IS what the PNG carries.
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bosG = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", bosG))
+    val decG = PngBinary.decodePng(bosG.toByteArray)
+    assert(decG.isDefined, "grayscale png must decode (replicated)")
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val v = (x * 5 + y * 3) % 256
+      assert((decG.get.pixels(o) & 0xff) == v &&
+        (decG.get.pixels(o + 1) & 0xff) == v &&
+        (decG.get.pixels(o + 2) & 0xff) == v,
+        s"gray value must replicate to BGR at ($x,$y)")
+    }
+  }
+
   test("defensive decode: alien, truncated, corrupt CRC, bad filter -> None") {
     assert(PngBinary.decodePng(Array[Byte](1, 2, 3)).isEmpty)
     assert(PngBinary.decodePng("not a png at all".getBytes).isEmpty)
