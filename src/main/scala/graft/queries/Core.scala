@@ -574,7 +574,39 @@ object Core {
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
       "Narrow scan on the SECOND z-order dimension: multi-column " +
         "row-group skipping declared and measured; a linear sort on " +
-        "l_orderkey reads ~everything for this predicate (ZOrderSpec)")
+        "l_orderkey reads ~everything for this predicate (ZOrderSpec)"),
+
+    // --- point-lookup skipping via parquet COLUMN BLOOM FILTERS --------
+    // The third data-skipping lever, for the predicate the other two
+    // can't serve: point equality on a hash-distributed high-cardinality
+    // key, where every row group's min/max spans the whole domain and
+    // no sort order helps. The layout writes a bloom filter on the
+    // surrogate key k = xxhash64(l_orderkey, l_linenumber); the lookup
+    // filters on a k LITERAL (pushdown needs a literal — the one
+    // driver-side scalar is the needle itself), and the reader consults
+    // the bloom to skip groups that cannot contain it (measured 8k of
+    // 60k rows read at sf0.01 — the needle's own group only). The
+    // trailing exact predicate pins correctness independently of hash
+    // collisions, so the oracle is hash-free SQL on `lineitem`.
+    "p16_bloom_point_lookup" -> Q(
+      (s, dir) => {
+        val (path, mk) = BloomLayoutShared.layout(s, dir)
+        s.read.parquet(path)
+          .filter(col("k") === xxhash64(lit(mk), lit(1).cast("int")))
+          .filter(col("l_orderkey") === mk && col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+        |  AND l_linenumber = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Needle-in-100TB point lookup: parquet column bloom filter skips " +
+        "row groups a hash key's min/max stats never could; skip ratio " +
+        "recorded under the dir's bloom key in layout_skip")
   )
 
   /** Measured skip for the LAST LayoutShared build per dir:
@@ -679,6 +711,47 @@ object Core {
       }(_ => ())
   }
 
+  /** Per-(session, dir) memo of the BLOOM-FILTERED lineitem copy (p16):
+    * hash-repartitioned (deliberately NOT sorted — the layout where
+    * min/max stats are useless for point lookups) with a parquet bloom
+    * filter on the xxhash64 surrogate key. The memo value carries the
+    * needle (MIN l_orderkey — one bounded driver scalar: parquet
+    * predicate pushdown needs a literal) alongside the path.
+    */
+  private object BloomLayoutShared {
+    import graft.SessionMemo
+    def layout(s: SparkSession, dir: String): (String, Long) =
+      SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
+          "layout-bloom-v1") {
+        val path = "/dev/shm/graft-layout/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_bloom"
+        val li = table(s, dir, "lineitem")
+          .select(xxhash64(col("l_orderkey"),
+              col("l_linenumber").cast("int")).as("k"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val total = li.count()
+        val hc = s.sparkContext.hadoopConfiguration
+        val prev = Option(hc.get("parquet.block.size"))
+        hc.setInt("parquet.block.size", 1 << 20)
+        try li.repartition(8).write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#k", "true")
+          .option("parquet.bloom.filter.expected.ndv#k",
+            math.max(1024L, total).toString)
+          .parquet(path)
+        finally prev match {
+          case Some(v) => hc.set("parquet.block.size", v)
+          case None => hc.unset("parquet.block.size")
+        }
+        val mk = table(s, dir, "lineitem")
+          .agg(min(col("l_orderkey"))).head.getLong(0)
+        val narrow = s.read.parquet(path)
+          .filter(col("k") === xxhash64(lit(mk), lit(1).cast("int")))
+        narrow.queryExecution.toRdd.count()
+        layoutSkip.put(s"$dir bloom", (scanOutputRows(narrow), total))
+        (path, mk)
+      }(_ => ())
+  }
+
   /** Force the layout memos for `dir`, timed — Bench's builds section
     * (see VectorSuite.prebuild).
     */
@@ -686,7 +759,8 @@ object Core {
       go: () => Boolean): Seq[(String, Double)] =
     Seq[(String, () => Unit)](
       "layout_sorted" -> (() => { LayoutShared.sortedPath(s, dir); () }),
-      "layout_zorder" -> (() => { ZLayoutShared.zPath(s, dir); () }))
+      "layout_zorder" -> (() => { ZLayoutShared.zPath(s, dir); () }),
+      "layout_bloom" -> (() => { BloomLayoutShared.layout(s, dir); () }))
       .map { case (name, f) =>
         if (!go()) name -> -1.0
         else {
