@@ -590,10 +590,10 @@ object Core {
     // collisions, so the oracle is hash-free SQL on `lineitem`.
     "p16_bloom_point_lookup" -> Q(
       (s, dir) => {
-        val (path, mk) = BloomLayoutShared.layout(s, dir)
+        val (path, mk, ml) = BloomLayoutShared.layout(s, dir)
         s.read.parquet(path)
-          .filter(col("k") === xxhash64(lit(mk), lit(1).cast("int")))
-          .filter(col("l_orderkey") === mk && col("l_linenumber") === 1)
+          .filter(col("k") === xxhash64(lit(mk), lit(ml).cast("int")))
+          .filter(col("l_orderkey") === mk && col("l_linenumber") === ml)
           .select(col("l_orderkey"), col("l_linenumber").cast("long")
             .as("l_linenumber"), col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber")
@@ -602,7 +602,8 @@ object Core {
         |  l_quantity
         |FROM lineitem
         |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
-        |  AND l_linenumber = 1
+        |  AND l_linenumber = (SELECT MIN(l_linenumber) FROM lineitem
+        |    WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       "Needle-in-100TB point lookup: parquet column bloom filter skips " +
         "row groups a hash key's min/max stats never could; skip ratio " +
@@ -715,14 +716,17 @@ object Core {
     * hash-repartitioned (deliberately NOT sorted — the layout where
     * min/max stats are useless for point lookups) with a parquet bloom
     * filter on the xxhash64 surrogate key. The memo value carries the
-    * needle (MIN l_orderkey — one bounded driver scalar: parquet
-    * predicate pushdown needs a literal) alongside the path.
+    * needle — the MIN (l_orderkey, l_linenumber) PAIR, one bounded
+    * driver scalar row (parquet predicate pushdown needs a literal;
+    * the synthetic lineitem does NOT follow TPC-H's 1..n linenumber
+    * convention, so the linenumber is derived, never assumed) —
+    * alongside the path.
     */
   private object BloomLayoutShared {
     import graft.SessionMemo
-    def layout(s: SparkSession, dir: String): (String, Long) =
+    def layout(s: SparkSession, dir: String): (String, Long, Int) =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
-          "layout-bloom-v1") {
+          "layout-bloom-v2") {
         val path = "/dev/shm/graft-layout/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_") + "_bloom"
         val li = table(s, dir, "lineitem")
@@ -742,13 +746,17 @@ object Core {
           case Some(v) => hc.set("parquet.block.size", v)
           case None => hc.unset("parquet.block.size")
         }
-        val mk = table(s, dir, "lineitem")
-          .agg(min(col("l_orderkey"))).head.getLong(0)
+        val needle = table(s, dir, "lineitem")
+          .agg(min(struct(col("l_orderkey"), col("l_linenumber")))
+            .as("n"))
+          .select(col("n.l_orderkey"), col("n.l_linenumber")).head()
+        val mk = needle.getLong(0)
+        val ml = needle.getInt(1)
         val narrow = s.read.parquet(path)
-          .filter(col("k") === xxhash64(lit(mk), lit(1).cast("int")))
+          .filter(col("k") === xxhash64(lit(mk), lit(ml).cast("int")))
         narrow.queryExecution.toRdd.count()
         layoutSkip.put(s"$dir bloom", (scanOutputRows(narrow), total))
-        (path, mk)
+        (path, mk, ml)
       }(_ => ())
   }
 
