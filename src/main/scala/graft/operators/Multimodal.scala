@@ -103,41 +103,57 @@ object Multimodal {
           width = p.width, height = p.height, duration_ms = 0L,
           checksum = rollingChecksum(p.pixels))
       }
+    case "gif" => // GIF (round 11): genuine LZW entropy decode +
+      // palette lookup — dims from the screen descriptor
+      graft.sources.GifBinary.decodeGif(a.media).map { g =>
+        DecodedAsset(a.asset_id, a.media_type, a.media.length.toLong,
+          width = g.width, height = g.height, duration_ms = 0L,
+          checksum = rollingChecksum(g.pixels))
+      }
     case _ => None
   }
 
-  /** PNG content audit row for m9: dims + EXACT per-channel pixel sums
-    * over the genuinely decoded (inflate + defilter) pixels. PNG is
-    * lossless, so the oracle recomputes these sums from the fixture's
-    * deterministic pixel generator — a bit-exact end-to-end decode
-    * check no lossy codec can offer. Assets that fail to decode emit a
-    * -1-dim row (visible mismatch, never a silent skip).
+  /** Lossless-codec content audit row (m9 png / m10 gif): dims + EXACT
+    * per-channel pixel sums over the genuinely decoded pixels. Both
+    * codecs are lossless (for palette-safe content in GIF's case), so
+    * the oracle recomputes these sums from the fixture's deterministic
+    * pixel generator — a bit-exact end-to-end decode check no lossy
+    * codec can offer. Assets that fail to decode emit a -1-dim row
+    * (visible mismatch, never a silent skip).
     */
-  case class PngAudit(asset_id: Long, width: Int, height: Int,
+  case class PixelAudit(asset_id: Long, width: Int, height: Int,
       byte_size: Long, sum_b: Long, sum_g: Long, sum_r: Long)
 
-  def pngAudit(assets: Dataset[Asset]): Dataset[PngAudit] = {
+  private def pixelAudit(assets: Dataset[Asset],
+      decode: Array[Byte] => Option[(Int, Int, Array[Byte])]): Dataset[PixelAudit] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.map { a =>
-        graft.sources.PngBinary.decodePng(a.media) match {
-          case Some(p) =>
+        decode(a.media) match {
+          case Some((w, h, px)) =>
             var sb = 0L; var sg = 0L; var sr = 0L
             var i = 0
-            while (i < p.pixels.length) {
-              sb += p.pixels(i) & 0xff
-              sg += p.pixels(i + 1) & 0xff
-              sr += p.pixels(i + 2) & 0xff
+            while (i < px.length) {
+              sb += px(i) & 0xff
+              sg += px(i + 1) & 0xff
+              sr += px(i + 2) & 0xff
               i += 3
             }
-            PngAudit(a.asset_id, p.width, p.height, a.media.length.toLong,
-              sb, sg, sr)
+            PixelAudit(a.asset_id, w, h, a.media.length.toLong, sb, sg, sr)
           case None =>
-            PngAudit(a.asset_id, -1, -1, a.media.length.toLong, -1L, -1L, -1L)
+            PixelAudit(a.asset_id, -1, -1, a.media.length.toLong, -1L, -1L, -1L)
         }
       }
     }
   }
+
+  def pngAudit(assets: Dataset[Asset]): Dataset[PixelAudit] =
+    pixelAudit(assets, b => graft.sources.PngBinary.decodePng(b)
+      .map(p => (p.width, p.height, p.pixels)))
+
+  def gifAudit(assets: Dataset[Asset]): Dataset[PixelAudit] =
+    pixelAudit(assets, b => graft.sources.GifBinary.decodeGif(b)
+      .map(g => (g.width, g.height, g.pixels)))
 
   /** Decode metadata for every asset — batched per partition; a codec
     * needing per-partition context would allocate it here. Real parsing
@@ -268,6 +284,13 @@ object Multimodal {
               val sums = new Array[Long](dim)
               val counts = new Array[Long](dim)
               poolBlocks(p.width, p.height, p.pixels, g, sums, counts)
+              blockMeans(dim, sums, counts)
+            }
+          case "gif" => // same grid over the LZW-decoded palette pixels
+            graft.sources.GifBinary.decodeGif(a.media).map { gf =>
+              val sums = new Array[Long](dim)
+              val counts = new Array[Long](dim)
+              poolBlocks(gf.width, gf.height, gf.pixels, g, sums, counts)
               blockMeans(dim, sums, counts)
             }
           case _ => None

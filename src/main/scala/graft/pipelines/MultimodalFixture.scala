@@ -228,6 +228,52 @@ object MultimodalFixture {
     graft.sources.PngBinary.encodePng(w, h, pngPixels(id))
   }
 
+  // --- GIF asset set (round 11) ---------------------------------------
+  // The PALETTE-image rung: pixels quantized to web-safe channel steps
+  // (multiples of 51) so each asset's distinct-color count stays well
+  // under GIF's 256 and — GIF being lossless for palette-safe content —
+  // the m10 oracle recomputes exact decoded channel sums from this
+  // generator, the m9 pattern over a REAL LZW entropy decode.
+  def gifPath: String = s"$root/gif.parquet"
+  val nGifs = 40
+
+  def gifDims(id: Long): (Int, Int) =
+    (48 + ((id % 5) * 13).toInt, 36 + ((id % 6) * 11).toInt)
+
+  /** Deterministic web-safe pixels (BGR top-down): 6-step gradients +
+    * a keyed rectangle, all integer arithmetic (md5-derived constants,
+    * the [[pngConsts]] rule) so the m10 oracle replays it in SQL.
+    */
+  def gifPixels(id: Long): Array[Byte] = {
+    val (w, h) = gifDims(id)
+    val (a0, a1, a2, a3) = pngConsts(id)
+    val (rx, ry) = (a2 % w, a3 % h)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val inRect = x >= rx / 2 && x < (rx / 2 + w / 3) &&
+          y >= ry / 2 && y < (ry / 2 + h / 3)
+        out(o) = (51 * math.min(5, x * 6 / w + a0 % 2)).toByte
+        out(o + 1) = (51 * math.min(5, y * 6 / h + a1 % 2)).toByte
+        out(o + 2) = (if (inRect) 204 else 51 * (a2 % 3)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The gif asset's media bytes — a genuine GIF89a stream (global
+    * palette of the image's distinct colors, real LZW).
+    */
+  def gifMedia(id: Long): Array[Byte] = {
+    val (w, h) = gifDims(id)
+    graft.sources.GifBinary.encodeGif(w, h, gifPixels(id))
+  }
+
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
@@ -238,6 +284,7 @@ object MultimodalFixture {
   private val versionMarker = "_GRAFT_MEDIA_V3"
   private val jpegMarker = "_GRAFT_JPEG_V2" // V2 = odd-dim strides (partial MCU edges)
   private val pngMarker = "_GRAFT_PNG_V1"
+  private val gifMarker = "_GRAFT_GIF_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -247,7 +294,20 @@ object MultimodalFixture {
         !new File(s"$jpegPath/$jpegMarker").exists()) buildJpeg(spark)
     if (!new File(s"$pngPath/_SUCCESS").exists() ||
         !new File(s"$pngPath/$pngMarker").exists()) buildPng(spark)
+    if (!new File(s"$gifPath/_SUCCESS").exists() ||
+        !new File(s"$gifPath/$gifMarker").exists()) buildGif(spark)
     ready = true
+  }
+
+  def buildGif(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nGifs.toLong, 1, 4)
+      .map(id => graft.operators.Multimodal.Asset(id, "gif", gifMedia(id)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(gifPath)
+    new File(s"$gifPath/$gifMarker").createNewFile()
   }
 
   def buildJpeg(spark: SparkSession): Unit = {

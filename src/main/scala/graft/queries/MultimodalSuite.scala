@@ -46,6 +46,14 @@ object MultimodalSuite {
 
   private def P = s"read_parquet('${MultimodalFixture.pngPath}/*.parquet')"
 
+  private def gifAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.gifPath))
+  }
+
+  private def G = s"read_parquet('${MultimodalFixture.gifPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -516,7 +524,63 @@ object MultimodalSuite {
       },
       "PNG content audit: genuine inflate + defilter on the Spark side; " +
         "the oracle parses IHDR dims from hex(media) and recomputes the " +
-        "exact decoded channel sums from the deterministic generator"))
+        "exact decoded channel sums from the deterministic generator"),
+
+    // --- m10: GIF content audit (round 11) -----------------------------
+    // The palette rung, same contract as m9: the Spark side genuinely
+    // LZW-entropy-decodes every asset (sources.GifBinary) and reports
+    // exact per-channel pixel sums; the oracle parses the logical screen
+    // descriptor's little-endian dims out of hex(media) and recomputes
+    // the sums from the web-safe fixture generator — GIF is lossless
+    // for palette content, so any LZW/palette/byte-order bug breaks the
+    // hash.
+    "m10_gif_audit" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.gifAudit(gifAssets(s).as[Multimodal.Asset])
+          .toDF()
+          .orderBy("asset_id")
+      },
+      Some {
+        s"""WITH p AS (
+        |  SELECT asset_id, hex(media) AS hx, octet_length(media) AS bs
+        |  FROM $G),
+        |d AS (
+        |  SELECT asset_id, bs,
+        |    CAST('0x' || substr(hx, 15, 2) || substr(hx, 13, 2) AS INT) AS w,
+        |    CAST('0x' || substr(hx, 19, 2) || substr(hx, 17, 2) AS INT) AS h,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 1, 4) AS INT) AS a0,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 5, 4) AS INT) AS a1,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 9, 4) AS INT) AS a2,
+        |    CAST('0x' || substr(md5(CAST(asset_id AS VARCHAR)), 13, 4) AS INT) AS a3
+        |  FROM p),
+        |xs AS (
+        |  SELECT asset_id, bs, w, h, a0, a1, a2, a3,
+        |    unnest(range(0, w)) AS x
+        |  FROM d),
+        |ys AS (
+        |  SELECT asset_id, bs, w, h, a0, a1, a2, a3, x,
+        |    unnest(range(0, h)) AS y
+        |  FROM xs),
+        |px AS (
+        |  SELECT asset_id, bs, w, h,
+        |    51 * LEAST(5, x * 6 // w + a0 % 2) AS b,
+        |    51 * LEAST(5, y * 6 // h + a1 % 2) AS g,
+        |    CASE WHEN x >= (a2 % w) // 2 AND x < (a2 % w) // 2 + w // 3
+        |          AND y >= (a3 % h) // 2 AND y < (a3 % h) // 2 + h // 3
+        |      THEN 204 ELSE 51 * (a2 % 3) END AS r
+        |  FROM ys)
+        |SELECT asset_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(MIN(bs) AS BIGINT) AS byte_size,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin
+      },
+      "GIF content audit: genuine LZW entropy decode + palette lookup " +
+        "on the Spark side; the oracle parses the screen descriptor's " +
+        "LE dims from hex(media) and recomputes the exact decoded " +
+        "channel sums from the web-safe generator"))
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =
