@@ -10,6 +10,16 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // 1-minute load average, sampled at section boundaries into the
+    // artifact's load_1m map: this host is multi-tenant and totals roam
+    // 10-30% with external load, so each number must self-describe its
+    // window (VERDICT r11 #1) instead of needing the watcher logs.
+    def load1m(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
     // two passes, min per query: one transient environment stall (or a
     // cold codegen cache) can no longer poison a number
     def pass(): Map[String, Double] =
@@ -29,8 +39,10 @@ object Bench {
         name -> dt
       }.toMap
     SparkEntry.warm(spark)
+    loadSamples("start") = load1m()
     val t0 = System.nanoTime()
     val p1 = pass()
+    loadSamples("after_pass1") = load1m()
     // Additional passes while within budget, min per query: the machine
     // shows intermittent external ~15-60s stalls (zero GC, roaming
     // queries, absent in many runs) — min-of-N absorbs them unless one
@@ -78,6 +90,7 @@ object Bench {
         }
       }.toMap
     val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
+    loadSamples("after_sf01") = load1m()
     val results = p1.map { case (k, v) =>
       k -> (v +: extras.flatMap(_.get(k))).min }
     // ---- sf1 scale-regression section --------------------------------
@@ -163,6 +176,7 @@ object Bench {
       } catch { case e: Throwable =>
         sf1Skip = s"exception: ${e.getMessage}"
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
+    loadSamples("after_sf1") = load1m()
     // ---- machine-readable scale probes (SCALE_LAST.json) --------------
     // The ScaleStress linearity measurements as a per-round artifact:
     // span ops / simhash128 / hier-vs-flat assignment / knnGraph at two
@@ -208,21 +222,24 @@ object Bench {
     // the family together.
     val memoShared = SparkEntry.memoSharedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // builds phase: items that ran (seconds) + items the deadline
-    // skipped (fell back to lazy charging) — `complete` means every
-    // memo was built up front, so every sf1 per-query number is pure
-    // warm query time
+    // builds phase: items that ran (seconds), items the deadline skipped,
+    // and items that FAILED (threw; fell back to lazy charging) —
+    // `complete` means every memo was truly built up front, so every sf1
+    // per-query number is pure warm query time; a failed build must not
+    // masquerade as built (ADVICE r11)
     val sf1BuildsSection =
       if (sf1Builds.isEmpty) ""
       else {
         val done = sf1Builds.filter(_._2 >= 0)
-        val skipped = sf1Builds.filter(_._2 < 0).map(_._1)
+        val skipped = sf1Builds.filter(_._2 == Prebuild.Skipped).map(_._1)
+        val failed = sf1Builds.filter(_._2 <= Prebuild.Failed).map(_._1)
         val items = done.map { case (k, v) => "\"" + k + "\":" + r2(v) }
           .mkString("{", ",", "}")
         val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
         s""","sf1_builds":{"total":${r2(done.map(_._2).sum)},""" +
-          s""""n":${done.size},"complete":${skipped.isEmpty},""" +
-          s""""items":$items,"skipped":$sk}"""
+          s""""n":${done.size},"complete":${skipped.isEmpty && failed.isEmpty},""" +
+          s""""items":$items,"skipped":$sk,"failed":$fl}"""
       }
     val sf1Section =
       if (sf1Results.isEmpty) {
@@ -274,6 +291,17 @@ object Bench {
           s""""read_fraction":${f"$ratio%.4f"}}"""
       }.mkString(""","layout_skip":{""", ",", "}")
     }
+    // p17's measured plan-shape evidence, one entry per dir whose
+    // bucketed layout was built this run: shuffle exchanges below the
+    // executed join (0 = the storage-partitioned-join claim) + rows
+    val bucketSection = {
+      import scala.jdk.CollectionConverters._
+      val m = graft.queries.Core.bucketJoin.asScala.toSeq.sortBy(_._1)
+      if (m.isEmpty) ""
+      else m.map { case (d, (ex, rows)) =>
+        s""""$d":{"shuffle_exchanges_below_join":$ex,"rows_joined":$rows}"""
+      }.mkString(""","bucket_join":{""", ",", "}")
+    }
     // Durable interpretation aid only — run-specific attribution lives
     // in the structured fields (min_of/pass2_n, memo_shared, v20_split)
     // and one-time cross-round comparisons belong in ADVICE/commits,
@@ -289,8 +317,13 @@ object Bench {
       "builds still charge the first family member executed " +
       "(memo_shared) and v20_split records the v20 build's " +
       "graph-vs-closure seconds"
+    loadSamples("end") = load1m()
+    // the per-section 1-minute load bracket (self-describing window)
+    val loadSection = loadSamples.toSeq
+      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .mkString(""","load_1m":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$sf1BuildsSection$v20Section$layoutSection,"notes":"$notes"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"memo_shared":$memoShared,"sf":"$sfDir"$sf1Section$sf1BuildsSection$v20Section$layoutSection$bucketSection$loadSection,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -30,7 +30,8 @@ object SparkEntry {
       MultimodalSuite.memoShared +
       "p14_layout_range_skip" + // first run pays the range-sorted write
       "p15_zorder_two_col_skip" + // first run pays the z-ordered write
-      "p16_bloom_point_lookup" // first run pays the bloom-layout write
+      "p16_bloom_point_lookup" + // first run pays the bloom-layout write
+      "p17_bucketed_join_zero_shuffle" // first run pays the bucketed writes
 
   /** One-time fixture builds (the ~50 MB OSM extract) — called by
     * Bench/Verify up front so no single query's timing pays the build.

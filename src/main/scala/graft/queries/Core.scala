@@ -607,8 +607,47 @@ object Core {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       "Needle-in-100TB point lookup: parquet column bloom filter skips " +
         "row groups a hash key's min/max stats never could; skip ratio " +
-        "recorded under the dir's bloom key in layout_skip")
+        "recorded under the dir's bloom key in layout_skip"),
+
+    // --- storage-partitioned join: bucketing as a DECLARED query ------
+    // The fourth at-rest layout lever, for JOINS (p14-p16 serve scans):
+    // lineitem and orders copies written bucketBy(8, orderkey) — already
+    // hash-partitioned on disk — so the equi-join on the bucket key
+    // needs NO shuffle exchange on either side. At 100 TB this is THE
+    // join lever: the fact table shuffles once at ingest and every
+    // orderkey join after that reads co-located buckets instead of
+    // re-shuffling the corpus per query. The merge hint pins SMJ (a
+    // small-SF broadcast would hide the claim); BucketingSpec asserts
+    // zero ShuffleExchange below the join on the DECLARED plan, and the
+    // build records (exchanges below join, joined rows) into the bench
+    // artifact's bucket_join section. Identical rows to the originals,
+    // so the oracle joins `lineitem`⋈`orders` directly.
+    "p17_bucketed_join_zero_shuffle" -> Q(
+      (s, dir) => {
+        val (lt, ot) = BucketLayoutShared.tables(s, dir)
+        bucketedJoinFrame(s, lt, ot)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "Storage-partitioned join over pre-bucketed copies: zero shuffle " +
+        "exchange below the join (plan-guarded; recorded in the bench " +
+        "bucket_join section); results identical to the unbucketed join, " +
+        "which is what the oracle checks")
   )
+
+  /** The p17 join shape, shared by the declared query, the memo's
+    * evidence run, and BucketingSpec's plan guard.
+    */
+  private[graft] def bucketedJoinFrame(s: SparkSession, lineitemTable: String,
+      ordersTable: String): DataFrame =
+    s.table(lineitemTable).hint("merge")
+      .join(s.table(ordersTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
 
   /** Measured skip for the LAST LayoutShared build per dir:
     * (rows the narrow scan decoded, rows in the table) — read by Bench
@@ -632,18 +671,14 @@ object Core {
           "layout-sorted-v1") {
         val path = "/dev/shm/graft-layout/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val hc = s.sparkContext.hadoopConfiguration
-        val prev = Option(hc.get("parquet.block.size"))
-        hc.setInt("parquet.block.size", 1 << 20)
-        try
-          graft.sinks.Sinks.writeRangeSorted(
-            table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
-              "l_quantity", "l_extendedprice"),
-            path, Seq("l_orderkey"), numFiles = 8)
-        finally prev match {
-          case Some(v) => hc.set("parquet.block.size", v)
-          case None => hc.unset("parquet.block.size")
-        }
+        // block size rides the WRITE's own options (per-job hadoop conf),
+        // never the session-shared configuration — a concurrent parquet
+        // write in the same session must not inherit 1 MiB row groups
+        graft.sinks.Sinks.writeRangeSorted(
+          table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice"),
+          path, Seq("l_orderkey"), numFiles = 8,
+          options = Map("parquet.block.size" -> (1 << 20).toString))
         // measure the skip once per build: rows the pushed BETWEEN
         // actually decodes (scan-node output) vs the table total
         val narrow = s.read.parquet(path)
@@ -656,23 +691,29 @@ object Core {
       }(_ => ())
   }
 
+  /** Flatten an executed physical plan with AQE/stage wrappers
+    * unwrapped (AdaptiveSparkPlanExec and QueryStageExec are collect()
+    * leaves — a plain traversal never sees inside them).
+    */
+  private[graft] def flatPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => p +: flatPlan(a.executedPlan)
+      case q: QueryStageExec => p +: flatPlan(q.plan)
+      case _ => p +: p.children.flatMap(flatPlan)
+    }
+  }
+
   /** Sum of FileSourceScanExec numOutputRows over an EXECUTED frame's
     * plan (AQE/stage wrappers unwrapped) — rows that survived row-group
     * pruning and reached the decoder.
     */
-  private def scanOutputRows(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
-      case q: QueryStageExec => p +: flat(q.plan)
-      case _ => p +: p.children.flatMap(flat)
-    }
-    flat(df.queryExecution.executedPlan).collect {
+  private def scanOutputRows(df: DataFrame): Long =
+    flatPlan(df.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
     }.sum
-  }
 
   /** Per-(session, dir) memo of the Z-ORDERED lineitem copy (p15) —
     * Morton curve over 12-bit quantized (l_orderkey, l_partkey), the
@@ -695,14 +736,8 @@ object Core {
         val z = Sinks.zValue(
           Sinks.quantize(col("l_orderkey"), 0, mx.getLong(0).toDouble, 12),
           Sinks.quantize(col("l_partkey"), 0, mx.getLong(1).toDouble, 12), 12)
-        val hc = s.sparkContext.hadoopConfiguration
-        val prev = Option(hc.get("parquet.block.size"))
-        hc.setInt("parquet.block.size", 1 << 20)
-        try Sinks.writeZOrdered(li, path, z, numFiles = 8)
-        finally prev match {
-          case Some(v) => hc.set("parquet.block.size", v)
-          case None => hc.unset("parquet.block.size")
-        }
+        Sinks.writeZOrdered(li, path, z, numFiles = 8,
+          options = Map("parquet.block.size" -> (1 << 20).toString))
         val narrow = s.read.parquet(path)
           .filter(col("l_partkey").between(100L, 300L))
         narrow.queryExecution.toRdd.count()
@@ -734,18 +769,16 @@ object Core {
               col("l_linenumber").cast("int")).as("k"),
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val total = li.count()
-        val hc = s.sparkContext.hadoopConfiguration
-        val prev = Option(hc.get("parquet.block.size"))
-        hc.setInt("parquet.block.size", 1 << 20)
-        try li.repartition(8).write.mode("overwrite")
+        li.repartition(8).write.mode("overwrite")
+          .option("parquet.block.size", (1 << 20).toString)
           .option("parquet.bloom.filter.enabled#k", "true")
           .option("parquet.bloom.filter.expected.ndv#k",
             math.max(1024L, total).toString)
           .parquet(path)
-        finally prev match {
-          case Some(v) => hc.set("parquet.block.size", v)
-          case None => hc.unset("parquet.block.size")
-        }
+        // CAVEAT (driver scalar): this full-table MIN exists only to
+        // derive a literal the bloom pushdown requires — in production
+        // the needle is user input; here the agg is charged to the
+        // builds phase, never to the declared query's timer
         val needle = table(s, dir, "lineitem")
           .agg(min(struct(col("l_orderkey"), col("l_linenumber")))
             .as("n"))
@@ -760,22 +793,71 @@ object Core {
       }(_ => ())
   }
 
+  /** Measured p17 evidence for the LAST BucketLayoutShared build per
+    * dir: (shuffle exchanges below the executed join — 0 is the claim —
+    * and rows the join produced). Read by Bench into the artifact's
+    * bucket_join section.
+    */
+  private[graft] val bucketJoin =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Per-(session, dir) memo of the BUCKETED lineitem/orders copies
+    * (p17): both written `bucketBy(8, <orderkey>)` + sortBy, external
+    * tables under /dev/shm — hash-partitioned ON DISK on the join key,
+    * so an orderkey equi-join reads co-located buckets with no exchange
+    * on either side (the p14-p16 at-rest pattern applied to joins). The
+    * pre-write `repartition(8, key)` uses the same murmur3 hash as the
+    * bucket spec, so each task holds exactly one bucket → ONE file per
+    * bucket → Spark also trusts the sortBy order and drops the
+    * read-side sort. The build executes the declared join once and
+    * records (exchanges below join, joined rows) into [[bucketJoin]].
+    * Columns are pruned to the query's needs — at 100 TB the bucketed
+    * copy is an ingest-time projection, not a second corpus.
+    */
+  private object BucketLayoutShared {
+    import graft.SessionMemo
+    def tables(s: SparkSession, dir: String): (String, String) =
+      SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
+          "layout-bucketed-v1") {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+        val base = "/dev/shm/graft-layout/" + tag
+        val lt = s"graft_b_lineitem_$tag"
+        val ot = s"graft_b_orders_$tag"
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").option("path", base + "_bkt_li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").option("path", base + "_bkt_or")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        // evidence run: execute the declared join once, then count
+        // shuffle exchanges below the join in the EXECUTED plan
+        val j = bucketedJoinFrame(s, lt, ot)
+        j.queryExecution.toRdd.count()
+        val smj = flatPlan(j.queryExecution.executedPlan).collectFirst {
+          case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+        }
+        val exchanges = smj.toSeq.flatMap(flatPlan).count {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+          case _ => false
+        }
+        val rows = smj.flatMap(_.metrics.get("numOutputRows").map(_.value))
+          .getOrElse(-1L)
+        bucketJoin.put(dir, (exchanges.toLong, rows))
+        (lt, ot)
+      }(_ => ())
+  }
+
   /** Force the layout memos for `dir`, timed — Bench's builds section
     * (see VectorSuite.prebuild).
     */
   private[graft] def prebuild(s: SparkSession, dir: String,
       go: () => Boolean): Seq[(String, Double)] =
-    Seq[(String, () => Unit)](
+    graft.Prebuild.timed(Seq(
       "layout_sorted" -> (() => { LayoutShared.sortedPath(s, dir); () }),
       "layout_zorder" -> (() => { ZLayoutShared.zPath(s, dir); () }),
-      "layout_bloom" -> (() => { BloomLayoutShared.layout(s, dir); () }))
-      .map { case (name, f) =>
-        if (!go()) name -> -1.0
-        else {
-          val t0 = System.nanoTime()
-          try f() catch { case e: Throwable =>
-            System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-      }
+      "layout_bloom" -> (() => { BloomLayoutShared.layout(s, dir); () }),
+      "layout_bucketed" -> (() => { BucketLayoutShared.tables(s, dir); () })),
+      go)
 }

@@ -141,15 +141,7 @@ object MultimodalSuite {
       "media_chunks" -> (() => { ChunkShared.table(s); () }),
       "media_minhash_pairs" -> (() => { MediaDedupShared.pairs(s); () }),
       "media_dup_clusters" -> (() => { MediaDedupShared.clusters(s); () }))
-    items.map { case (name, f) =>
-      if (!go()) name -> -1.0
-      else {
-        val t0 = System.nanoTime()
-        try f() catch { case e: Throwable =>
-          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    graft.Prebuild.timed(items, go)
   }
 
   val queries: Map[String, Q] = Map(

@@ -56,15 +56,7 @@ object TextSuite {
     val items: Seq[(String, () => Unit)] = Seq(
       "text_minhash_pairs" -> (() => { DedupShared.pairs(s, dir); () }),
       "text_dup_clusters" -> (() => { DedupShared.clusters(s, dir); () }))
-    items.map { case (name, f) =>
-      if (!go()) name -> -1.0
-      else {
-        val t0 = System.nanoTime()
-        try f() catch { case e: Throwable =>
-          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    graft.Prebuild.timed(items, go)
   }
 
   // DuckDB fragment: whitespace tokens of trimmed text.

@@ -312,15 +312,7 @@ object VectorSuite {
       "vec_pq_index" -> (() => { PqShared.index(s, dir); () }),
       "vec_ivfpq_index" -> (() => { IvfPqShared.index(s, dir); () }),
       "vec_knn_graph_clusters" -> (() => { GraphClustersShared.clusters(s, dir); () }))
-    items.map { case (name, f) =>
-      if (!go()) name -> -1.0
-      else {
-        val t0 = System.nanoTime()
-        try f() catch { case e: Throwable =>
-          System.err.println(s"[prebuild] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    graft.Prebuild.timed(items, go)
   }
 
   // DuckDB: exact-decimal dot product of two 64-dim FLOAT lists.

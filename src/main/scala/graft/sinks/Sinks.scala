@@ -83,12 +83,12 @@ object Sinks {
     * scan-metric difference on identical data.
     */
   def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0, options: Map[String, String] = Map.empty): Unit = {
     val n = if (numFiles > 0) numFiles
       else df.sparkSession.sparkContext.defaultParallelism
     df.repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").options(options).parquet(path)
   }
 
   /** Quantize a numeric column to `bits`-bit bucket ids over [minV, maxV]
@@ -120,11 +120,11 @@ object Sinks {
     * and sort keys, the written schema is untouched.
     */
   def writeZOrdered(df: DataFrame, path: String, z: Column,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0, options: Map[String, String] = Map.empty): Unit = {
     val n = if (numFiles > 0) numFiles
       else df.sparkSession.sparkContext.defaultParallelism
     df.repartitionByRange(n, z).sortWithinPartitions(z)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").options(options).parquet(path)
   }
 
   /** Small-files compaction: rewrite a parquet directory into

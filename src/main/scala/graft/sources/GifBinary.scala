@@ -13,7 +13,9 @@ package graft.sources
   * global palette built from the distinct pixel colors (≤ 256 — the
   * format's own constraint); the decoder accepts any conforming
   * single-frame stream in that class plus interlaced images and local
-  * color tables, returning the FIRST image of an animation. Like GIF
+  * color tables, returning the FIRST image of an animation; a frame
+  * smaller than the logical screen is composited at its (left, top)
+  * offset over the background color onto a screen-sized canvas. Like GIF
   * itself the pixel path is LOSSLESS for palette-safe content, so the
   * m10 audit oracles the DECODED pixel sums against the fixture
   * generator exactly (the PNG/m9 pattern). Defensive decode contract
@@ -170,7 +172,9 @@ object GifBinary {
       case Some(x) => x case None => return None
     }
     var pos = 10
-    val packed = b(pos) & 0xff; pos += 3 // packed, bg index, aspect
+    val packed = b(pos) & 0xff
+    val bgIndex = b(pos + 1) & 0xff
+    pos += 3 // packed, bg index, aspect
     var gct: Array[Int] = null
     if ((packed & 0x80) != 0) {
       val size = 1 << ((packed & 7) + 1)
@@ -195,12 +199,15 @@ object GifBinary {
           pos += 1
         case 0x2c => // image descriptor
           if (pos + 9 > b.length) return None
+          val ileft = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+          val itop = (b(pos + 2) & 0xff) | ((b(pos + 3) & 0xff) << 8)
           val iw = (b(pos + 4) & 0xff) | ((b(pos + 5) & 0xff) << 8)
           val ih = (b(pos + 6) & 0xff) | ((b(pos + 7) & 0xff) << 8)
           val ipacked = b(pos + 8) & 0xff
           pos += 9
-          // single-frame scope: the frame must cover the screen
-          if (iw != sw || ih != sh) return None
+          // a conforming frame fits inside the logical screen; sub-screen
+          // frames are composited at (left, top) over the background color
+          if (iw <= 0 || ih <= 0 || ileft + iw > sw || itop + ih > sh) return None
           val interlaced = (ipacked & 0x40) != 0
           var ct = gct
           if ((ipacked & 0x80) != 0) {
@@ -226,7 +233,19 @@ object GifBinary {
           val idx = lzwDecode(lzw.toByteArray, minCode, iw * ih) match {
             case Some(x) => x case None => return None
           }
-          val px = new Array[Byte](iw * ih * 3)
+          // screen-sized canvas pre-filled with the background color (GCT
+          // entry at the header's background index when present, else black)
+          val px = new Array[Byte](sw * sh * 3)
+          if (gct != null && bgIndex < gct.length) {
+            val bg = gct(bgIndex)
+            var o = 0
+            while (o < px.length) {
+              px(o) = (bg & 0xff).toByte
+              px(o + 1) = ((bg >> 8) & 0xff).toByte
+              px(o + 2) = ((bg >> 16) & 0xff).toByte
+              o += 3
+            }
+          }
           val rowOrder =
             if (!interlaced) (0 until ih).toArray
             else { // pass order 0,8.. / 4,8.. / 2,4.. / 1,2..
@@ -248,7 +267,7 @@ object GifBinary {
               val c = idx(src) & 0xff
               if (c >= ct.length) return None
               val rgb = ct(c)
-              val o = (y * iw + x) * 3
+              val o = ((itop + y) * sw + (ileft + x)) * 3
               px(o) = (rgb & 0xff).toByte
               px(o + 1) = ((rgb >> 8) & 0xff).toByte
               px(o + 2) = ((rgb >> 16) & 0xff).toByte
@@ -257,7 +276,7 @@ object GifBinary {
             }
             r += 1
           }
-          return Some(Gif(iw, ih, px))
+          return Some(Gif(sw, sh, px))
         case 0x3b => return None // trailer before any image
         case _ => return None
       }

@@ -61,4 +61,37 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("p17 declared query: SMJ with zero shuffle below the join, rows match the unbucketed join") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("p17_bucketed_join_zero_shuffle")(spark, dir)
+    val got = df.collect().toSeq
+    // plan guard on the DECLARED frame itself (not just the memo's
+    // evidence run): the merge hint pins SMJ, the bucketed scans feed it
+    // with no exchange on either side
+    val smj = graft.queries.Core.flatPlan(df.queryExecution.executedPlan)
+      .collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }
+    assert(smj.nonEmpty, s"expected SortMergeJoin:\n${df.queryExecution.executedPlan}")
+    val exchanges = graft.queries.Core.flatPlan(smj.get).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed declared join must not shuffle either side:\n${smj.get}")
+    // the memo's evidence run recorded the same zero-exchange shape
+    val ev = graft.queries.Core.bucketJoin.get(dir)
+    assert(ev != null && ev._1 == 0L && ev._2 > 0L,
+      s"bucketJoin evidence should record (0 exchanges, >0 rows), got $ev")
+    // identical rows to the unbucketed join
+    val expected = Graft.table(spark, dir, "lineitem")
+      .join(Graft.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == expected)
+  }
 }

@@ -79,6 +79,40 @@ class GifCodecSpec extends SparkSpec {
       "lossless both ways: JDK-encoded stream must decode to the same pixels")
   }
 
+  test("sub-screen frame composites at its (left, top) offset over the background") {
+    val (iw, ih) = (10, 6)
+    val px = gradient(iw, ih)
+    // craft the sub-screen stream from our own full-frame encoding:
+    // widen the logical screen and move the image descriptor's offset
+    val b = GifBinary.encodeGif(iw, ih, px).clone()
+    val sw = iw + 4; val sh = ih + 3
+    def pu16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    pu16(6, sw); pu16(8, sh)
+    val gctSize = 1 << ((b(10) & 7) + 1)
+    val d = 13 + gctSize * 3
+    assert((b(d) & 0xff) == 0x2c, "expected the image descriptor here")
+    pu16(d + 1, 3); pu16(d + 3, 2) // left=3, top=2
+    val dec = GifBinary.decodeGif(b).get
+    assert(dec.width == sw && dec.height == sh)
+    assert(GifBinary.decodeGifMeta(b).contains((sw, sh)))
+    // the frame landed at the offset, pixel-exact
+    for (y <- 0 until ih; x <- 0 until iw) {
+      val o = ((y + 2) * sw + (x + 3)) * 3
+      val p = (y * iw + x) * 3
+      assert(dec.pixels(o) == px(p) && dec.pixels(o + 1) == px(p + 1) &&
+        dec.pixels(o + 2) == px(p + 2), s"frame pixel ($x,$y)")
+    }
+    // the margin is the background color (GCT entry at the header's
+    // background index — 0 for our encoder = the first-seen color)
+    assert(dec.pixels(0) == px(0) && dec.pixels(1) == px(1) &&
+      dec.pixels(2) == px(2), "canvas corner must be the background color")
+    // a frame overflowing the screen is rejected, not clipped
+    pu16(d + 1, sw - iw + 1)
+    assert(GifBinary.decodeGif(b).isEmpty)
+  }
+
   test("defensive decode: alien, truncated, oversized, cross-codec -> None") {
     assert(GifBinary.decodeGif(Array[Byte](1, 2, 3)).isEmpty)
     assert(GifBinary.decodeGif("GIF89a but not really".getBytes).isEmpty)

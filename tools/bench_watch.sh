@@ -13,6 +13,10 @@
 #    /tmp/graft_no_bench lockfile (touch that before your own sbt
 #    work, rm it after) — the tenant load oscillates on ~10-minute
 #    cycles, so rely on in-run min-of-N plus best-of-many-runs;
+#  - the lockfile is honored MID-RUN too (ADVICE r11): the watcher
+#    polls while the bench runs and aborts + requeues the attempt if
+#    /tmp/graft_no_bench appears, so taking the lock is always safe —
+#    before or during a run;
 #  - adoption into the repo goes through tools/adopt_bench.sh
 #    (write-once BENCH_ADOPTED_<tag>.json).
 set -u
@@ -22,32 +26,61 @@ budget=${3:-1100}
 good=${4:-62}
 cd "$(dirname "$0")/.."
 bestfile=/tmp/bench_${tag}_best.json
-best=$(python3 -c "import json;print(json.load(open('$bestfile'))['value'])" 2>/dev/null || echo 999999)
-for i in $(seq 1 "$attempts"); do
+best=$(python3 -c 'import json,sys
+try: print(json.load(open(sys.argv[1]))["value"])
+except Exception: print(999999)' "$bestfile")
+i=0
+while [ "$i" -lt "$attempts" ]; do
   while true; do
     load=$(awk '{print $1}' /proc/loadavg)
     busy=$(jps -l 2>/dev/null | grep -cE "graft|sbt")
     if [ -e /tmp/graft_no_bench ]; then sleep 60; continue; fi
-    ok=$(python3 -c "print(1 if $load < 3.0 else 0)")
+    ok=$(awk -v l="$load" 'BEGIN{print (l+0 < 3.0) ? 1 : 0}')
     if [ "$ok" = "1" ] && [ "$busy" = "0" ]; then break; fi
     sleep 45
   done
   ts=$(date +%s)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_BUDGET_SEC=$budget \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_${tag}_${ts}.log 2>&1
+    sbt -batch "runMain graft.Bench" > /tmp/bench_${tag}_${ts}.log 2>&1 &
+  pid=$!
+  aborted=0
+  while kill -0 "$pid" 2>/dev/null; do
+    if [ -e /tmp/graft_no_bench ]; then
+      # the lock arrived mid-run: this run's numbers are about to be
+      # poisoned by concurrent sbt work anyway — abort and requeue
+      kill "$pid" 2>/dev/null
+      pkill -f 'graft.Bench' 2>/dev/null
+      sleep 5
+      kill -9 "$pid" 2>/dev/null
+      aborted=1
+      break
+    fi
+    sleep 20
+  done
+  wait "$pid" 2>/dev/null
+  if [ "$aborted" = "1" ]; then
+    echo "[watch] aborted by /tmp/graft_no_bench mid-run; requeueing" \
+      >> /tmp/bench_${tag}_${ts}.log
+    git checkout -q BENCH_LAST.json SCALE_LAST.json 2>/dev/null
+    continue # does not consume the attempt
+  fi
+  i=$((i + 1))
   cp BENCH_LAST.json /tmp/bench_${tag}_run_${ts}.json 2>/dev/null
   cp SCALE_LAST.json /tmp/scale_${tag}_run_${ts}.json 2>/dev/null
   git checkout -q BENCH_LAST.json SCALE_LAST.json 2>/dev/null
-  total=$(python3 -c "import json;print(json.load(open('/tmp/bench_${tag}_run_${ts}.json'))['value'])" 2>/dev/null || echo 999999)
-  better=$(python3 -c "print(1 if $total < $best else 0)")
+  total=$(python3 -c 'import json,sys
+try: print(json.load(open(sys.argv[1]))["value"])
+except Exception: print(999999)' "/tmp/bench_${tag}_run_${ts}.json")
+  better=$(awk -v t="$total" -v b="$best" 'BEGIN{print (t+0 < b+0) ? 1 : 0}')
   if [ "$better" = "1" ]; then best=$total; cp /tmp/bench_${tag}_run_${ts}.json $bestfile; fi
-  done=$(python3 -c "
-import json
+  gate=$(python3 -c 'import json,sys
 try:
-  d=json.load(open('$bestfile'))
-  print(1 if d['value'] < $good and d.get('sf1',{}).get('complete') and d.get('sf1',{}).get('min_of',1) >= 2 else 0)
-except Exception: print(0)")
-  if [ "$done" = "1" ]; then break; fi
+  d=json.load(open(sys.argv[1]))
+  ok=d["value"] < float(sys.argv[2]) and d.get("sf1",{}).get("complete") \
+    and d.get("sf1",{}).get("min_of",1) >= 2
+  print(1 if ok else 0)
+except Exception: print(0)' "$bestfile" "$good")
+  if [ "$gate" = "1" ]; then break; fi
 done
 touch /tmp/bench_${tag}_done
