@@ -397,6 +397,94 @@ object Multimodal {
     }
   }
 
+  // --- perceptual image hashing (round 12) -----------------------------
+
+  case class PerceptualHash(asset_id: Long, dhash: Long)
+
+  /** Decode any image payload by container magic — the entry point for
+    * format-agnostic perceptual operators (a corpus mixes JPEG, PNG,
+    * GIF, BMP; the perceptual hash must not care). Returns the house
+    * (width, height, BGR top-down pixels) contract or None.
+    */
+  private[graft] def decodeImageAny(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 8) None
+    else if (b(0) == 'B' && b(1) == 'M')
+      graft.sources.MediaBinary.decodeBmp(b).map(x => (x.width, x.height, x.pixels))
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P')
+      graft.sources.PngBinary.decodePng(b).map(x => (x.width, x.height, x.pixels))
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      graft.sources.GifBinary.decodeGif(b).map(x => (x.width, x.height, x.pixels))
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      graft.sources.JpegBinary.decodeJpeg(b).map(x => (x.width, x.height, x.pixels))
+    else None
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded pixel surface — the
+    * PERCEPTUAL near-dup key byte-chunk fingerprints (m4) structurally
+    * cannot be: a re-encode (the same pixels as PNG vs GIF), a format
+    * migration, or a mild edit shares ZERO byte chunks while the dHash
+    * stays (almost) identical, because the hash reads the picture, not
+    * the container. The grid is pooled to 9 columns × 8 rows of exact
+    * integer intensity sums (the classic dHash geometry; block of x =
+    * x·9/w — the poolBlocks convention), and bit (j, i) = 1 iff block
+    * (j, i)'s mean < block (j, i+1)'s mean, compared by
+    * CROSS-MULTIPLICATION so no float ever enters — every step is
+    * integer arithmetic the m11 DuckDB oracle replays exactly from the
+    * fixture's deterministic generator (the lossless-codec m9/m10
+    * pattern). Resampling-by-block-mean also makes the hash robust to
+    * rescaling (PerceptualDedupSpec pins a downscale bound).
+    */
+  private[graft] def dHash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val sums = new Array[Long](8 * 9)
+    val counts = new Array[Long](8 * 9)
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val b = (y * w + x) * 3
+        val cell = j * 9 + x * 9 / w
+        sums(cell) += (px(b) & 0xff) + (px(b + 1) & 0xff) + (px(b + 2) & 0xff)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val a = j * 9 + i
+        // mean(a) < mean(a+1) via cross-multiplication (empty blocks —
+        // only possible under w<9 or h<8 — compare 0<0 = false: defined)
+        if (sums(a) * counts(a + 1) < sums(a + 1) * counts(a))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-asset perceptual dHash over any decodable image payload
+    * (magic-sniffed: BMP/PNG/GIF/JPEG). Undecodable payloads are
+    * dropped (a dedup key for them would be noise); only (id, 8-byte
+    * hash) rows leave the scan — bytes never shuffle, the m4 posture.
+    * Feed the result to [[Dedup.hammingNearDupsSig]] for banded
+    * near-dup pairs.
+    */
+  def dHash(assets: Dataset[Asset]): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        decodeImageAny(a.media).map { case (w, h, px) =>
+          PerceptualHash(a.asset_id, dHash64(w, h, px))
+        }
+      }
+    }
+  }
+
   /** Sample up to `n` evenly-spaced frames from a video asset. REAL
     * for genuine AVIs (round 9): the container's frame index is parsed
     * once (`decodeAviMeta` — header tree + `00db` chunk offsets), then

@@ -274,6 +274,38 @@ object MultimodalFixture {
     graft.sources.GifBinary.encodeGif(w, h, gifPixels(id))
   }
 
+  // --- perceptual-dedup asset set (round 12) ---------------------------
+  // CROSS-FORMAT duplicates: each GIF asset's EXACT pixels re-encoded as
+  // PNG (both codecs lossless), ids offset by PercIdOffset. A byte-chunk
+  // fingerprint dedup (the m4 pipeline) provably shares zero chunks
+  // across such a pair — different container, different entropy coding —
+  // while the perceptual dHash (m11) is bit-identical; the pair set over
+  // gif.parquet ∪ perc.parquet is the planted ground truth, and the
+  // pixels are gifPixels', so the m11 oracle replays both sides from the
+  // generator.
+  def percPath: String = s"$root/perc.parquet"
+  val PercIdOffset = 20000L
+
+  /** The perc asset's media bytes — a genuine PNG of the gif asset's
+    * exact pixels.
+    */
+  def percMedia(gifId: Long): Array[Byte] = {
+    val (w, h) = gifDims(gifId)
+    graft.sources.PngBinary.encodePng(w, h, gifPixels(gifId))
+  }
+
+  def buildPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nGifs.toLong, 1, 4)
+      .map(id => graft.operators.Multimodal.Asset(id + PercIdOffset, "png",
+        percMedia(id)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(percPath)
+    new File(s"$percPath/$percMarker").createNewFile()
+  }
+
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
@@ -285,6 +317,7 @@ object MultimodalFixture {
   private val jpegMarker = "_GRAFT_JPEG_V2" // V2 = odd-dim strides (partial MCU edges)
   private val pngMarker = "_GRAFT_PNG_V1"
   private val gifMarker = "_GRAFT_GIF_V1"
+  private val percMarker = "_GRAFT_PERC_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -296,6 +329,8 @@ object MultimodalFixture {
         !new File(s"$pngPath/$pngMarker").exists()) buildPng(spark)
     if (!new File(s"$gifPath/_SUCCESS").exists() ||
         !new File(s"$gifPath/$gifMarker").exists()) buildGif(spark)
+    if (!new File(s"$percPath/_SUCCESS").exists() ||
+        !new File(s"$percPath/$percMarker").exists()) buildPerc(spark)
     ready = true
   }
 

@@ -54,6 +54,14 @@ object MultimodalSuite {
 
   private def G = s"read_parquet('${MultimodalFixture.gifPath}/*.parquet')"
 
+  private def percAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.percPath))
+  }
+
+  private def PC = s"read_parquet('${MultimodalFixture.percPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -572,7 +580,105 @@ object MultimodalSuite {
       "GIF content audit: genuine LZW entropy decode + palette lookup " +
         "on the Spark side; the oracle parses the screen descriptor's " +
         "LE dims from hex(media) and recomputes the exact decoded " +
-        "channel sums from the web-safe generator"))
+        "channel sums from the web-safe generator"),
+
+    // --- m11: perceptual image near-dup (round 12) ----------------------
+    // The production image-dedup operator byte-chunk m4 cannot be: the
+    // corpus is gif.parquet ∪ perc.parquet, where each perc asset is the
+    // SAME PICTURE as its gif counterpart re-encoded as PNG (different
+    // container, different entropy coding — zero shared byte chunks, so
+    // the m4 pipeline provably misses every pair; PerceptualDedupSpec
+    // asserts that). The Spark side genuinely decodes both formats
+    // (magic-sniffed), computes the integer-exact 64-bit dHash
+    // (Multimodal.dHash64), and feeds the EXISTING banded-Hamming
+    // machinery (Dedup.hammingNearDupsSig) at bands=8/radius-7 — the
+    // configuration whose pigeonhole recall is EXACT, so the oracle can
+    // demand the complete pair set: DuckDB parses each container's dims
+    // from hex(media) (GIF LE screen descriptor / PNG BE IHDR), replays
+    // the deterministic generator pixels (both codecs lossless), pools
+    // the same 9×8 integer block sums, compares means by
+    // cross-multiplication, and counts differing bits per pair. Every
+    // planted cross-format pair lands at hamming 0; gradient-similar
+    // distinct assets may land within radius too — both engines must
+    // agree on exactly which. At 100 TB only (id, 8-byte hash) rows
+    // shuffle; production tuning uses 16-bit bands at radius 3 (the
+    // simhashNearDups default) — 8-bit bands would mega-bucket there
+    // (see hammingNearDupsSig's scaladoc).
+    "m11_perceptual_neardups" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val corpus = gifAssets(s).unionByName(percAssets(s))
+        val sigs = Multimodal.dHash(corpus.as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        graft.operators.Dedup.hammingNearDupsSig(sigs, maxHamming = 7,
+          maxBucketSize = 256, bands = 8)
+          .orderBy("id1", "id2")
+      },
+      Some(sqlM11),
+      "Perceptual image near-dup: genuine cross-format decode -> " +
+        "integer-exact 64-bit dHash -> banded Hamming pairs; the oracle " +
+        "replays the hash from the lossless generator and demands the " +
+        "complete radius-7 pair set"))
+
+  /** m11's exact dHash mirror: corpus dims parsed from the parquet
+    * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
+    * replayed from the deterministic web-safe generator (both codecs
+    * lossless), then Multimodal.dHash64 bit for bit — 9×8 integer block
+    * sums, cross-multiplied mean comparisons, per-pair differing-bit
+    * counts. Block x-range [ceil(i·w/9), ceil((i+1)·w/9)) mirrors the
+    * Spark side's floor(x·9/w) = i membership exactly.
+    */
+  private def sqlM11: String = {
+    val pixSum =
+      "51 * LEAST(5, x * 6 // w + a0 % 2) + 51 * LEAST(5, y * 6 // h + a1 % 2) + " +
+        "(CASE WHEN x >= (a2 % w) // 2 AND x < (a2 % w) // 2 + w // 3 " +
+        "AND y >= (a3 % h) // 2 AND y < (a3 % h) // 2 + h // 3 " +
+        "THEN 204 ELSE 51 * (a2 % 3) END)"
+    s"""WITH corpus AS (
+    |  SELECT asset_id AS id, asset_id AS gid,
+    |    CAST('0x' || substr(hex(media), 15, 2) || substr(hex(media), 13, 2) AS INT) AS w,
+    |    CAST('0x' || substr(hex(media), 19, 2) || substr(hex(media), 17, 2) AS INT) AS h
+    |  FROM $G
+    |  UNION ALL
+    |  SELECT asset_id, asset_id - ${MultimodalFixture.PercIdOffset},
+    |    CAST('0x' || substr(hex(media), 33, 8) AS INT),
+    |    CAST('0x' || substr(hex(media), 41, 8) AS INT)
+    |  FROM $PC),
+    |d AS (
+    |  SELECT id, w, h,
+    |    CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 4) AS INT) AS a0,
+    |    CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 5, 4) AS INT) AS a1,
+    |    CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 9, 4) AS INT) AS a2,
+    |    CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 13, 4) AS INT) AS a3
+    |  FROM corpus),
+    |cells AS (
+    |  SELECT id, w, h, a0, a1, a2, a3, j, i
+    |  FROM d
+    |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+    |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii),
+    |blocks AS (
+    |  SELECT id, j, i,
+    |    COALESCE(list_sum(list_transform(
+    |        range((j * h + 7) // 8, ((j + 1) * h + 7) // 8), y ->
+    |      list_sum(list_transform(
+    |          range((i * w + 8) // 9, ((i + 1) * w + 8) // 9), x ->
+    |        $pixSum)))), 0) AS s,
+    |    (((i + 1) * w + 8) // 9 - (i * w + 8) // 9) *
+    |      (((j + 1) * h + 7) // 8 - (j * h + 7) // 8) AS c
+    |  FROM cells),
+    |bits AS (
+    |  SELECT l.id, l.j, l.i, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM blocks l JOIN blocks r
+    |    ON l.id = r.id AND l.j = r.j AND r.i = l.i + 1
+    |  WHERE l.i < 8),
+    |ham AS (
+    |  SELECT a.id AS id1, b.id AS id2,
+    |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
+    |  GROUP BY a.id, b.id)
+    |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
+    |ORDER BY id1, id2""".stripMargin
+  }
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =
