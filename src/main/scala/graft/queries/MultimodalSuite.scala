@@ -62,6 +62,14 @@ object MultimodalSuite {
 
   private def PC = s"read_parquet('${MultimodalFixture.percPath}/*.parquet')"
 
+  private def mjpegAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.mjpegPath))
+  }
+
+  private def MJ = s"read_parquet('${MultimodalFixture.mjpegPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -196,10 +204,17 @@ object MultimodalSuite {
     // dwTotalFrames, dwWidth, dwHeight — so the per-frame-index
     // aggregate proves the fan-out row count, the decoded frame sizes,
     // and the container-derived timestamp math end-to-end.
+    // Since round 12 the corpus also includes the MJPEG table: the same
+    // container seek now lands on genuinely COMPRESSED '00dc' chunks
+    // that aviFramePixels entropy-decodes per sampled frame (the oracle
+    // math is identical — both encoders share the canonical avih
+    // layout, and the emitted frames are decoded w·h·3 pixels in both
+    // codecs).
     "m3_frame_sample" -> Q(
       (s, _) => {
         import s.implicits._
-        Multimodal.sampleFrames(assets(s).as[Multimodal.Asset], 4)
+        Multimodal.sampleFrames(
+          assets(s).unionByName(mjpegAssets(s)).as[Multimodal.Asset], 4)
           .groupBy("frame_index")
           .agg(count(lit(1)).as("n_frames"),
             sum(length(col("frame"))).as("frame_bytes"),
@@ -212,7 +227,8 @@ object MultimodalSuite {
           s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
             s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
         s"""WITH v AS (
-        |  SELECT hex(media) AS hx FROM $A WHERE media_type = 'video'),
+        |  SELECT hex(media) AS hx FROM $A WHERE media_type = 'video'
+        |  UNION ALL SELECT hex(media) FROM $MJ),
         |p AS (
         |  SELECT ${le32(33)} AS us, ${le32(49)} AS nf,
         |    ${le32(65)} AS w, ${le32(69)} AS h FROM v),
@@ -618,7 +634,47 @@ object MultimodalSuite {
       "Perceptual image near-dup: genuine cross-format decode -> " +
         "integer-exact 64-bit dHash -> banded Hamming pairs; the oracle " +
         "replays the hash from the lossless generator and demands the " +
-        "complete radius-7 pair set"))
+        "complete radius-7 pair set"),
+
+    // --- m12: MJPEG-in-AVI audit (round 12) -----------------------------
+    // The compressed-video rung: mjpeg.parquet holds genuine RIFF/AVI
+    // containers whose movi chunks are baseline-JPEG streams. The Spark
+    // side ENTROPY-DECODES EVERY FRAME (Multimodal.mjpegAudit): n_frames
+    // counts successful per-frame Huffman+IDCT decodes and width/height
+    // come from each frame's own SOF0 through the decode — the oracle
+    // independently parses the MainAVIHeader's usPerFrame/dwTotalFrames/
+    // dwWidth/dwHeight out of hex(media) (the m6 pattern), so the two
+    // sides agree only if the compressed path genuinely decoded every
+    // chunk. Pixel-level decode correctness is MjpegCodecSpec's (error
+    // bound vs the pre-encode frames; m7-style pooling over decoded
+    // compressed frames).
+    "m12_mjpeg_audit" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Multimodal.mjpegAudit(mjpegAssets(s).as[Multimodal.Asset])
+          .toDF()
+          .orderBy("asset_id")
+      },
+      Some {
+        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+        def le32(p: Int): String =
+          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+        s"""WITH v AS (
+        |  SELECT asset_id, hex(media) AS hx, octet_length(media) AS bs
+        |  FROM $MJ)
+        |SELECT asset_id,
+        |  CAST(${le32(49)} AS BIGINT) AS n_frames,
+        |  CAST(${le32(65)} AS INT) AS width,
+        |  CAST(${le32(69)} AS INT) AS height,
+        |  CAST((${le32(49)} * ${le32(33)}) // 1000 AS BIGINT) AS duration_ms,
+        |  CAST(bs AS BIGINT) AS byte_size
+        |FROM v ORDER BY asset_id""".stripMargin
+      },
+      "MJPEG-in-AVI audit: every compressed frame genuinely " +
+        "entropy-decoded on the Spark side (counts + SOF0 dims from the " +
+        "decode); the oracle parses MainAVIHeader fields independently " +
+        "from hex(media)"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
