@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** LEARNED byte-pair encoding (round 12) — retiring the "BPE-ish"
+  * heuristic's training gap: `train` runs k real merge rounds over the
+  * corpus vocabulary, exactly the Sennrich et al. (2016) procedure
+  * restricted to a fixed round count so the whole trainer is
+  * engine-replicable relational algebra the DuckDB oracle replays
+  * CTE-for-CTE (x40/x16).
+  *
+  * Shape per round (all deterministic, no floats):
+  *   1. TOP PAIR — adjacent-symbol counts weighted by word frequency
+  *      (one distributed aggregate over the vocabulary symbol table),
+  *      winner by (count DESC, lhs ASC, rhs ASC) — the tiebreak makes
+  *      training a pure function of the corpus;
+  *   2. APPLY — the greedy left-to-right merge as gaps-and-islands
+  *      parity: candidate positions (sym=lhs, next=rhs) can only be
+  *      adjacent when lhs=rhs (runs), and selecting even offsets within
+  *      each island of consecutive candidates is exactly the classic
+  *      scan's non-overlapping choice.
+  *
+  * Scale posture: training state is the VOCABULARY symbol table
+  * (distinct words × word length — bounded far below corpus size; the
+  * corpus is read once for the word counts), each round is two window
+  * passes + one small join over it, and the only driver state is the
+  * per-round winning pair — one bounded scalar per round, the k-means
+  * centroid posture. Lineage is truncated per round (the dupClusters
+  * lesson: an 8-round loop otherwise builds an exponential plan).
+  */
+object Bpe {
+
+  final case class Merge(round: Long, lhs: String, rhs: String,
+      nPairs: Long, totalSymbols: Long)
+
+  /** Trained state: the merge table, the final vocabulary symbol table
+    * (w, freq, pos, sym) — lineage-truncated, caller owns its release —
+    * and the freq-weighted corpus word count (the fertility
+    * denominator).
+    */
+  final case class Trained(merges: Seq[Merge], syms: DataFrame,
+      totalWords: Long)
+
+  /** Train `rounds` merges on the whitespace vocabulary of
+    * `docs.textCol` (words longer than `maxWordLen` chars are excluded
+    * from training — callers fall back to character count for them,
+    * deterministically).
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      maxWordLen: Int = 16): Trained = {
+    val words = graft.Graft.ensureParallelism(docs)
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val totalWords = words.agg(sum("freq")).head().getLong(0)
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    var syms: DataFrame = graft.Graft.truncate(
+      words.select(col("w"), col("freq"), posexplode(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("pos", "sym"))), eager = false)
+    var prevCheckpoint: DataFrame = null
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every word fully merged
+      else {
+        val (l, rr, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val heads = withNext
+          .filter(col("sym") === lit(l) && col("nxt") === lit(rr))
+          .select(col("w"), col("pos"))
+          .withColumn("island",
+            col("pos") - row_number().over(byPos))
+          .withColumn("off", row_number()
+            .over(Window.partitionBy("w", "island").orderBy("pos")) - 1)
+          .filter(col("off") % 2 === 0)
+          .select(col("w").as("hw"), col("pos").as("hpos"))
+        val applied = withNext
+          .join(heads, withNext("w") === heads("hw") &&
+            (withNext("pos") === heads("hpos") ||
+              withNext("pos") === heads("hpos") + 1), "left")
+          .filter(col("hpos").isNull || col("pos") === col("hpos"))
+          .select(col("w"), col("freq"),
+            (row_number().over(byPos) - 1).as("pos"),
+            when(col("hpos").isNotNull, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        val next = graft.Graft.truncate(applied, eager = false)
+        val totalSyms = next.agg(sum("freq")).head().getLong(0)
+        merges += Merge(r.toLong, l, rr, cnt, totalSyms)
+        // release the prior round's checkpoint blocks (the final round's
+        // table is the result — its storage is the caller's)
+        if (prevCheckpoint != null) graft.Graft.releaseTruncated(prevCheckpoint)
+        prevCheckpoint = syms
+        syms = next
+        r += 1
+      }
+    }
+    if (prevCheckpoint != null && (prevCheckpoint ne syms))
+      graft.Graft.releaseTruncated(prevCheckpoint)
+    Trained(merges.result(), syms, totalWords)
+  }
+}

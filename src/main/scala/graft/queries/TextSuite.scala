@@ -54,6 +54,7 @@ object TextSuite {
   private[graft] def prebuild(s: org.apache.spark.sql.SparkSession,
       dir: String, go: () => Boolean): Seq[(String, Double)] = {
     val items: Seq[(String, () => Unit)] = Seq(
+      "text_bpe_train" -> (() => { BpeShared.trained(s, dir); () }),
       "text_minhash_pairs" -> (() => { DedupShared.pairs(s, dir); () }),
       "text_dup_clusters" -> (() => { DedupShared.clusters(s, dir); () }))
     graft.Prebuild.timed(items, go)
@@ -89,7 +90,25 @@ object TextSuite {
     */
   val memoShared: Set[String] = Set(
     "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
-    "x28_dedup_apply", "x38_curation_pipeline")
+    "x28_dedup_apply", "x38_curation_pipeline",
+    "x40_bpe_train", "x16_bpe_fertility") // both read BpeShared's trained state
+
+  /** Per-(session, dir) memo of the LEARNED BPE state (operators.Bpe —
+    * 8 merge rounds on the documents vocabulary): x40 reports the merge
+    * table, x16 reads the final symbol table for learned-tokenizer
+    * fertility. One training per session — the ingest/query split.
+    */
+  private object BpeShared {
+    import graft.{Graft, SessionMemo}
+    val Rounds = 8
+    val MaxWordLen = 16
+    def trained(s: org.apache.spark.sql.SparkSession,
+        dir: String): graft.operators.Bpe.Trained =
+      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "bpe-train-v1") {
+        graft.operators.Bpe.train(table(s, dir, "documents"), "text",
+          Rounds, MaxWordLen)
+      }(t => Graft.releaseTruncated(t.syms))
+  }
 
   /** The Gopher-style composite quality gate — ONE definition of the
     * signals and thresholds, read by x21 (per-rule failure counts) and
@@ -129,31 +148,139 @@ object TextSuite {
     "n BETWEEN 30 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
       "AND alpha_frac > 0.7 AND n_stop >= 2"
 
+  /** The learned-BPE training chain as DuckDB CTEs — replays
+    * operators.Bpe.train round for round: w0 = vocabulary with
+    * frequencies, s0 = character symbol table, then per round r:
+    * p{r} adjacent pairs (window lead), t{r} the winning pair (count
+    * DESC, lhs, rhs — the same tiebreak), c{r} the greedy merge heads
+    * via gaps-and-islands parity, s{r} the applied table. Used whole by
+    * x40's mirror and (s{Rounds} only — DuckDB skips unreferenced CTEs)
+    * by x16's.
+    */
+  private def sqlBpeChain(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest($sqlTokens) AS w FROM documents) t
+  WHERE length(w) BETWEEN 1 AND ${BpeShared.MaxWordLen} GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, freq, i - 1 AS pos, substr(w, CAST(i AS INT), 1) AS sym
+  FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS i FROM w0) z)""")
+    for (r <- 1 to rounds) sb.append(
+      s""",
+p$r AS MATERIALIZED (
+  SELECT w, freq, pos, sym,
+    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s${r - 1}),
+t$r AS MATERIALIZED (
+  SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p$r WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+c$r AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+      row_number() OVER (PARTITION BY w, island ORDER BY pos) - 1 AS off
+    FROM (
+      SELECT p.w, p.pos,
+        p.pos - row_number() OVER (PARTITION BY p.w ORDER BY p.pos) AS island
+      FROM p$r p, t$r t WHERE p.sym = t.lhs AND p.nxt = t.rhs) z) zz
+  WHERE off % 2 = 0),
+s$r AS MATERIALIZED (
+  SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+    CASE WHEN is_head THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT p.w, p.freq, p.pos, p.sym, p.nxt, h.pos IS NOT NULL AS is_head
+    FROM p$r p
+    LEFT JOIN c$r h ON p.w = h.w AND p.pos = h.pos
+    LEFT JOIN c$r d ON p.w = d.w AND p.pos = d.pos + 1
+    WHERE d.pos IS NULL) q),
+m$r AS MATERIALIZED (
+  SELECT $r AS round, lhs, rhs, cnt AS n_pairs,
+    (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS total_symbols
+  FROM t$r)""")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // --- BPE-ish subword counting -------------------------------------
-    // The cost model for LLM training data is subword tokens, not
-    // whitespace words; fertility (subwords per word) is the per-language
-    // signal. Pure codegen'd regexp over the scan — no shuffle beyond
-    // the 10-group aggregate.
+    // --- x40: LEARNED BPE training (round 12) --------------------------
+    // Real merges, not the pre-tokenizer heuristic: 8 rounds of
+    // (top adjacent pair by freq-weighted count, greedy apply) on the
+    // documents vocabulary — operators.Bpe. The merge table and the
+    // per-round corpus symbol count land in the output (total_symbols
+    // decreasing monotonically is the training signal; fertility =
+    // symbols per whitespace word after that round). The oracle replays
+    // the training CTE-for-CTE, so hash-green means DuckDB LEARNED THE
+    // SAME MERGES in the same order.
+    "x40_bpe_train" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = BpeShared.trained(s, dir)
+        t.merges.map(m => (m.round, m.lhs, m.rhs, m.nPairs, m.totalSymbols,
+          m.totalSymbols.toDouble / t.totalWords.toDouble))
+          .toDF("round", "lhs", "rhs", "n_pairs", "total_symbols",
+            "fertility")
+          .orderBy("round")
+      },
+      Some(s"""WITH ${sqlBpeChain(BpeShared.Rounds)},
+        |tw AS (SELECT CAST(SUM(freq) AS BIGINT) AS twc FROM w0)
+        |SELECT CAST(round AS BIGINT) AS round, lhs, rhs, n_pairs,
+        |  total_symbols,
+        |  CAST(total_symbols AS DOUBLE) / CAST(twc AS DOUBLE) AS fertility
+        |FROM (${(1 to BpeShared.Rounds)
+          .map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) u
+        |CROSS JOIN tw ORDER BY round""".stripMargin),
+      "Learned BPE: 8 real merge rounds (top pair + greedy apply) on " +
+        "the documents vocabulary; the oracle re-learns the identical " +
+        "merge table CTE-for-CTE"),
+
+    // --- x16: fertility under the LEARNED tokenizer --------------------
+    // Re-pointed at x40's trained table (round 12; previously the
+    // regex pre-tokenizer heuristic): per language, total subword count
+    // = Σ word-occurrences × learned symbols-per-word (untrained words —
+    // longer than MaxWordLen — fall back to character count,
+    // deterministically), over the whitespace token base. The oracle
+    // embeds the training chain and reads its final symbol table.
     "x16_bpe_fertility" -> Q(
-      (s, dir) =>
-        table(s, dir, "documents")
+      (s, dir) => {
+        val t = BpeShared.trained(s, dir)
+        val nsyms = t.syms.groupBy("w").agg(count(lit(1)).as("nsym"))
+        val docs = table(s, dir, "documents")
+        val learned = docs
+          .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+          .join(nsyms, Seq("w"), "left")
           .groupBy("lang")
-          .agg(
-            sum(Text.bpeTokenCount(col("text"))).as("total_bpe"),
-            sum(Text.tokenCount(col("text"))).as("total_ws"),
-            (sum(Text.bpeTokenCount(col("text"))).cast("double") /
-              greatest(sum(Text.tokenCount(col("text"))), lit(1L))
-                .cast("double")).as("fertility"))
-          .orderBy("lang"),
-      Some(s"""SELECT lang,
-        |  CAST(SUM(len($sqlBpe)) AS BIGINT) AS total_bpe,
-        |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS total_ws,
-        |  CAST(SUM(len($sqlBpe)) AS DOUBLE) /
-        |    CAST(GREATEST(SUM(len($sqlTokens)), 1) AS DOUBLE) AS fertility
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
-      "BPE-ish (GPT-2 pre-tokenizer regex) token counting + per-language fertility"),
+          .agg(sum(col("cnt") *
+            coalesce(col("nsym"), length(col("w")).cast("long")))
+            .as("total_bpe"))
+        val ws = docs.groupBy("lang")
+          .agg(sum(Text.tokenCount(col("text"))).as("total_ws"))
+        learned.join(ws, Seq("lang"))
+          .select(col("lang"), col("total_bpe"), col("total_ws"),
+            (col("total_bpe").cast("double") /
+              greatest(col("total_ws"), lit(1L)).cast("double"))
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${sqlBpeChain(BpeShared.Rounds)},
+        |ns AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nsym
+        |  FROM s${BpeShared.Rounds} GROUP BY w),
+        |lw AS (SELECT lang, w, COUNT(*) AS cnt
+        |  FROM (SELECT lang, unnest($sqlTokens) AS w FROM documents) t
+        |  GROUP BY lang, w),
+        |lb AS (SELECT lang,
+        |    CAST(SUM(cnt * COALESCE(nsym, length(w))) AS BIGINT) AS total_bpe
+        |  FROM lw LEFT JOIN ns USING (w) GROUP BY lang),
+        |wt AS (SELECT lang, CAST(SUM(len($sqlTokens)) AS BIGINT) AS total_ws
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, total_bpe, total_ws,
+        |  CAST(total_bpe AS DOUBLE) /
+        |    CAST(GREATEST(total_ws, 1) AS DOUBLE) AS fertility
+        |FROM lb JOIN wt USING (lang) ORDER BY lang""".stripMargin),
+      "Fertility under the LEARNED tokenizer (x40's trained table): " +
+        "subwords per whitespace word per language"),
 
     // --- Unicode NFC normalization ------------------------------------
     // Canonical equivalence must collapse BEFORE any hashing/dedup:
