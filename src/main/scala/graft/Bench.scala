@@ -189,7 +189,11 @@ object Bench {
       sfDir.stripSuffix("/").endsWith("sf0.1")
     if (scaleEnabled && (System.nanoTime() - t0) / 1e9 < budget - 100)
       try {
-        val json = graft.tools.ScaleStress.probeJson(spark, sfDir)
+        // the 64x decade point (fitted exponents) costs ~1-2 min extra —
+        // run it only when the window clearly affords it
+        val decade = (System.nanoTime() - t0) / 1e9 < budget - 250
+        val json = graft.tools.ScaleStress.probeJson(spark, sfDir,
+          decade = decade)
         java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_LAST.json"),
           (json + "\n").getBytes("UTF-8"))
         System.err.println(s"[scale] $json")

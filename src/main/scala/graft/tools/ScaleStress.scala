@@ -184,10 +184,20 @@ object ScaleStress {
     *   - index_assign (round 11): the hierarchical corpus assignment
     *     under [[Similarity.indexCellsFor]] — the measured O(n^1.25)
     *     build exponent the scaladoc ceiling documents.
-    * Returns one JSON object (probes array + ratios).
+    *
+    * Round 12 (VERDICT r11 #3): when `decade` is set, the three at-rest
+    * claims — ivfpq_warm_query, topk_hier_query, index_quantizer_state —
+    * get a THIRD size point at 16·mLarge (size_ratio 64 with the
+    * defaults), and every probe with ≥2 sizes reports least-squares
+    * FITTED exponents (`time_exponent`, `rows_exponent` of the log-log
+    * fit) alongside the min/max ratios — a single ratio can't pin the
+    * growth law; three points a decade apart can. ScaleExponentSpec
+    * asserts the contract (< 0.5 time exponent for warm queries, ~0.5
+    * rows exponent for the O(√n) state).
+    * Returns one JSON object (probes array + ratios + exponents).
     */
   def probeJson(spark: SparkSession, sfDir: String,
-      mSmall: Int = 1, mLarge: Int = 4): String = {
+      mSmall: Int = 1, mLarge: Int = 4, decade: Boolean = true): String = {
     final case class P(name: String, m: Int, n: Long, rows: Long, sec: Double)
     val out = scala.collection.mutable.ArrayBuffer[P]()
     var record = true
@@ -384,6 +394,54 @@ object ScaleStress {
       emb.unpersist(false)
       spark.catalog.clearCache()
     }
+    // DECADE size point (VERDICT r11 #3): the three at-rest claims get a
+    // third point at 16·mLarge so the fitted exponent spans ~two decades
+    // of corpus size instead of resting on one ratio. Warm repeats ×2
+    // (min per (probe, m) below); index/assignment builds stay OUTSIDE
+    // the timers, exactly like the m_small/m_large points.
+    if (decade) {
+      record = true
+      val m = mLarge * 16
+      val emb = embCorpus(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val ncq = Similarity.indexCellsFor(n)
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nCells = ncq, m = 8, nCodes = 64, iterations = 1,
+        trainCap = 2048, hierAssign = true) // untimed: the ingest half
+      (1 to 2).foreach { _ =>
+        run("ivfpq_warm_query", m, n)(
+          Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), idx,
+            "vec_id", "embedding", topK = 5,
+            nProbe = Similarity.indexProbesFor(ncq), hierProbes = true,
+            superProbe = Similarity.indexSuperProbesFor(ncq)).count())
+      }
+      graft.Graft.releaseTruncated(idx.codes)
+      locally {
+        val cents = Similarity.seedCentroidsLiteral(emb, "vec_id",
+          "embedding", ncq)
+        val cells = Similarity.quantizerCellsHier(emb, "vec_id",
+            "embedding", ncq, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cells.count() // untimed: the ingest half
+        (1 to 2).foreach { _ =>
+          run("topk_hier_query", m, n)(
+            Similarity.ivfTopKHier(emb.filter(col("vec_id") < 5), emb,
+              "vec_id", "embedding", topK = 5, nCells = ncq,
+              nProbe = Similarity.indexProbesFor(ncq),
+              superProbe = Similarity.indexSuperProbesFor(ncq),
+              prebuiltCentroids = Some(cents),
+              prebuiltCells = Some(cells)).count())
+        }
+        cells.unpersist(false)
+      }
+      run("index_quantizer_state", m, n) {
+        Similarity.seedCentroidsLiteral(emb, "vec_id", "embedding",
+          Similarity.indexCellsFor(n)).count()
+      }
+      emb.unpersist(false)
+      spark.catalog.clearCache()
+    }
     // assignment-only extra size (4·mLarge): the flat form's O(n·nCells)
     // = O(n²/cellSize) term is buried under fixed overhead at small n —
     // at 16× the hier-vs-flat separation is visible in the ratios
@@ -405,22 +463,38 @@ object ScaleStress {
       spark.catalog.clearCache()
     }
     def r2(v: Double) = f"$v%.2f"
+    // least-squares slope of y against x — the log-log growth exponent
+    def slope(pts: Seq[(Double, Double)]): Double = {
+      val k = pts.size
+      val mx = pts.map(_._1).sum / k
+      val my = pts.map(_._2).sum / k
+      val varx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      if (varx <= 0) 0.0
+      else pts.map(p => (p._1 - mx) * (p._2 - my)).sum / varx
+    }
     val rows = out.groupBy(_.name).toSeq.sortBy(_._1).map { case (name, ps0) =>
       // min per (probe, m) across the repeated timed passes
-      val ps = ps0.groupBy(_.m).values.map(_.minBy(_.sec)).toSeq
-      val s = ps.minBy(_.m)
-      val l = ps.maxBy(_.m)
+      val ps = ps0.groupBy(_.m).values.map(_.minBy(_.sec)).toSeq.sortBy(_.n)
+      val s = ps.head
+      val l = ps.last
       val sizeR = l.n.toDouble / math.max(1L, s.n)
       val timeR = l.sec / math.max(1e-9, s.sec)
       val rowsR = l.rows.toDouble / math.max(1L, s.rows)
+      // fitted growth exponents over ALL size points (2 or 3): time and
+      // result rows against corpus size, log-log
+      val timeExp = slope(ps.map(p =>
+        (math.log(p.n.toDouble), math.log(math.max(1e-9, p.sec)))))
+      val rowsExp = slope(ps.map(p =>
+        (math.log(p.n.toDouble), math.log(math.max(1.0, p.rows.toDouble)))))
       s"""{"probe":"$name","n_small":${s.n},"n_large":${l.n},""" +
         s""""rows_small":${s.rows},"rows_large":${l.rows},""" +
         s""""sec_small":${r2(s.sec)},"sec_large":${r2(l.sec)},""" +
         s""""size_ratio":${r2(sizeR)},"time_ratio":${r2(timeR)},""" +
-        s""""rows_ratio":${r2(rowsR)}}"""
+        s""""rows_ratio":${r2(rowsR)},"n_points":${ps.size},""" +
+        s""""time_exponent":${r2(timeExp)},"rows_exponent":${r2(rowsExp)}}"""
     }
     s"""{"probes":[${rows.mkString(",")}],"m_small":$mSmall,""" +
-      s""""m_large":$mLarge,"sf":"$sfDir"}"""
+      s""""m_large":$mLarge,"decade":$decade,"sf":"$sfDir"}"""
   }
 
   /** m deterministic copies of the embeddings table, each circularly
