@@ -71,10 +71,10 @@ object TextSuite {
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter($sqlTokens, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  // DuckDB fragment: BPE-ish pre-tokenizer (mirrors Text.bpePattern —
-  // same RE2∩Java regex, apostrophe doubled for the SQL literal).
-  private val sqlBpe =
-    "regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+', 0)"
+  // (the BPE-ish pre-tokenizer mirror retired in round 12: x16 now
+  // measures fertility under the LEARNED tokenizer — see BpeShared;
+  // Text.bpeTokens remains part of the expression surface,
+  // spec-covered in TextDedupSpec)
 
   /** x8b's fixed-size shard bound — ONE constant feeding both the Spark
     * filter and the oracle scope (a drifted duplicate would silently

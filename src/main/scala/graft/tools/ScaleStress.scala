@@ -268,7 +268,12 @@ object ScaleStress {
         import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
         val conf = spark.conf
         val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
-        val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        // getOption, NOT get-with-fallback: the adaptive threshold's
+        // default is "fall back to the static one" — restoring a read
+        // fallback VALUE pins it explicitly and silently decouples the
+        // two for the rest of the session (bit AqeSkewSpec once
+        // ScaleExponentSpec ran this probe in the shared test JVM)
+        val prevA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try {
@@ -295,7 +300,12 @@ object ScaleStress {
           }.foldLeft(0L)(math.max)
         } finally {
           conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+          prevA match {
+            case Some(v) =>
+              conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None =>
+              conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
         }
       }
       // topK QUERY cost under the INDEX-SCALED (4·√n) quantizer at the

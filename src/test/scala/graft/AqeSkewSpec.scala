@@ -22,6 +22,13 @@ class AqeSkewSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8192")
     val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // the ADAPTIVE broadcast threshold falls back to the static one only
+    // while unset — if an earlier suite left it explicitly set, AQE
+    // would convert this SMJ to broadcast and no skew split can fire;
+    // pin it for the test, restore the unset-vs-set state exactly
+    val adaptKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAdapt = spark.conf.getOption(adaptKey)
+    spark.conf.set(adaptKey, "-1")
     try {
       // one hot key carrying 300k wide rows (the pad survives the join,
       // so the shuffled partition is genuinely megabytes) vs 200 uniform
@@ -44,6 +51,12 @@ class AqeSkewSpec extends SparkSpec {
       val planStr = j.queryExecution.executedPlan.toString
       assert(planStr.contains("skew=true"),
         s"AQE should have split the skewed partition:\n${planStr.take(3000)}")
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      prevAdapt match {
+        case Some(v) => spark.conf.set(adaptKey, v)
+        case None => spark.conf.unset(adaptKey)
+      }
+    }
   }
 }
