@@ -91,7 +91,8 @@ object TextSuite {
   val memoShared: Set[String] = Set(
     "x7_minhash_neardups", "x18_dup_clusters", "x27_leakage_safe_split",
     "x28_dedup_apply", "x38_curation_pipeline",
-    "x40_bpe_train", "x16_bpe_fertility") // both read BpeShared's trained state
+    "x40_bpe_train", "x16_bpe_fertility",
+    "x41_bpe_vocab") // all three read BpeShared's trained state
 
   /** Per-(session, dir) memo of the LEARNED BPE state (operators.Bpe —
     * 8 merge rounds on the documents vocabulary): x40 reports the merge
@@ -281,6 +282,34 @@ m$r AS MATERIALIZED (
         |FROM lb JOIN wt USING (lang) ORDER BY lang""".stripMargin),
       "Fertility under the LEARNED tokenizer (x40's trained table): " +
         "subwords per whitespace word per language"),
+
+    // --- x41: the learned VOCABULARY (round 12) -------------------------
+    // What a trained tokenizer actually ships: the symbol inventory and
+    // its corpus mass. Top 20 learned symbols by freq-weighted
+    // occurrence count (symbol ASC tiebreak), each tagged with its
+    // byte length and whether it's a merge product — read from the same
+    // trained table as x40/x16, oracled against the replayed chain.
+    "x41_bpe_vocab" -> Q(
+      (s, dir) => {
+        val t = BpeShared.trained(s, dir)
+        t.syms.groupBy("sym")
+          .agg(sum("freq").as("total_count"),
+            countDistinct(col("w")).as("n_words"))
+          .select(col("sym"), col("total_count"), col("n_words"),
+            length(col("sym")).cast("long").as("sym_len"),
+            (length(col("sym")) > 1).as("is_merged"))
+          .orderBy(col("total_count").desc, col("sym").asc)
+          .limit(20)
+      },
+      Some(s"""WITH ${sqlBpeChain(BpeShared.Rounds)}
+        |SELECT sym, CAST(SUM(freq) AS BIGINT) AS total_count,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+        |  CAST(length(sym) AS BIGINT) AS sym_len,
+        |  length(sym) > 1 AS is_merged
+        |FROM s${BpeShared.Rounds}
+        |GROUP BY sym ORDER BY total_count DESC, sym ASC LIMIT 20""".stripMargin),
+      "The learned tokenizer's vocabulary: top symbols by corpus mass " +
+        "after the x40 merges, merge products flagged"),
 
     // --- Unicode NFC normalization ------------------------------------
     // Canonical equivalence must collapse BEFORE any hashing/dedup:

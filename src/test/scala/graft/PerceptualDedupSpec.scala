@@ -42,6 +42,26 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("lossy re-encode: the JPEG copy lands within the m11 radius") {
+    // the production case: the SAME picture re-encoded through a LOSSY
+    // codec — quantization perturbs pixels, the dHash moves a few bits
+    // at most, and the radius-7 banding still pairs it with the
+    // original (byte-chunk dedup is hopeless here for the same reason
+    // as the lossless cross-format pair)
+    for (g <- Seq(2L, 9L, 31L)) {
+      val (w, h) = MultimodalFixture.gifDims(g)
+      val px = MultimodalFixture.gifPixels(g)
+      val orig = Multimodal.dHash64(w, h, px)
+      val jpeg = graft.sources.JpegBinary.encodeJpeg(w, h, px)
+      val (jw, jh, jpx) = Multimodal.decodeImageAny(jpeg).get
+      assert(jw == w && jh == h)
+      val d = java.lang.Long.bitCount(orig ^ Multimodal.dHash64(jw, jh, jpx))
+      assert(d <= 7, s"JPEG re-encode of asset $g drifted $d dHash bits")
+      assert(chunkMd5s(MultimodalFixture.gifMedia(g))
+        .intersect(chunkMd5s(jpeg)).isEmpty)
+    }
+  }
+
   test("dHash is stable under 2x downscale") {
     for (g <- Seq(1L, 7L, 23L)) {
       val (w, h) = MultimodalFixture.gifDims(g)
