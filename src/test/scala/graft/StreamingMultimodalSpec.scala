@@ -495,6 +495,77 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
 
+  test("MediaStream.nearDupIngest: perceptual gate — cross-format dups quarantined, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.MediaStream
+    val feed = java.nio.file.Files.createTempDirectory("mdi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("mdi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("mdi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mdi_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mdi_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // gif assets 0/1/10 are mutually beyond the radius-7 banding (the
+    // m11 pair set at sf-independent fixture scale excludes all three
+    // pairs); 100 is the SAME PICTURE as 0 re-encoded as BMP — a
+    // within-batch cross-format duplicate no byte fingerprint can see
+    def gifBytes(g: Long) = MultimodalFixture.gifMedia(g)
+    def bmpOf(g: Long) = {
+      val (w, h) = MultimodalFixture.gifDims(g)
+      graft.sources.MediaBinary.encodeBmp(w, h, MultimodalFixture.gifPixels(g))
+    }
+    stage("a.parquet", Seq(
+      (0L, "gif", gifBytes(0)), (1L, "gif", gifBytes(1)),
+      (100L, "image", bmpOf(0)),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
+    val q = MediaStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 7)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the PNG re-encode of INDEXED picture 1 (zero
+      // shared bytes with anything at rest); 210 carries novel content
+      stage("b.parquet", Seq(
+        (201L, "png", MultimodalFixture.percMedia(1)),
+        (210L, "gif", gifBytes(10))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
+    assert(quar == Set(
+      (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham == 0L, s"PNG re-encode of a lossless source must match " +
+      s"at distance 0, got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(MediaStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    MediaStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 7)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
+
   test("extractFeatures: real pooled features match hand-computed values") {
     import spark.implicits._
     import graft.sources.MediaBinary
