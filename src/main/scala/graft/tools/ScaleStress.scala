@@ -433,7 +433,12 @@ object ScaleStress {
         val cells = Similarity.quantizerCellsHier(emb, "vec_id",
             "embedding", ncq, cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cells.count() // untimed: the ingest half
+        // the ingest half — but the decade point also TIMES it as
+        // index_assign (VERDICT r11 residual: re-measure the documented
+        // O(n^1.25) assignment ceiling at each new scale point), which
+        // costs nothing extra: the persist materializes either way and
+        // the query timers below start after it
+        run("index_assign", m, n)(cells.count())
         (1 to 2).foreach { _ =>
           run("topk_hier_query", m, n)(
             Similarity.ivfTopKHier(emb.filter(col("vec_id") < 5), emb,
