@@ -139,11 +139,42 @@ object MultimodalSuite {
       }(Graft.releaseTruncated)
   }
 
-  /** Queries reading the per-session ChunkShared / MediaDedupShared
-    * memos (see Bench's memo_shared disclosure).
+  /** Queries reading per-session memos — ChunkShared / MediaDedupShared
+    * (byte-chunk domain) and PercShared (perceptual domain); see
+    * Bench's memo_shared disclosure.
     */
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
-    "m5_media_dedup_clusters")
+    "m5_media_dedup_clusters", "m11_perceptual_neardups",
+    "m13_perceptual_dedup_clusters")
+
+  /** Per-session memos of the PERCEPTUAL pair table (m11 — decode +
+    * dHash + exact-recall banding over gif∪perc, once per session) and
+    * its component closure (m13) — the MediaDedupShared split for the
+    * pixel domain.
+    */
+  private object PercShared {
+    import graft.{Graft, SessionMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.percPath, "m11-pairs") {
+        import s.implicits._
+        val corpus = gifAssets(s).unionByName(percAssets(s))
+        val sigs = Multimodal.dHash(corpus.as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.hammingNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }(Graft.releaseTruncated)
+    }
+    def clusters(s: SparkSession): DataFrame = {
+      // pairs resolved BEFORE the clusters slot computes (the
+      // DedupShared re-entrancy rule)
+      val p = pairs(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.percPath,
+          "m11-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }(Graft.releaseTruncated)
+    }
+  }
 
   /** Force the media-dedup memos, timed — Bench's `sf1_builds` section
     * (see VectorSuite.prebuild). Keyed by the FIXTURE path, not the SF
@@ -156,7 +187,9 @@ object MultimodalSuite {
     val items: Seq[(String, () => Unit)] = Seq(
       "media_chunks" -> (() => { ChunkShared.table(s); () }),
       "media_minhash_pairs" -> (() => { MediaDedupShared.pairs(s); () }),
-      "media_dup_clusters" -> (() => { MediaDedupShared.clusters(s); () }))
+      "media_dup_clusters" -> (() => { MediaDedupShared.clusters(s); () }),
+      "media_dhash_pairs" -> (() => { PercShared.pairs(s); () }),
+      "media_perc_clusters" -> (() => { PercShared.clusters(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -621,20 +654,41 @@ object MultimodalSuite {
     // simhashNearDups default) — 8-bit bands would mega-bucket there
     // (see hammingNearDupsSig's scaladoc).
     "m11_perceptual_neardups" -> Q(
-      (s, _) => {
-        import s.implicits._
-        val corpus = gifAssets(s).unionByName(percAssets(s))
-        val sigs = Multimodal.dHash(corpus.as[Multimodal.Asset]).toDF()
-          .select(col("asset_id").as("id"), col("dhash").as("sig"))
-        graft.operators.Dedup.hammingNearDupsSig(sigs, maxHamming = 7,
-          maxBucketSize = 256, bands = 8)
-          .orderBy("id1", "id2")
-      },
+      (s, _) => PercShared.pairs(s).orderBy("id1", "id2"),
       Some(sqlM11),
       "Perceptual image near-dup: genuine cross-format decode -> " +
         "integer-exact 64-bit dHash -> banded Hamming pairs; the oracle " +
         "replays the hash from the lossless generator and demands the " +
         "complete radius-7 pair set"),
+
+    // --- m13: perceptual dedup APPLY (round 12) -------------------------
+    // The shippable artifact over m11's pairs — the m5/x18 step for the
+    // perceptual domain: near-dup relations chain (A≈B, B≈C), so the
+    // dedup that ships is the component table (canonical_id, member_id)
+    // with min-id canonicals, closed by the same pointer-jumping label
+    // propagation and memoized per session. The oracle embeds m11's
+    // exact mirror whole and closes it with the recursive CTE. (This
+    // demonstration corpus is gradient-dense, so the radius-7 graph is
+    // well-connected; production thresholds sit much tighter.)
+    "m13_perceptual_dedup_clusters" -> Q(
+      (s, _) => PercShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |$sqlM11
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Perceptual dedup clusters: m11 pairs closed into min-id-canonical " +
+        "components (the media-pixel analogue of m5/x18); oracle embeds " +
+        "the m11 mirror and closes it recursively"),
 
     // --- m12: MJPEG-in-AVI audit (round 12) -----------------------------
     // The compressed-video rung: mjpeg.parquet holds genuine RIFF/AVI
