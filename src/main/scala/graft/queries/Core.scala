@@ -819,7 +819,14 @@ object Core {
     def tables(s: SparkSession, dir: String): (String, String) =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-bucketed-v1") {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+        // table names can't hold the dots LayoutShared's tag keeps, so
+        // the lossy strip+lowercase is suffixed with a hash of the FULL
+        // dir: distinct dirs differing only in stripped/cased chars
+        // (sf0.1 vs sf0_1) must not collide on one /dev/shm path and
+        // silently overwrite each other's bucketed copies (ADVICE r12)
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
+          "_" + java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dir))
         val base = "/dev/shm/graft-layout/" + tag
         val lt = s"graft_b_lineitem_$tag"
         val ot = s"graft_b_orders_$tag"

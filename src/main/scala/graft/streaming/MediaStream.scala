@@ -23,7 +23,9 @@ import graft.operators.{Dedup, Multimodal}
   * State posture at scale: no in-stream image state at all — the index
   * holds (id, 8-byte dHash, byte size) rows in parquet, media bytes
   * never leave their batch's scan, and each batch pays one decode pass
-  * plus the banded equi-join against the index. Undecodable payloads
+  * plus the banded equi-join against the index. Payloads with no
+  * usable fingerprint — undecodable bytes, or images smaller than the
+  * 9×8 dHash grid (a degenerate all-zero key; see Multimodal.dHash) —
   * are quarantined loudly (reason "undecodable"), never silently
   * dropped. Exactly-once effect without a transactional sink: both
   * writes are partitioned by micro-batch id under dynamic partition
@@ -39,12 +41,17 @@ object MediaStream {
     StructField("media", BinaryType)))
 
   /** File-based stream over a directory of asset parquet; event time
-    * derived deterministically from the id (the VecStream rule).
+    * derived deterministically from the id — MONOTONE in the id (the
+    * DocStream/VecStream rule). A modular wrap (an earlier `% 100000`)
+    * would step event time backward below the watermark once ids pass
+    * the modulus, and dropDuplicatesWithinWatermark would silently drop
+    * ~all subsequent arrivals as late — production data loss a fixture
+    * never reaches.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(storedSchema).parquet(dir)
       .withColumn("ts",
-        timestamp_seconds(lit(1577836800L) + col("asset_id") % 100000L))
+        timestamp_seconds(lit(1577836800L) + col("asset_id")))
 
   def nearDupIngest(spark: SparkSession, feedDir: String, indexDir: String,
       quarantineDir: String, checkpointDir: String,

@@ -40,7 +40,11 @@ while [ "$i" -lt "$attempts" ]; do
     sleep 45
   done
   ts=$(date +%s)
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  # setsid: the run gets its OWN process group (sbt script → sbt JVM →
+  # forked graft.Bench JVM), so the abort path can kill exactly this
+  # run's tree — a host-wide `pkill -f graft.Bench` would take out a
+  # second watcher's run or a manually launched bench (ADVICE r12)
+  setsid env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_BUDGET_SEC=$budget \
     sbt -batch "runMain graft.Bench" > /tmp/bench_${tag}_${ts}.log 2>&1 &
   pid=$!
@@ -48,11 +52,11 @@ while [ "$i" -lt "$attempts" ]; do
   while kill -0 "$pid" 2>/dev/null; do
     if [ -e /tmp/graft_no_bench ]; then
       # the lock arrived mid-run: this run's numbers are about to be
-      # poisoned by concurrent sbt work anyway — abort and requeue
-      kill "$pid" 2>/dev/null
-      pkill -f 'graft.Bench' 2>/dev/null
+      # poisoned by concurrent sbt work anyway — abort and requeue.
+      # Kill the run's own process group only (see setsid above).
+      kill -- -"$pid" 2>/dev/null
       sleep 5
-      kill -9 "$pid" 2>/dev/null
+      kill -9 -- -"$pid" 2>/dev/null
       aborted=1
       break
     fi
