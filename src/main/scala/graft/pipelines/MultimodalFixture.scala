@@ -295,11 +295,27 @@ object MultimodalFixture {
 
   def mjpegFrameCount(id: Long): Int = 2 + (id % 4).toInt
 
+  /** Per-(id, frame) structured frame pixels: smooth TRIANGULAR WAVES
+    * with id-keyed spatial frequency and phase per channel, plus a keyed
+    * rectangle. Waves (not plain gradients) because the round-13
+    * perceptual-video operator (m14) needs unrelated clips to sit FAR
+    * apart in dHash space: a gradient's adjacent-block ordering is the
+    * same for every id (only the rect differed — unrelated clips
+    * measured as close as 2 bits), while per-id frequencies/phases
+    * reorder the block means richly (unrelated clips ≥ ~20 bits,
+    * cross-codec re-encodes of the same frame ≤ ~4 — the separation the
+    * banding radius lives inside). Still smooth content a DCT codec
+    * compresses well (periods ≥ w/4 ≥ 17 px).
+    */
   def mjpegFramePixels(id: Long, k: Int): Array[Byte] = {
     val (w, h) = mjpegDims(id)
     val out = new Array[Byte](w * h * 3)
     val m = mix(id * 131 + k + 7)
     val (rx, ry) = (((m >>> 8) % w).toInt, ((m >>> 24) % h).toInt)
+    val fx = 1 + (m & 3L).toInt; val fy = 1 + ((m >>> 2) & 3L).toInt
+    val px0 = ((m >>> 4) & 0xffL).toInt; val py0 = ((m >>> 12) & 0xffL).toInt
+    // 0..254 triangle wave over a 256-step period
+    def tri(t: Int): Int = { val u = t & 0xff; if (u < 128) 2 * u else 2 * (255 - u) }
     var y = 0
     while (y < h) {
       var x = 0
@@ -307,9 +323,9 @@ object MultimodalFixture {
         val o = (y * w + x) * 3
         val inRect = x >= rx / 2 && x < (rx / 2 + w / 3) &&
           y >= ry / 2 && y < (ry / 2 + h / 3)
-        out(o) = ((x * 255 / w + (m & 0x3f)).min(255)).toByte
-        out(o + 1) = ((y * 255 / h + ((m >>> 6) & 0x3f)).min(255)).toByte
-        out(o + 2) = (if (inRect) 200 else 40 + ((m >>> 12) & 0x1f)).toByte
+        out(o) = tri(x * fx * 256 / w + px0).toByte
+        out(o + 1) = tri(y * fy * 256 / h + py0).toByte
+        out(o + 2) = (if (inRect) 200 else 40 + ((m >>> 20) & 0x1f)).toByte
         x += 1
       }
       y += 1
@@ -369,6 +385,126 @@ object MultimodalFixture {
     new File(s"$percPath/$percMarker").createNewFile()
   }
 
+  // --- perceptual VIDEO dedup asset set (round 13) ----------------------
+  // The m14 corpus alongside mjpeg.parquet: the SAME mjpegFramePixels
+  // frames as (a) lossless uncompressed-DIB clips (ids +VPercDibOffset)
+  // and (b) 2× nearest-neighbor DOWNSCALED DIB clips (ids
+  // +VPercDownOffset). Lane (a) vs mjpeg.parquet is the planted
+  // CROSS-CODEC pair the byte-chunk domain provably misses (different
+  // codec, zero shared chunks, near-identical frame dHashes); lane (b)
+  // is the cross-REPRESENTATION pair whose pixels the m14 oracle can
+  // replay bit-exactly from hex(media) (DIB is lossless — the hex walk
+  // reads the actual downscaled pixels, no resample replay needed).
+  def vpercPath: String = s"$root/vperc.parquet"
+  val VPercDibOffset = 40000L
+  val VPercDownOffset = 50000L
+
+  /** Lossless DIB twin of the mjpeg clip: identical pre-encode frames. */
+  def vpercDibMedia(i: Long): Array[Byte] = {
+    val (w, h) = mjpegDims(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame,
+      Array.tabulate(mjpegFrameCount(i))(k => mjpegFramePixels(i, k)))
+  }
+
+  /** 2× nearest-neighbor downscale of the same frames (the resize
+    * convention: src x = x·w/dw, integer division), DIB-encoded.
+    */
+  def vpercDownMedia(i: Long): Array[Byte] = {
+    val (w, h) = mjpegDims(i)
+    val dw = w / 2; val dh = h / 2
+    def down(px: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](dw * dh * 3)
+      var y = 0
+      while (y < dh) {
+        val sy = y * h / dh
+        var x = 0
+        while (x < dw) {
+          val sx = x * w / dw
+          val s = (sy * w + sx) * 3; val d = (y * dw + x) * 3
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    graft.sources.MediaBinary.encodeAvi(dw, dh, AviUsPerFrame,
+      Array.tabulate(mjpegFrameCount(i))(k => down(mjpegFramePixels(i, k))))
+  }
+
+  def buildVPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nMjpegs.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + VPercDibOffset, "video",
+          vpercDibMedia(i)),
+        graft.operators.Multimodal.Asset(i + VPercDownOffset, "video",
+          vpercDownMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(vpercPath)
+    new File(s"$vpercPath/$vpercMarker").createNewFile()
+  }
+
+  // --- perceptual AUDIO dedup asset set (round 13) ----------------------
+  // Edited twins of the first nAPercBases audio assets: gain-halved
+  // (every sample ÷2, ids +APercGainOffset) and requantized-to-12-bit
+  // (low 4 bits zeroed, ids +APercQuantOffset) — both genuine PCM WAVs
+  // whose BYTES share nothing with the originals while the 65-window
+  // amplitude-delta SIGN structure (Multimodal.audioDHash) is all but
+  // unchanged. Everything is oracle-replayable: the edits happened at
+  // build time, so the m15 oracle just reads each lane's samples out of
+  // hex(media) — no transform replay needed.
+  def apercPath: String = s"$root/aperc.parquet"
+  val APercGainOffset = 60000L
+  val APercQuantOffset = 70000L
+  val nAPercBases = 10
+
+  /** The first [[nAPercBases]] audio asset ids of assets.parquet. */
+  def apercBaseIds: Seq[Long] =
+    (0L until nAssets.toLong).filter(mediaType(_) == "audio")
+      .take(nAPercBases)
+
+  private def transformWav(bytes: Array[Byte], f: Int => Int): Array[Byte] = {
+    val w = graft.sources.MediaBinary.decodeWav(bytes)
+      .getOrElse(sys.error("aperc base is not a WAV"))
+    val d = w.data.clone()
+    var o = 0
+    while (o + 1 < d.length) {
+      val v = ((d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)).toShort.toInt
+      val t = f(v)
+      d(o) = (t & 0xff).toByte
+      d(o + 1) = ((t >> 8) & 0xff).toByte
+      o += 2
+    }
+    graft.sources.MediaBinary.encodeWav(w.sampleRate, w.channels,
+      w.bitsPerSample, d)
+  }
+
+  def apercGainMedia(baseId: Long): Array[Byte] =
+    transformWav(media(baseId), _ / 2)
+
+  def apercQuantMedia(baseId: Long): Array[Byte] =
+    transformWav(media(baseId), v => v & ~0xf)
+
+  def buildAPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    val bases = apercBaseIds
+    spark.sparkContext.parallelize(bases, 4).toDF("base_id")
+      .as[Long]
+      .flatMap(b => Seq(
+        graft.operators.Multimodal.Asset(b + APercGainOffset, "audio",
+          apercGainMedia(b)),
+        graft.operators.Multimodal.Asset(b + APercQuantOffset, "audio",
+          apercQuantMedia(b))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(apercPath)
+    new File(s"$apercPath/$apercMarker").createNewFile()
+  }
+
   @volatile private var ready = false
 
   /** Fixture layout version marker: bumped when the on-disk content
@@ -381,7 +517,9 @@ object MultimodalFixture {
   private val pngMarker = "_GRAFT_PNG_V1"
   private val gifMarker = "_GRAFT_GIF_V1"
   private val percMarker = "_GRAFT_PERC_V1"
-  private val mjpegAviMarker = "_GRAFT_MJPEG_AVI_V1"
+  private val mjpegAviMarker = "_GRAFT_MJPEG_AVI_V2" // V2 = wave generator (m14 separation)
+  private val vpercMarker = "_GRAFT_VPERC_V1"
+  private val apercMarker = "_GRAFT_APERC_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -397,6 +535,10 @@ object MultimodalFixture {
         !new File(s"$percPath/$percMarker").exists()) buildPerc(spark)
     if (!new File(s"$mjpegPath/_SUCCESS").exists() ||
         !new File(s"$mjpegPath/$mjpegAviMarker").exists()) buildMjpeg(spark)
+    if (!new File(s"$vpercPath/_SUCCESS").exists() ||
+        !new File(s"$vpercPath/$vpercMarker").exists()) buildVPerc(spark)
+    if (!new File(s"$apercPath/_SUCCESS").exists() ||
+        !new File(s"$apercPath/$apercMarker").exists()) buildAPerc(spark)
     ready = true
   }
 

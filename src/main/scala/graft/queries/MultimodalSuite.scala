@@ -70,6 +70,22 @@ object MultimodalSuite {
 
   private def MJ = s"read_parquet('${MultimodalFixture.mjpegPath}/*.parquet')"
 
+  private def vpercAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vpercPath))
+  }
+
+  private def VP = s"read_parquet('${MultimodalFixture.vpercPath}/*.parquet')"
+
+  private def apercAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.apercPath))
+  }
+
+  private def AP = s"read_parquet('${MultimodalFixture.apercPath}/*.parquet')"
+
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
     * an asset lands, then every dedup pass reads fingerprints, not
@@ -140,12 +156,54 @@ object MultimodalSuite {
   }
 
   /** Queries reading per-session memos — ChunkShared / MediaDedupShared
-    * (byte-chunk domain) and PercShared (perceptual domain); see
-    * Bench's memo_shared disclosure.
+    * (byte-chunk domain) and PercShared / VPercShared / APercShared
+    * (perceptual domain); see Bench's memo_shared disclosure.
     */
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
-    "m13_perceptual_dedup_clusters")
+    "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
+    "m15_audio_perceptual_neardups")
+
+  /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
+    * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
+    * per session) — the PercShared split for the temporal domain.
+    */
+  private object VPercShared {
+    import graft.{Graft, SessionMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.vpercPath, "m14-pairs") {
+        import s.implicits._
+        val corpus = vpercAssets(s).unionByName(mjpegAssets(s))
+        val sigs = Multimodal.videoDHash(corpus.as[Multimodal.Asset], 4).toDF()
+          .select(col("asset_id").as("id"), col("slot"),
+            col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.temporalNearDupsSig(sigs,
+          maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
+      }(Graft.releaseTruncated)
+    }
+  }
+
+  /** Per-session memo of the AUDIO perceptual pair table (m15 — the
+    * 65-window amplitude-delta sign hash fed to the UNCHANGED
+    * hammingNearDupsSig banding, once per session).
+    */
+  private object APercShared {
+    import graft.{Graft, SessionMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      SessionMemo.getOrCompute(s, MultimodalFixture.apercPath, "m15-pairs") {
+        import s.implicits._
+        val corpus = assets(s)
+          .filter(col("media_type") === "audio" && col("asset_id") < 30)
+          .unionByName(apercAssets(s))
+        val sigs = Multimodal.audioDHash(corpus.as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.hammingNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }(Graft.releaseTruncated)
+    }
+  }
 
   /** Per-session memos of the PERCEPTUAL pair table (m11 — decode +
     * dHash + exact-recall banding over gif∪perc, once per session) and
@@ -189,7 +247,9 @@ object MultimodalSuite {
       "media_minhash_pairs" -> (() => { MediaDedupShared.pairs(s); () }),
       "media_dup_clusters" -> (() => { MediaDedupShared.clusters(s); () }),
       "media_dhash_pairs" -> (() => { PercShared.pairs(s); () }),
-      "media_perc_clusters" -> (() => { PercShared.clusters(s); () }))
+      "media_perc_clusters" -> (() => { PercShared.clusters(s); () }),
+      "media_video_dhash_pairs" -> (() => { VPercShared.pairs(s); () }),
+      "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -728,7 +788,65 @@ object MultimodalSuite {
       "MJPEG-in-AVI audit: every compressed frame genuinely " +
         "entropy-decoded on the Spark side (counts + SOF0 dims from the " +
         "decode); the oracle parses MainAVIHeader fields independently " +
-        "from hex(media)"))
+        "from hex(media)"),
+
+    // --- m14: perceptual VIDEO near-dup (round 13) -----------------------
+    // The temporal rung of the perceptual matrix (m11 = stills): the
+    // corpus is vperc.parquet ∪ mjpeg.parquet, where vperc holds the SAME
+    // frames as the mjpeg clips — once as lossless uncompressed-DIB and
+    // once 2×-downscaled — so every planted pair shares ZERO byte chunks
+    // (different codec or different resolution ⇒ every byte differs; the
+    // m4 chunk pipeline provably finds none — VideoAudioPerceptualSpec
+    // asserts it). The Spark side seeks k=4 evenly-sampled frames per
+    // clip (entropy-decoding ONLY those for MJPEG — the m3 seek shape),
+    // dHashes each frame, and pairs clips whose EVERY aligned slot is
+    // within Hamming 15 (Dedup.temporalNearDupsSig, bands=16 —
+    // pigeonhole-exact recall, so the oracle demands the complete pair
+    // set). Oracle split, the m12 precedent for compressed payloads:
+    // pairs among the two LOSSLESS DIB lanes are replayed bit-exactly
+    // from hex(media) (header walk → sampled-frame offsets → 9×8 block
+    // sums → cross-multiplied bits → per-slot Hamming → worst-slot
+    // filter); pairs involving the MJPEG lane are the planted ground
+    // truth by id arithmetic — the fixture is deterministic, and the
+    // measured separation (planted cross-codec worst slot ≤ 3 bits;
+    // closest unrelated pair ≥ 25 — pinned by the spec) means the
+    // radius-15 pair set over the compressed lane is exactly the
+    // planted set; an engine-side codec or hash bug shifts distances
+    // and breaks the match. At 100 TB only (id, slot, 8-byte hash)
+    // rows shuffle; frames never leave their scan.
+    "m14_video_perceptual_neardups" -> Q(
+      (s, _) => VPercShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM14),
+      "Perceptual video near-dup: container frame seek -> per-slot " +
+        "dHash -> temporal banding (all slots within radius); lossless " +
+        "lanes replayed from hex(media), the MJPEG lane checked against " +
+        "the planted cross-codec ground truth"),
+
+    // --- m15: perceptual AUDIO near-dup (round 13) -----------------------
+    // The spectral-envelope rung, closing the image/video/audio matrix:
+    // the 65-window mean-absolute-amplitude profile of the decoded PCM
+    // samples is quantized to a 64-bit window-over-window delta SIGN
+    // hash (Multimodal.audioDHash — the dHash construction in the time
+    // domain) and fed to the UNCHANGED hammingNearDupsSig banding at
+    // radius 7 / bands 8 (pigeonhole-exact). The corpus plants
+    // gain-halved and requantized-to-12-bit twins (aperc.parquet) of the
+    // first ten audio assets: every byte of a twin differs from its
+    // base (m4 finds nothing — the spec asserts it) while the delta
+    // signs are measured bit-identical; unrelated assets sit ≥ 22 bits
+    // apart. EVERYTHING is oracle-replayable — the edits happened at
+    // fixture build, so DuckDB just reads each lane's samples out of
+    // hex(media) (the m7 WAV walk), rebuilds the window sums, compares
+    // means by cross-multiplication, and demands the complete radius-7
+    // pair set with exact distances. Corpus bounded to asset_id < 30
+    // purely to keep the oracle's hex walk cheap (the m7 rationale);
+    // the operator itself is the full-corpus mapPartitions path.
+    "m15_audio_perceptual_neardups" -> Q(
+      (s, _) => APercShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM15),
+      "Perceptual audio near-dup: decoded-PCM window-amplitude delta " +
+        "sign hash -> banded Hamming pairs; the oracle rebuilds the " +
+        "hash from hex(media) samples and demands the complete " +
+        "radius-7 pair set"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
@@ -785,6 +903,117 @@ object MultimodalSuite {
     |  SELECT a.id AS id1, b.id AS id2,
     |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
     |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
+    |  GROUP BY a.id, b.id)
+    |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
+    |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** m14's oracle: lossless DIB lanes replayed bit-exactly from
+    * hex(media) — canonical AVI header fields (the m3/m6 offsets),
+    * sampled-frame chunk offsets, bottom-up stride-aware pixel reads,
+    * 9×8 integer block sums, cross-multiplied mean bits, per-slot
+    * Hamming, worst-slot ≤ 15 over equal slot counts — UNIONed with the
+    * planted MJPEG-lane ground truth by id arithmetic (see the m14
+    * query comment for why the compressed lane cannot be replayed in
+    * SQL and why the planted set is exactly the radius-15 set).
+    */
+  private def sqlM14: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    // byte value at 0-based offset k
+    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+    val pxo = "foff + (h - 1 - y) * stride + x * 3"
+    s"""WITH v AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $VP),
+    |hdr AS MATERIALIZED (
+    |  SELECT id, hx, ${le32(49)} AS nf, ${le32(65)} AS w, ${le32(69)} AS h,
+    |    ((${le32(65)} * 3 + 3) // 4) * 4 AS stride
+    |  FROM v),
+    |fr AS (
+    |  SELECT id, hx, w, h, stride, LEAST(4, nf) AS take, slot,
+    |    224 + ((nf * slot) // LEAST(4, nf)) * (8 + stride * h) + 8 AS foff
+    |  FROM hdr CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) sl
+    |  WHERE slot < LEAST(4, nf)),
+    |cells AS (
+    |  SELECT id, hx, w, h, stride, take, slot, foff, j, i
+    |  FROM fr
+    |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+    |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii),
+    |blocks AS MATERIALIZED (
+    |  SELECT id, take, slot, j, i,
+    |    COALESCE(list_sum(list_transform(
+    |        range((j * h + 7) // 8, ((j + 1) * h + 7) // 8), y ->
+    |      list_sum(list_transform(
+    |          range((i * w + 8) // 9, ((i + 1) * w + 8) // 9), x ->
+    |        ${bv(pxo)} + ${bv(s"$pxo + 1")} + ${bv(s"$pxo + 2")})))), 0) AS s,
+    |    (((i + 1) * w + 8) // 9 - (i * w + 8) // 9) *
+    |      (((j + 1) * h + 7) // 8 - (j * h + 7) // 8) AS c
+    |  FROM cells),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.take, l.slot, l.j, l.i, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM blocks l JOIN blocks r
+    |    ON l.id = r.id AND l.slot = r.slot AND l.j = r.j AND r.i = l.i + 1
+    |  WHERE l.i < 8),
+    |ham AS (
+    |  SELECT a.id AS id1, b.id AS id2, a.slot,
+    |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
+    |  FROM bits a JOIN bits b
+    |    ON a.slot = b.slot AND a.j = b.j AND a.i = b.i
+    |      AND a.take = b.take AND a.id < b.id
+    |  GROUP BY a.id, b.id, a.slot)
+    |SELECT id1, id2 FROM (
+    |  SELECT id1, id2 FROM ham GROUP BY id1, id2 HAVING MAX(hm) <= 15
+    |  UNION ALL
+    |  SELECT ${MultimodalFixture.MjpegIdOffset} + i AS id1,
+    |    ${MultimodalFixture.VPercDibOffset} + i AS id2
+    |  FROM (SELECT unnest(range(0, ${MultimodalFixture.nMjpegs})) AS i) p1
+    |  UNION ALL
+    |  SELECT ${MultimodalFixture.MjpegIdOffset} + i,
+    |    ${MultimodalFixture.VPercDownOffset} + i
+    |  FROM (SELECT unnest(range(0, ${MultimodalFixture.nMjpegs})) AS i) p2) u
+    |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** m15's oracle: the 65-window amplitude sign hash rebuilt entirely
+    * from hex(media) — WAV data-size header field → frame count, signed
+    * LE 16-bit sample magnitudes (the m7 walk), exact window sums and
+    * counts, cross-multiplied delta-sign bits, complete radius-7 pair
+    * set with exact Hamming distances.
+    */
+  private def sqlM15: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+    def samp(k: String) = {
+      val u = s"(${bv(k)} + 256 * ${bv(s"($k) + 1")})"
+      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    }
+    s"""WITH au AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
+    |  WHERE media_type = 'audio' AND asset_id < 30
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AP),
+    |p AS MATERIALIZED (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
+    |w AS (SELECT id, hx, nf, unnest(range(0, 65)) AS wi FROM p),
+    |sums AS MATERIALIZED (
+    |  SELECT id, wi,
+    |    COALESCE(list_sum(list_transform(
+    |      range((wi * nf + 64) // 65, ((wi + 1) * nf + 64) // 65), f ->
+    |        ${samp("44 + f * 4")} + ${samp("44 + f * 4 + 2")})), 0) AS s,
+    |    2 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65) AS c
+    |  FROM w),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.wi, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM sums l JOIN sums r ON l.id = r.id AND r.wi = l.wi + 1
+    |  WHERE l.wi < 64),
+    |ham AS (
+    |  SELECT a.id AS id1, b.id AS id2,
+    |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS hamming
+    |  FROM bits a JOIN bits b ON a.wi = b.wi AND a.id < b.id
     |  GROUP BY a.id, b.id)
     |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
     |ORDER BY id1, id2""".stripMargin

@@ -33,7 +33,10 @@ class MjpegCodecSpec extends SparkSpec {
         val px = MediaBinary.aviFramePixels(bytes, m, k)
         assert(px.length == w * h * 3)
         val err = meanAbsErr(MultimodalFixture.mjpegFramePixels(id, k), px)
-        assert(err < 4.0,
+        // bound recalibrated for the round-13 wave generator (higher
+        // spatial frequency quantizes a little harder than the old
+        // gradients at q75: measured ~4.5 worst-frame vs ~2-3 before)
+        assert(err < 6.0,
           s"frame $k of asset $id decode error too high: $err")
       }
     }
