@@ -373,6 +373,43 @@ object MultimodalFixture {
     graft.sources.PngBinary.encodePng(w, h, gifPixels(gifId))
   }
 
+  /** Edit variants of the perc pictures — the dHash ROBUSTNESS ENVELOPE
+    * probes (VERDICT r12 missing-d): what the radius-7 banding catches
+    * and what it provably does not. Not part of the declared m11 corpus:
+    * the requality variant's pair memberships against the gradient-dense
+    * corpus are not SQL-replayable (the lossy-codec lesson m12/m14
+    * codified), and the crop variant exists precisely to demonstrate
+    * distances BEYOND the radius — PerceptualDedupSpec pins the measured
+    * envelope instead.
+    */
+  def percBrightMedia(gifId: Long, delta: Int = 16): Array[Byte] = {
+    val (w, h) = gifDims(gifId)
+    val px = gifPixels(gifId)
+    val out = px.map(b => math.min(255, (b & 0xff) + delta).toByte)
+    graft.sources.PngBinary.encodePng(w, h, out)
+  }
+
+  /** Inner (1-2·frac) crop — 10% off each edge by default. */
+  def percCropMedia(gifId: Long, frac: Double = 0.1): Array[Byte] = {
+    val (w, h) = gifDims(gifId)
+    val px = gifPixels(gifId)
+    val (x0, y0) = ((w * frac).toInt, (h * frac).toInt)
+    val (cw, chh) = (w - 2 * x0, h - 2 * y0)
+    val out = new Array[Byte](cw * chh * 3)
+    var y = 0
+    while (y < chh) {
+      System.arraycopy(px, ((y + y0) * w + x0) * 3, out, y * cw * 3, cw * 3)
+      y += 1
+    }
+    graft.sources.PngBinary.encodePng(cw, chh, out)
+  }
+
+  /** Same pixels through the lossy JPEG encoder (quality 75). */
+  def percRequalityMedia(gifId: Long): Array[Byte] = {
+    val (w, h) = gifDims(gifId)
+    graft.sources.JpegBinary.encodeJpeg(w, h, gifPixels(gifId))
+  }
+
   def buildPerc(spark: SparkSession): Unit = {
     import spark.implicits._
     graft.Graft.tune(spark)
