@@ -108,6 +108,12 @@ object Bench {
           Some(name -> dt)
         }
       }.toMap
+    // built-vs-reloaded disclosure for the primary section (VERDICT r12
+    // #2): at-rest memos (RestMemo sidecars keyed by corpus
+    // fingerprint) make a later session's "build" a parquet reload —
+    // the artifact must say which happened, or a reloading run's cheap
+    // builds phase would read as the engine getting faster
+    val memoRestPrimary = RestMemo.drainOutcomes()
     val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
     // pass2_n for the PRIMARY section (the sf1 section always had it;
     // VERDICT r12 #1 asked the sf0.1 section to disclose its own
@@ -201,6 +207,8 @@ object Bench {
         sf1Skip = s"exception: ${e.getMessage}"
         System.err.println(s"[sf1] skipped: ${e.getMessage}"); Map.empty }
     loadSamples("after_sf1") = load1m()
+    // drained HERE, before the scale probes run their own builds/reloads
+    val memoRestSf1 = RestMemo.drainOutcomes()
     // ---- machine-readable scale probes (SCALE_LAST.json) --------------
     // The ScaleStress linearity measurements as a per-round artifact:
     // span ops / simhash128 / hier-vs-flat assignment / knnGraph at two
@@ -216,8 +224,18 @@ object Bench {
         // the 64x decade point (fitted exponents) costs ~1-2 min extra —
         // run it only when the window clearly affords it
         val decade = (System.nanoTime() - t0) / 1e9 < budget - 250
-        val json = graft.tools.ScaleStress.probeJson(spark, sfDir,
+        val json0 = graft.tools.ScaleStress.probeJson(spark, sfDir,
           decade = decade)
+        // cold-session reload evidence (VERDICT r12 #2) spliced into the
+        // same artifact — runs LAST because it endSession()s the memos
+        val json =
+          try {
+            val rr = graft.tools.ScaleStress.restReloadJson(spark, sfDir)
+            json0.dropRight(1) + s""","rest_reload":$rr}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] rest_reload skipped: ${e.getMessage}")
+            json0
+          }
         java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_LAST.json"),
           (json + "\n").getBytes("UTF-8"))
         System.err.println(s"[scale] $json")
@@ -273,6 +291,17 @@ object Bench {
     // pattern, applied at sf0.1)
     val buildsSection = buildsJson(sfBuilds, "builds")
     val sf1BuildsSection = buildsJson(sf1Builds, "sf1_builds")
+    // at-rest memo outcomes per section: which memos were genuinely
+    // BUILT this run vs RELOADED from their fingerprint-keyed sidecars
+    def memoRestJson(m: Map[String, String], key: String): String =
+      if (m.isEmpty) ""
+      else {
+        def names(v: String) = m.toSeq.filter(_._2 == v).map(_._1).sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","$key":{"built":${names("built")},"reloaded":${names("reloaded")}}"""
+      }
+    val memoRestSection = memoRestJson(memoRestPrimary, "memo_rest")
+    val sf1MemoRestSection = memoRestJson(memoRestSf1, "sf1_memo_rest")
     val sf1Section =
       if (sf1Results.isEmpty) {
         if (sf1Skip.isEmpty) ""
@@ -355,7 +384,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString(""","load_1m":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"pass2_n":$pass2N,"memo_shared":$memoShared,"sf":"$sfDir"$buildsSection$sf1Section$sf1BuildsSection$v20Section$layoutSection$bucketSection$loadSection,"notes":"$notes"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"pass2_n":$pass2N,"memo_shared":$memoShared,"sf":"$sfDir"$buildsSection$memoRestSection$sf1Section$sf1BuildsSection$sf1MemoRestSection$v20Section$layoutSection$bucketSection$loadSection,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

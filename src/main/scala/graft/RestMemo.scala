@@ -1,0 +1,230 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** AT-REST persistence under [[SessionMemo]] (VERDICT r12 #2): the
+  * expensive derived state the session memo holds — trained ANN
+  * quantizers and codes, dedup pair tables and closures, the BPE merge
+  * table, media fingerprint tables — written once as parquet sidecars
+  * keyed by (content fingerprint of the source data, memo name), and
+  * RELOADED by later sessions instead of rebuilt. This is the
+  * production posture "indexes are built at ingest" taken literally:
+  * the first session after an ingest pays the build; every session
+  * after that pays a parquet read of the (much smaller) derived state.
+  * On a cluster the sidecar directory is a table path next to the
+  * corpus and the fingerprint is the snapshot/commit id.
+  *
+  * Layering: each entry is still a [[SessionMemo]] slot (same lifecycle
+  * — release on data change, session end, context stop, idle TTL); only
+  * the COMPUTE changes, to try-load-then-build-and-save. The sidecar
+  * carries the source fingerprint in its manifest, so a regenerated
+  * corpus invalidates the at-rest copy exactly like it invalidates the
+  * in-session one. Writers stage into a temp dir and atomically rename,
+  * so a concurrent reader either sees the complete old sidecar or the
+  * complete new one; a load that loses the race (or finds a corrupt
+  * sidecar) just falls back to building.
+  *
+  * [[outcomes]] records built-vs-reloaded per memo for the bench
+  * artifact's `memo_rest` section — the disclosure that makes a cold
+  * window's builds phase attributable (a reloading run's "builds" are
+  * parquet reads, and the artifact says so).
+  */
+object RestMemo {
+
+  /** Base directory for sidecars; conf `graft.memo.restDir`. The
+    * default lives on the same tmpfs as the shuffle dirs — surviving
+    * session restarts (the point) though not reboots; production
+    * points it at durable storage next to the corpus.
+    */
+  def restDir(s: SparkSession): String =
+    try s.conf.get("graft.memo.restDir", "/dev/shm/graft-rest")
+    catch { case _: Throwable => "/dev/shm/graft-rest" }
+
+  /** Memo name → "built" | "reloaded", for THIS JVM since the last
+    * [[drainOutcomes]] — Bench drains per section.
+    */
+  private val outcomes = new ConcurrentHashMap[String, String]()
+
+  def drainOutcomes(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val snap = outcomes.asScala.toMap
+    outcomes.clear()
+    snap
+  }
+
+  /** Sidecar location: one dir per (memo name, source-path hash) — the
+    * name is the human-readable key, the hash disambiguates identical
+    * memo names over different source dirs (sf0.1 vs sf1).
+    */
+  private def sideDir(s: SparkSession, dataPath: String, what: String): Path =
+    Paths.get(restDir(s),
+      what.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dataPath)))
+
+  private final case class Manifest(fp: String, parts: Seq[String],
+      meta: Map[String, String])
+
+  private def readManifest(dir: Path): Option[Manifest] = {
+    val f = dir.resolve("_GRAFT_REST")
+    if (!Files.isRegularFile(f)) None
+    else {
+      val lines = new String(Files.readAllBytes(f), UTF_8).split("\n").toSeq
+      val kv = lines.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+      val fp = kv.collectFirst { case ("fp", v) => v }
+      fp.map(Manifest(_,
+        kv.collect { case ("part", v) => v },
+        kv.collect { case (k, v) if k.startsWith("meta.") =>
+          k.stripPrefix("meta.") -> v }.toMap))
+    }
+  }
+
+  /** Core load-or-build. `parts(v)` decomposes the built value into
+    * named frames + scalar meta for the sidecar; `reassemble` rebuilds
+    * the value from reloaded frames (each already read, NOT yet
+    * truncated/localized — the caller picks the in-memory form).
+    */
+  private def loadOrBuild[T <: AnyRef](s: SparkSession, dataPath: String,
+      what: String)(build: => T)(
+      parts: T => (Seq[(String, DataFrame)], Map[String, String]),
+      reassemble: (Map[String, DataFrame], Map[String, String]) => T): T = {
+    val fp = SessionMemo.fingerprint(dataPath)
+    val dir = sideDir(s, dataPath, what)
+    val loaded: Option[T] =
+      try readManifest(dir).filter(_.fp == fp).map { m =>
+        val frames = m.parts.map(p =>
+          p -> s.read.parquet(dir.resolve(p).toString)).toMap
+        reassemble(frames, m.meta)
+      } catch { case _: Throwable => None } // corrupt/racing sidecar → rebuild
+    loaded match {
+      case Some(v) =>
+        outcomes.put(what, "reloaded"); v
+      case None =>
+        val v = build
+        try save(dir, fp, parts(v)) catch { case e: Throwable =>
+          System.err.println(s"[rest-memo] save $what failed: ${e.getMessage}") }
+        outcomes.put(what, "built")
+        v
+    }
+  }
+
+  private def save(dir: Path, fp: String,
+      p: (Seq[(String, DataFrame)], Map[String, String])): Unit = {
+    val (frames, meta) = p
+    val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    frames.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(tmp.resolve(name).toString) }
+    val manifest = (Seq(s"fp=$fp") ++ frames.map("part=" + _._1) ++
+      meta.toSeq.sorted.map { case (k, v) => s"meta.$k=$v" }).mkString("\n")
+    Files.write(tmp.resolve("_GRAFT_REST"), manifest.getBytes(UTF_8))
+    deleteRecursively(dir)
+    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Throwable => // lost a concurrent race: keep theirs
+      deleteRecursively(tmp) }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally stream.close()
+    }
+
+  /** One-DataFrame memo, lineage-truncated in memory either way (the
+    * CellsShared/DedupShared form). `build` must return an EAGERLY
+    * TRUNCATED frame (Graft.truncate/localCheckpoint — most sites
+    * already do, and some need the truncation inside their own
+    * persist/unpersist window); the reload path reads the sidecar and
+    * truncates it into the identical in-memory form. Released via
+    * [[Graft.releaseTruncated]] by the SessionMemo lifecycle.
+    */
+  def frame(s: SparkSession, dataPath: String, what: String)(
+      build: => DataFrame): DataFrame =
+    SessionMemo.getOrCompute(s, dataPath, what) {
+      loadOrBuild(s, dataPath, what)(build)(
+        v => (Seq("data" -> v), Map.empty),
+        (fs, _) => Graft.truncate(fs("data"), eager = true))
+    }(Graft.releaseTruncated)
+
+  /** Collected-LITERAL memo (the IvfShared quantizer form): the value
+    * is a LocalRelation of bounded algorithm state (O(√n·dim) centroid
+    * rows), so joins against it broadcast trivially and nothing needs
+    * releasing. Reload reads the sidecar and re-collects into the same
+    * literal form.
+    */
+  def literalFrame(s: SparkSession, dataPath: String, what: String)(
+      build: => DataFrame): DataFrame =
+    SessionMemo.getOrCompute(s, dataPath, what) {
+      loadOrBuild(s, dataPath, what)(build)(
+        v => (Seq("data" -> v), Map.empty),
+        (fs, _) => localize(s, fs("data")))
+    }(_ => ())
+
+  /** Re-collect a (bounded) frame into a LocalRelation literal. */
+  private def localize(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Multi-frame memo for composite index values (PqIndex/IvfPqIndex):
+    * `parts` names each constituent frame and whether its reloaded form
+    * should be a literal (bounded codebooks/centroids) or truncated
+    * (codes/corpus); `meta` carries the scalars; `reassemble` rebuilds
+    * the case class.
+    */
+  def multi[T <: AnyRef](s: SparkSession, dataPath: String, what: String)(
+      build: => T)(
+      parts: T => (Seq[(String, DataFrame)], Map[String, String]),
+      reassemble: (Map[String, DataFrame], Map[String, String]) => T)(
+      release: T => Unit): T =
+    SessionMemo.getOrCompute(s, dataPath, what) {
+      loadOrBuild(s, dataPath, what)(build)(parts, reassemble)
+    }(release)
+
+  /** Reload helper for [[multi]] reassemblers: truncated in-memory form
+    * for data-sized frames.
+    */
+  def truncated(df: DataFrame): DataFrame = Graft.truncate(df, eager = true)
+
+  /** Reload helper for [[multi]] reassemblers: literal form for bounded
+    * frames.
+    */
+  def literal(s: SparkSession, df: DataFrame): DataFrame = localize(s, df)
+
+  // --- marker-based reuse for caller-written derived COPIES -------------
+  // The layout memos (sorted/z-ordered/bloom lineitem copies) write
+  // their at-rest artifact themselves; RestMemo only supplies the
+  // fingerprint bookkeeping: `freshCopy` says whether `path` already
+  // holds a copy of the CURRENT `srcPath` contents, `stampCopy` records
+  // it after a successful write, and the caller re-runs its (cheap)
+  // evidence query either way so the bench artifact's layout_skip
+  // section stays populated in reloading runs too.
+
+  private val CopyMarker = "_GRAFT_REST_SRC"
+
+  def freshCopy(srcPath: String, path: String, tag: String = "v1"): Boolean =
+    try {
+      val f = Paths.get(path, CopyMarker)
+      Files.isRegularFile(f) &&
+        new String(Files.readAllBytes(f), UTF_8) ==
+          SessionMemo.fingerprint(srcPath) + ":" + tag
+    } catch { case _: Throwable => false }
+
+  def stampCopy(srcPath: String, path: String, tag: String = "v1"): Unit =
+    try Files.write(Paths.get(path, CopyMarker),
+      (SessionMemo.fingerprint(srcPath) + ":" + tag).getBytes(UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[rest-memo] stamp $path failed: ${e.getMessage}") }
+
+  /** Outcome hook for copy-style memos (the frame/multi paths record
+    * their own).
+    */
+  def recordOutcome(what: String, outcome: String): Unit =
+    outcomes.put(what, outcome)
+}

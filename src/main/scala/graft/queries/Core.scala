@@ -665,22 +665,34 @@ object Core {
     * but never timestamp stats — see the verify skill's gotcha).
     */
   private object LayoutShared {
-    import graft.SessionMemo
+    import graft.{RestMemo, SessionMemo}
     def sortedPath(s: SparkSession, dir: String): String =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-sorted-v1") {
+        val src = s"$dir/lineitem.parquet"
         val path = "/dev/shm/graft-layout/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
-        // block size rides the WRITE's own options (per-job hadoop conf),
-        // never the session-shared configuration — a concurrent parquet
-        // write in the same session must not inherit 1 MiB row groups
-        graft.sinks.Sinks.writeRangeSorted(
-          table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
-            "l_quantity", "l_extendedprice"),
-          path, Seq("l_orderkey"), numFiles = 8,
-          options = Map("parquet.block.size" -> (1 << 20).toString))
-        // measure the skip once per build: rows the pushed BETWEEN
-        // actually decodes (scan-node output) vs the table total
+        // the copy is an AT-REST artifact: a fresh marker (fingerprint
+        // of the source table) means a previous session already wrote
+        // this exact layout — skip the write, keep the evidence query
+        if (RestMemo.freshCopy(src, path, "layout-sorted-v1"))
+          RestMemo.recordOutcome("layout-sorted-v1", "reloaded")
+        else {
+          // block size rides the WRITE's own options (per-job hadoop
+          // conf), never the session-shared configuration — a concurrent
+          // parquet write in the same session must not inherit 1 MiB
+          // row groups
+          graft.sinks.Sinks.writeRangeSorted(
+            table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_quantity", "l_extendedprice"),
+            path, Seq("l_orderkey"), numFiles = 8,
+            options = Map("parquet.block.size" -> (1 << 20).toString))
+          RestMemo.stampCopy(src, path, "layout-sorted-v1")
+          RestMemo.recordOutcome("layout-sorted-v1", "built")
+        }
+        // measure the skip once per session (cheap — the narrow pruned
+        // scan itself): rows the pushed BETWEEN actually decodes
+        // (scan-node output) vs the table total
         val narrow = s.read.parquet(path)
           .filter(col("l_orderkey").between(1000L, 2000L))
         narrow.queryExecution.toRdd.count()
@@ -723,21 +735,28 @@ object Core {
     * arithmetic at all.
     */
   private object ZLayoutShared {
-    import graft.SessionMemo
+    import graft.{RestMemo, SessionMemo}
     import graft.sinks.Sinks
     def zPath(s: SparkSession, dir: String): String =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-zorder-v1") {
+        val src = s"$dir/lineitem.parquet"
         val path = "/dev/shm/graft-layout/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_") + "_z"
         val li = table(s, dir, "lineitem")
           .select("l_orderkey", "l_partkey", "l_quantity")
-        val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
-        val z = Sinks.zValue(
-          Sinks.quantize(col("l_orderkey"), 0, mx.getLong(0).toDouble, 12),
-          Sinks.quantize(col("l_partkey"), 0, mx.getLong(1).toDouble, 12), 12)
-        Sinks.writeZOrdered(li, path, z, numFiles = 8,
-          options = Map("parquet.block.size" -> (1 << 20).toString))
+        if (RestMemo.freshCopy(src, path, "layout-zorder-v1"))
+          RestMemo.recordOutcome("layout-zorder-v1", "reloaded")
+        else {
+          val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
+          val z = Sinks.zValue(
+            Sinks.quantize(col("l_orderkey"), 0, mx.getLong(0).toDouble, 12),
+            Sinks.quantize(col("l_partkey"), 0, mx.getLong(1).toDouble, 12), 12)
+          Sinks.writeZOrdered(li, path, z, numFiles = 8,
+            options = Map("parquet.block.size" -> (1 << 20).toString))
+          RestMemo.stampCopy(src, path, "layout-zorder-v1")
+          RestMemo.recordOutcome("layout-zorder-v1", "built")
+        }
         val narrow = s.read.parquet(path)
           .filter(col("l_partkey").between(100L, 300L))
         narrow.queryExecution.toRdd.count()
@@ -758,10 +777,11 @@ object Core {
     * alongside the path.
     */
   private object BloomLayoutShared {
-    import graft.SessionMemo
+    import graft.{RestMemo, SessionMemo}
     def layout(s: SparkSession, dir: String): (String, Long, Int) =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-bloom-v2") {
+        val src = s"$dir/lineitem.parquet"
         val path = "/dev/shm/graft-layout/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_") + "_bloom"
         val li = table(s, dir, "lineitem")
@@ -769,12 +789,18 @@ object Core {
               col("l_linenumber").cast("int")).as("k"),
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val total = li.count()
-        li.repartition(8).write.mode("overwrite")
-          .option("parquet.block.size", (1 << 20).toString)
-          .option("parquet.bloom.filter.enabled#k", "true")
-          .option("parquet.bloom.filter.expected.ndv#k",
-            math.max(1024L, total).toString)
-          .parquet(path)
+        if (RestMemo.freshCopy(src, path, "layout-bloom-v2"))
+          RestMemo.recordOutcome("layout-bloom-v2", "reloaded")
+        else {
+          li.repartition(8).write.mode("overwrite")
+            .option("parquet.block.size", (1 << 20).toString)
+            .option("parquet.bloom.filter.enabled#k", "true")
+            .option("parquet.bloom.filter.expected.ndv#k",
+              math.max(1024L, total).toString)
+            .parquet(path)
+          RestMemo.stampCopy(src, path, "layout-bloom-v2")
+          RestMemo.recordOutcome("layout-bloom-v2", "built")
+        }
         // CAVEAT (driver scalar): this full-table MIN exists only to
         // derive a literal the bloom pushdown requires — in production
         // the needle is user input; here the agg is charged to the
@@ -813,6 +839,13 @@ object Core {
     * records (exchanges below join, joined rows) into [[bucketJoin]].
     * Columns are pruned to the query's needs — at 100 TB the bucketed
     * copy is an ingest-time projection, not a second corpus.
+    *
+    * Unlike the path-based layout memos this one rebuilds per session:
+    * `bucketBy` tables live in the session catalog (in-memory here), so
+    * a fresh session must re-register them even when the files survive
+    * — with a persistent metastore (the production deployment) the
+    * registration, like the files, would be ingest-time state and the
+    * RestMemo freshCopy skip would apply to the write here too.
     */
   private object BucketLayoutShared {
     import graft.SessionMemo

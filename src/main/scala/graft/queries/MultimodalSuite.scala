@@ -105,12 +105,12 @@ object MultimodalSuite {
     * measured on this fixture).
     */
   private object ChunkShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     private val ch = 1024 // bytes per chunk
     def table(s: SparkSession): DataFrame = {
       // fixture must exist BEFORE the memo fingerprints its directory
       MultimodalFixture.ensure(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath, "m4-chunks") {
+      RestMemo.frame(s, MultimodalFixture.assetsPath, "m4-chunks") {
         val zeroFp = {
           val md = java.security.MessageDigest.getInstance("MD5")
           md.digest(Array.fill[Byte](ch)(0.toByte)).map("%02x".format(_)).mkString
@@ -123,7 +123,7 @@ object MultimodalSuite {
               .otherwise(concat(lit(zeroFp), expr("substring(chunks, 33)")))
               .as("chunks"))
         Graft.truncate(base.unionByName(variants), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
   }
 
@@ -134,25 +134,24 @@ object MultimodalSuite {
     * identical pair computation, so the parameters cannot drift apart.
     */
   private object MediaDedupShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     private val K = 32; private val Bands = 16
     private val Shingle = 1; private val Threshold = 0.5
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath,
-          "m4-pairs") {
+      RestMemo.frame(s, MultimodalFixture.assetsPath, "m4-pairs") {
         Graft.truncate(graft.operators.Dedup.minhashNearDups(
           ChunkShared.table(s), "doc_id", "chunks",
           k = K, bands = Bands, shingleSize = Shingle,
           threshold = Threshold), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
-    def clusters(s: SparkSession): DataFrame =
-      SessionMemo.getOrCompute(s, MultimodalFixture.assetsPath,
-          "m4-clusters") {
-        Graft.truncate(graft.operators.Dedup.dupClusters(pairs(s)),
-          eager = true)
-      }(Graft.releaseTruncated)
+    def clusters(s: SparkSession): DataFrame = {
+      val p = pairs(s) // resolved first — the DedupShared re-entrancy rule
+      RestMemo.frame(s, MultimodalFixture.assetsPath, "m4-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }
+    }
   }
 
   /** Queries reading per-session memos — ChunkShared / MediaDedupShared
@@ -169,10 +168,10 @@ object MultimodalSuite {
     * per session) — the PercShared split for the temporal domain.
     */
   private object VPercShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.vpercPath, "m14-pairs") {
+      RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-pairs") {
         import s.implicits._
         val corpus = vpercAssets(s).unionByName(mjpegAssets(s))
         val sigs = Multimodal.videoDHash(corpus.as[Multimodal.Asset], 4).toDF()
@@ -180,7 +179,7 @@ object MultimodalSuite {
             col("dhash").as("sig"))
         Graft.truncate(graft.operators.Dedup.temporalNearDupsSig(sigs,
           maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
   }
 
@@ -189,10 +188,10 @@ object MultimodalSuite {
     * hammingNearDupsSig banding, once per session).
     */
   private object APercShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.apercPath, "m15-pairs") {
+      RestMemo.frame(s, MultimodalFixture.apercPath, "m15-pairs") {
         import s.implicits._
         val corpus = assets(s)
           .filter(col("media_type") === "audio" && col("asset_id") < 30)
@@ -201,7 +200,7 @@ object MultimodalSuite {
           .select(col("asset_id").as("id"), col("dhash").as("sig"))
         Graft.truncate(graft.operators.Dedup.hammingNearDupsSig(sigs,
           maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
   }
 
@@ -211,26 +210,25 @@ object MultimodalSuite {
     * pixel domain.
     */
   private object PercShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.percPath, "m11-pairs") {
+      RestMemo.frame(s, MultimodalFixture.percPath, "m11-pairs") {
         import s.implicits._
         val corpus = gifAssets(s).unionByName(percAssets(s))
         val sigs = Multimodal.dHash(corpus.as[Multimodal.Asset]).toDF()
           .select(col("asset_id").as("id"), col("dhash").as("sig"))
         Graft.truncate(graft.operators.Dedup.hammingNearDupsSig(sigs,
           maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
     def clusters(s: SparkSession): DataFrame = {
       // pairs resolved BEFORE the clusters slot computes (the
       // DedupShared re-entrancy rule)
       val p = pairs(s)
-      SessionMemo.getOrCompute(s, MultimodalFixture.percPath,
-          "m11-clusters") {
+      RestMemo.frame(s, MultimodalFixture.percPath, "m11-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
   }
 

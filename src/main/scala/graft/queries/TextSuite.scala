@@ -28,22 +28,24 @@ object TextSuite {
     * has no within-side pairs to reuse.
     */
   private object DedupShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def pairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "minhash-pairs") {
+      RestMemo.frame(s, s"$dir/documents.parquet", "minhash-pairs") {
         Graft.truncate(
           Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
             k = 32, bands = 16, shingleSize = 3, threshold = 0.5),
           eager = true)
-      }(Graft.releaseTruncated)
+      }
     def clusters(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       // pairs() resolved BEFORE the clusters slot computes (kept from the
       // computeIfAbsent era; also saves a wasted duplicate pairs run when
-      // two first-lookups race on the clusters slot)
+      // two first-lookups race on the clusters slot). A clusters RELOAD
+      // skips the pairs build entirely only when pairs also reloads —
+      // both sidecars carry the same corpus fingerprint, so they agree.
       val p = pairs(s, dir)
-      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "minhash-clusters") {
+      RestMemo.frame(s, s"$dir/documents.parquet", "minhash-clusters") {
         Graft.truncate(Dedup.dupClusters(p), eager = true)
-      }(Graft.releaseTruncated)
+      }
     }
   }
 
@@ -100,15 +102,29 @@ object TextSuite {
     * fertility. One training per session — the ingest/query split.
     */
   private object BpeShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     val Rounds = 8
     val MaxWordLen = 16
     def trained(s: org.apache.spark.sql.SparkSession,
         dir: String): graft.operators.Bpe.Trained =
-      SessionMemo.getOrCompute(s, s"$dir/documents.parquet", "bpe-train-v1") {
+      RestMemo.multi(s, s"$dir/documents.parquet", "bpe-train-v1")({
         graft.operators.Bpe.train(table(s, dir, "documents"), "text",
           Rounds, MaxWordLen)
-      }(t => Graft.releaseTruncated(t.syms))
+      })(
+        // sidecar: the final symbol table (data-sized) plus the learned
+        // merge table as its own frame — lhs/rhs are text fragments, so
+        // they ride parquet, not the line-based manifest
+        t => (Seq("syms" -> t.syms,
+          "merges" -> s.createDataFrame(t.merges)),
+          Map("totalWords" -> t.totalWords.toString)),
+        (fs, meta) => {
+          import s.implicits._
+          graft.operators.Bpe.Trained(
+            merges = fs("merges").as[graft.operators.Bpe.Merge]
+              .collect().toSeq.sortBy(_.round),
+            syms = RestMemo.truncated(fs("syms")),
+            totalWords = meta("totalWords").toLong)
+        })(t => Graft.releaseTruncated(t.syms))
   }
 
   /** The Gopher-style composite quality gate — ONE definition of the

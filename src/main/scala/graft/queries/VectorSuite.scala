@@ -52,9 +52,9 @@ object VectorSuite {
     * SessionMemo's.
     */
   private object PqShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.PqIndex =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "pq-index") {
+      RestMemo.multi(s, s"$dir/embeddings.parquet", "pq-index-v1")({
         val idx = Similarity.pqIndex(table(s, dir, "embeddings"),
           "vec_id", "embedding", m = 8, nCodes = PqCodes, iterations = 1,
           trainCap = TrainCap)
@@ -65,7 +65,18 @@ object VectorSuite {
         // superseded by the truncated copy — drop the CacheManager entry
         idx.corpus.unpersist(false)
         t
-      } { t =>
+      })(
+        // at-rest decomposition: codes + normalized corpus are the
+        // data-sized index artifact; codebooks are bounded (m·nCodes
+        // rows) and reload as a literal
+        t => (Seq("corpus" -> t.corpus, "codebooks" -> t.codebooks,
+          "codes" -> t.codes),
+          Map("m" -> t.m.toString, "sub" -> t.sub.toString)),
+        (fs, meta) => Similarity.PqIndex(
+          corpus = RestMemo.truncated(fs("corpus")),
+          codebooks = RestMemo.literal(s, fs("codebooks")),
+          codes = RestMemo.truncated(fs("codes")),
+          m = meta("m").toInt, sub = meta("sub").toInt)) { t =>
         Graft.releaseTruncated(t.codes)
         Graft.releaseTruncated(t.corpus)
       }
@@ -84,15 +95,15 @@ object VectorSuite {
     * to release.
     */
   private object IvfShared {
-    import graft.SessionMemo
+    import graft.RestMemo
     def kmeansDyn(s: org.apache.spark.sql.SparkSession, dir: String,
         nCells: Int): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.literalFrame(s, s"$dir/embeddings.parquet",
           s"ivf-kmeans-dyn$nCells") {
         Similarity.kmeansCentroids(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells, iterations = 2,
           trainCap = Similarity.trainCapFor(nCells), hierTrain = true)
-      }(_ => ())
+      }
 
     /** The deterministic SEED quantizer (the nCells lowest-id vectors)
       * as a per-session COLLECTED-LITERAL broadcast — without it, every
@@ -104,11 +115,11 @@ object VectorSuite {
       */
     def seedDyn(s: org.apache.spark.sql.SparkSession, dir: String,
         nCells: Int): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.literalFrame(s, s"$dir/embeddings.parquet",
           s"ivf-seed-dyn$nCells") {
         Similarity.seedCentroidsLiteral(table(s, dir, "embeddings"),
           "vec_id", "embedding", nCells)
-      }(_ => ())
+      }
   }
 
   /** Per-(session, dir) memos of the corpus CELL ASSIGNMENTS — the other
@@ -135,13 +146,12 @@ object VectorSuite {
     *     quantizer — two rules, two entries, one assignment pass each).
     */
   private object CellsShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     import org.apache.spark.sql.{DataFrame, SparkSession}
     private def memo(s: SparkSession, dir: String, what: String)(
         build: => DataFrame): DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", what) {
-        Graft.truncate(build, eager = true)
-      }(Graft.releaseTruncated)
+      RestMemo.frame(s, s"$dir/embeddings.parquet", what)(
+        Graft.truncate(build, eager = true))
     def seed16(s: SparkSession, dir: String): DataFrame =
       memo(s, dir, "ivf-cells16-seed")(
         Similarity.quantizerCells(table(s, dir, "embeddings"),
@@ -157,7 +167,7 @@ object VectorSuite {
       * they SHARE this entry (one assignment pass per session).
       */
     def multiDyn(s: SparkSession, dir: String, nCells: Int): DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.frame(s, s"$dir/embeddings.parquet",
           s"ivf-cells${nCells}x4-probe2-hier3") {
         // the assignment branches each read the corpus — persist it
         // for the one eager build, drop the transient cache after
@@ -169,12 +179,12 @@ object VectorSuite {
           eager = true)
         emb.unpersist(false)
         t
-      }(Graft.releaseTruncated)
+      }
     /** Single-table keep-1 two-level assignment (the SemDeDup cell
       * build at corpus-scaled nCells) — (id, vec, cell), v10's memo.
       */
     def hierDyn(s: SparkSession, dir: String, nCells: Int): DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.frame(s, s"$dir/embeddings.parquet",
           s"ivf-cells${nCells}-hier3") {
         val emb = table(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -185,7 +195,7 @@ object VectorSuite {
           eager = true)
         emb.unpersist(false)
         t
-      }(Graft.releaseTruncated)
+      }
   }
 
   /** Per-(session, dir) memo of the v20 mutual-kNN cluster table —
@@ -195,10 +205,10 @@ object VectorSuite {
     * state exactly like the text side's DedupShared.clusters (x18).
     */
   private object GraphClustersShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def clusters(s: org.apache.spark.sql.SparkSession,
         dir: String): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.frame(s, s"$dir/embeddings.parquet",
           "knn-graph-clusters-sim0.4") {
         val t0 = System.nanoTime()
         val emb = table(s, dir, "embeddings")
@@ -221,7 +231,7 @@ object VectorSuite {
         v20Split.put(dir,
           (tGraph, (System.nanoTime() - t0) / 1e9 - tGraph))
         out
-      }(Graft.releaseTruncated)
+      }
   }
 
   /** v20 memo-build timing split, dir → (graph-build sec, component-
@@ -240,10 +250,10 @@ object VectorSuite {
     * plus the banded index×batch equi-join.
     */
   private object CrossShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def idxAssigned(s: org.apache.spark.sql.SparkSession, dir: String,
         nCells: Int): org.apache.spark.sql.DataFrame =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet",
+      RestMemo.frame(s, s"$dir/embeddings.parquet",
           s"v21-idx-assigned$nCells") {
         val idx = table(s, dir, "embeddings").filter(col("vec_id") < 400)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -253,7 +263,7 @@ object VectorSuite {
           eager = true)
         idx.unpersist(false)
         t
-      }(Graft.releaseTruncated)
+      }
   }
 
   /** Per-(session, dir) memo of the residual-encoded IVF-PQ index
@@ -267,9 +277,9 @@ object VectorSuite {
     * (the shared coarse memos have their own lifecycle entries).
     */
   private object IvfPqShared {
-    import graft.{Graft, SessionMemo}
+    import graft.{Graft, RestMemo}
     def index(s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfPqIndex =
-      SessionMemo.getOrCompute(s, s"$dir/embeddings.parquet", "ivfpq-index-dyn") {
+      RestMemo.multi(s, s"$dir/embeddings.parquet", "ivfpq-index-dyn")({
         val emb = table(s, dir, "embeddings")
         val nc = Similarity.indexCellsFor(emb.count())
         Similarity.ivfPqIndex(emb,
@@ -277,7 +287,26 @@ object VectorSuite {
           iterations = 1, trainCap = TrainCap,
           prebuiltCentroids = Some(IvfShared.kmeansDyn(s, dir, nc)),
           prebuiltCells = Some(CellsShared.kmeansDynCells(s, dir, nc)))
-      }(t => Graft.releaseTruncated(t.codes))
+      })(
+        // sidecar: codes are the data-sized artifact; centroids and
+        // codebooks are bounded and reload as literals; corpus is a
+        // PLAIN PLAN over the source table (the builder unpersists its
+        // transient cache before returning), so it is rebuilt, not
+        // stored — persisting it would duplicate the embeddings table
+        t => (Seq("centroids" -> t.centroids, "codebooks" -> t.codebooks,
+          "codes" -> t.codes),
+          Map("m" -> t.m.toString, "sub" -> t.sub.toString,
+            "nCells" -> t.nCells.toString)),
+        (fs, meta) => Similarity.IvfPqIndex(
+          corpus = Graft.ensureParallelism(table(s, dir, "embeddings"))
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          centroids = RestMemo.literal(s, fs("centroids")),
+          codebooks = RestMemo.literal(s, fs("codebooks")),
+          codes = RestMemo.truncated(fs("codes")),
+          m = meta("m").toInt, sub = meta("sub").toInt,
+          nCells = meta("nCells").toInt)) {
+        t => Graft.releaseTruncated(t.codes)
+      }
   }
 
   /** Force every per-session index/cluster memo for `dir`, timed per

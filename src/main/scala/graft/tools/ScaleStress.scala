@@ -457,6 +457,44 @@ object ScaleStress {
       emb.unpersist(false)
       spark.catalog.clearCache()
     }
+    // BPE per-round marginal cost at FIXED vocabulary (VERDICT r12 #5):
+    // the copies here share the token space (plain id-shifted
+    // duplicates — deliberately NOT corpus()'s per-copy token suffix,
+    // which grows the vocabulary linearly), so the training state is
+    // IDENTICAL at both sizes. sec = (4-round train − 1-round train)/3,
+    // subtracting the corpus-linear word-count pass both runs share;
+    // rows = the final symbol-table size (the training state). Flat
+    // time_ratio + rows_ratio 1 is the measured form of Bpe.train's
+    // scaladoc claim that round cost is vocabulary-bound, not
+    // corpus-bound — merge COUNT, not data size, is what the
+    // driver-local crossover addresses.
+    Seq((mSmall, false), (mSmall, true), (mLarge, true)).foreach {
+      case (m, rec) =>
+        record = rec
+        val base = Graft.table(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        val copies = spark.range(0, m).select(col("id").as("copy"))
+        val docs = base.crossJoin(copies)
+          .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+            col("text"))
+          .repartition(spark.sparkContext.defaultParallelism * 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        val t1start = System.nanoTime()
+        val r1 = graft.operators.Bpe.train(docs, "text", 1, 16)
+        val t1 = (System.nanoTime() - t1start) / 1e9
+        graft.Graft.releaseTruncated(r1.syms)
+        val t4start = System.nanoTime()
+        val r4 = graft.operators.Bpe.train(docs, "text", 4, 16)
+        val t4 = (System.nanoTime() - t4start) / 1e9
+        val vocabSyms = r4.syms.count()
+        graft.Graft.releaseTruncated(r4.syms)
+        if (record)
+          out += P("bpe_round_cost", m, n, vocabSyms,
+            math.max(0.0, t4 - t1) / 3)
+        docs.unpersist(false)
+        spark.catalog.clearCache()
+    }
     // assignment-only extra size (4·mLarge): the flat form's O(n·nCells)
     // = O(n²/cellSize) term is buried under fixed overhead at small n —
     // at 16× the hier-vs-flat separation is visible in the ratios
@@ -510,6 +548,40 @@ object ScaleStress {
     }
     s"""{"probes":[${rows.mkString(",")}],"m_small":$mSmall,""" +
       s""""m_large":$mLarge,"decade":$decade,"sf":"$sfDir"}"""
+  }
+
+  /** Cold-session RELOAD probe (VERDICT r12 #2 done-condition): the
+    * declared v12/m11 queries timed in three states — session-warm,
+    * then after `SessionMemo.endSession` (the fresh-session simulation:
+    * every in-session memo dropped, the fingerprint-keyed RestMemo
+    * sidecars still at rest), then session-warm again. cold_reload ≈
+    * warm_after (a parquet read of the derived state, NOT the index
+    * rebuild the pre-round-13 cold path paid) is the artifact evidence
+    * that "indexes are built at ingest" now holds across sessions.
+    * Run AFTER the bench query passes — endSession drops the whole
+    * session's memo set.
+    */
+  def restReloadJson(spark: SparkSession, sfDir: String): String = {
+    def r2(v: Double) = f"$v%.2f"
+    def time(name: String): Double = {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[rest-reload] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val qs = Seq("v12_ivfpq_topk", "m11_perceptual_neardups")
+    val warmBefore = qs.map(q => q -> time(q)).toMap
+    // fresh-session simulation; the at-rest sidecars survive it
+    graft.SessionMemo.endSession(spark)
+    spark.catalog.clearCache()
+    val entries = qs.map { q =>
+      val reload = time(q)
+      val warm = time(q)
+      s""""$q":{"warm_before":${r2(warmBefore(q))},""" +
+        s""""cold_reload":${r2(reload)},"warm_after":${r2(warm)}}"""
+    }
+    entries.mkString("{", ",", "}")
   }
 
   /** m deterministic copies of the embeddings table, each circularly

@@ -38,5 +38,15 @@ class ScaleExponentSpec extends SparkSpec {
     val re = st("rows_exponent").toDouble
     assert(re > 0.4 && re <= 0.55,
       s"quantizer state rows exponent $re drifted from O(√n): $st")
+    // BPE per-round marginal cost at FIXED vocabulary (VERDICT r12 #5):
+    // rows = the symbol table (training state) — EXACTLY flat when the
+    // corpus duplicates share the token space; time flat-ish (a round
+    // reads the symbol table, never the corpus — linear would read
+    // exponent 1; generous bound for marginal-cost noise on this host)
+    val bpe = probe("bpe_round_cost")
+    assert(bpe("rows_ratio").toDouble == 1.0,
+      s"BPE training state grew with corpus size at fixed vocab: $bpe")
+    assert(bpe("time_exponent").toDouble < 0.5,
+      s"BPE round cost not flat-ish in corpus size: $bpe")
   }
 }
