@@ -130,4 +130,83 @@ object Bpe {
       graft.Graft.releaseTruncated(prevCheckpoint)
     Trained(merges.result(), syms, totalWords)
   }
+
+  /** The DRIVER-LOCAL trainer — the production crossover shape
+    * documented on [[train]]: the word-count aggregate stays
+    * distributed (the only corpus-sized pass), the BOUNDED vocabulary
+    * is collected once, and the merge loop runs in-process — zero
+    * per-round Spark jobs, so 30k merges cost 30k hash-map passes over
+    * the vocabulary instead of 60k sequential cluster jobs. Output is
+    * IDENTICAL to [[train]] by construction — same (count DESC, lhs
+    * ASC, rhs ASC) winner rule, same greedy left-to-right
+    * non-overlapping apply (the relational gaps-and-islands even-offset
+    * selection IS the classic scan) — and BpeSpec pins the parity
+    * merge-for-merge and symbol-for-symbol. The returned `syms` frame
+    * is a LocalRelation of the final vocabulary (bounded), so
+    * downstream APPLY passes (x16's fertility join) consume either
+    * trainer's output interchangeably.
+    */
+  def trainLocal(docs: DataFrame, textCol: String, rounds: Int,
+      maxWordLen: Int = 16): Trained = {
+    val spark = docs.sparkSession
+    val words = graft.Graft.ensureParallelism(docs)
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalWords = words.map(_._2).sum
+    // mutable per-word symbol sequences, char-initialized
+    val syms: Array[Array[String]] =
+      words.map(_._1.map(_.toString).toArray)
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // 1. top pair: adjacent counts weighted by word frequency
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val ws = syms(wi); val f = words(wi)._2
+        var i = 0
+        while (i + 1 < ws.length) {
+          val k = (ws(i), ws(i + 1))
+          counts.merge(k, f, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        import scala.jdk.CollectionConverters._
+        val ((l, rr), cnt) = counts.asScala.minBy { case ((a, b), c) =>
+          (-c, a, b) }
+        // 2. greedy left-to-right non-overlapping apply
+        var totalSyms = 0L
+        wi = 0
+        while (wi < syms.length) {
+          val ws = syms(wi)
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < ws.length) {
+            if (i + 1 < ws.length && ws(i) == l && ws(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += ws(i); i += 1 }
+          }
+          syms(wi) = out.result()
+          totalSyms += words(wi)._2 * syms(wi).length
+          wi += 1
+        }
+        merges += Merge(r.toLong, l, rr, cnt, totalSyms)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    val symRows = words.indices.flatMap { i =>
+      syms(i).zipWithIndex.map { case (sym, p) =>
+        (words(i)._1, words(i)._2, p, sym) }
+    }
+    Trained(merges.result(),
+      spark.createDataFrame(symRows).toDF("w", "freq", "pos", "sym"),
+      totalWords)
+  }
 }

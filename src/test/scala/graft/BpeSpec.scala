@@ -51,4 +51,38 @@ class BpeSpec extends SparkSpec {
     assert(t.merges.head.lhs == "d" && t.merges.head.rhs == "e")
     graft.Graft.releaseTruncated(t.syms)
   }
+
+  test("driver-local trainer parity: identical merges and vocabulary on real documents") {
+    // the production-crossover shape (Bpe.trainLocal — collected
+    // vocabulary, in-process merge loop) must be a pure re-expression
+    // of the relational trainer: same winner rule, same greedy apply ⇒
+    // the SAME learned tokenizer, merge-for-merge and symbol-for-symbol
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val rel = Bpe.train(docs, "text", rounds = 8)
+    val loc = Bpe.trainLocal(docs, "text", rounds = 8)
+    assert(loc.totalWords == rel.totalWords)
+    assert(loc.merges == rel.merges,
+      s"merge tables diverge:\n rel=${rel.merges}\n loc=${loc.merges}")
+    val relSyms = rel.syms.orderBy("w", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val locSyms = loc.syms.orderBy("w", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(relSyms.toSeq == locSyms.toSeq)
+    graft.Graft.releaseTruncated(rel.syms)
+  }
+
+  test("driver-local trainer: production merge counts run without per-round jobs") {
+    import spark.implicits._
+    // rounds ≫ the relational demo's 8 — the whole loop is in-process
+    // hash-map passes over the bounded vocabulary, so 64 rounds on a
+    // small vocab is instant (the relational shape would be 128
+    // sequential Spark jobs)
+    val docs = Seq("the quick brown fox jumps over the lazy dog " * 3,
+      "pack my box with five dozen liquor jugs").toDF("text")
+    val t = Bpe.trainLocal(docs, "text", rounds = 64)
+    assert(t.merges.nonEmpty && t.merges.size <= 64)
+    // rounds are exhausted or every word fully merged — both are valid
+    // terminal states; the merge table stays strictly consistent
+    assert(t.merges.map(_.round) == (1L to t.merges.size.toLong))
+  }
 }
