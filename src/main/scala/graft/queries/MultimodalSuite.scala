@@ -161,7 +161,7 @@ object MultimodalSuite {
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
-    "m15_audio_perceptual_neardups")
+    "m15_audio_perceptual_neardups", "m16_video_dedup_clusters")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -179,6 +179,14 @@ object MultimodalSuite {
             col("dhash").as("sig"))
         Graft.truncate(graft.operators.Dedup.temporalNearDupsSig(sigs,
           maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
+      }
+    }
+    def clusters(s: SparkSession): DataFrame = {
+      // pairs resolved BEFORE the clusters slot computes (the
+      // DedupShared re-entrancy rule)
+      val p = pairs(s)
+      RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
       }
     }
   }
@@ -247,6 +255,7 @@ object MultimodalSuite {
       "media_dhash_pairs" -> (() => { PercShared.pairs(s); () }),
       "media_perc_clusters" -> (() => { PercShared.clusters(s); () }),
       "media_video_dhash_pairs" -> (() => { VPercShared.pairs(s); () }),
+      "media_vperc_clusters" -> (() => { VPercShared.clusters(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
@@ -844,7 +853,37 @@ object MultimodalSuite {
       "Perceptual audio near-dup: decoded-PCM window-amplitude delta " +
         "sign hash -> banded Hamming pairs; the oracle rebuilds the " +
         "hash from hex(media) samples and demands the complete " +
-        "radius-7 pair set"))
+        "radius-7 pair set"),
+
+    // --- m16: video perceptual dedup APPLY (round 13) --------------------
+    // The m5/m13 closure step for the temporal domain: cross-codec and
+    // cross-resolution relations CHAIN (DIB≈MJPEG, DIB≈downscale ⇒ all
+    // three are one clip), so the shippable artifact is the component
+    // table with min-id canonicals, closed by the same pointer-jumping
+    // label propagation and memoized/at-rest like every pair table. The
+    // oracle embeds m14's full mirror (lossless replay ∪ planted
+    // ground truth) and closes it with the recursive CTE — each planted
+    // triple collapses to one canonical (the mjpeg id: 30000+i is the
+    // group minimum by construction).
+    "m16_video_dedup_clusters" -> Q(
+      (s, _) => VPercShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |$sqlM14
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Video perceptual dedup clusters: m14 pairs closed into min-id-" +
+        "canonical components (the m5/m13 closure for the temporal " +
+        "domain); oracle embeds the m14 mirror and closes it recursively"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels

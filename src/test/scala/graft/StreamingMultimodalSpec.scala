@@ -603,4 +603,77 @@ class StreamingMultimodalSpec extends SparkSpec {
     // bounded to [-1, 1)
     assert(feats(4L).length == 16 && feats(4L).forall(v => v >= -1 && v < 1))
   }
+
+  test("VideoStream.nearDupIngest: temporal gate — cross-codec/cross-resolution dups quarantined, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.VideoStream
+    val feed = java.nio.file.Files.createTempDirectory("vdi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("vdi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("vdi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vdi_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("vdi_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // wave clips 0/1/2 are mutually far beyond the radius (unrelated
+    // worst slot >= 25 — VideoAudioPerceptualSpec pins it); 100 is the
+    // SAME clip as 0 at HALF RESOLUTION — a within-batch
+    // cross-representation duplicate sharing zero bytes
+    stage("a.parquet", Seq(
+      (0L, "video", MultimodalFixture.vpercDibMedia(0)),
+      (1L, "video", MultimodalFixture.vpercDibMedia(1)),
+      (100L, "video", MultimodalFixture.vpercDownMedia(0)),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
+    val q = VideoStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 15)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the MJPEG RE-ENCODE of INDEXED clip 1 —
+      // different codec, zero shared bytes with anything at rest; 210
+      // carries novel content
+      stage("b.parquet", Seq(
+        (201L, "video", MultimodalFixture.mjpegMedia(1)),
+        (210L, "video", MultimodalFixture.vpercDibMedia(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
+    // k slot rows per indexed clip (the frame-signature index shape)
+    val slotRows = spark.read.parquet(indexDir)
+      .filter(col("asset_id") === 0L).count()
+    assert(slotRows == math.min(4, MultimodalFixture.mjpegFrameCount(0)),
+      s"clip 0 should index one row per sampled slot, got $slotRows")
+    assert(quar == Set(
+      (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham <= 3L, s"MJPEG re-encode of clip 1 should match within " +
+      s"the measured cross-codec envelope, got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(VideoStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    VideoStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 15)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
 }
