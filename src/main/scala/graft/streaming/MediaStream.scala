@@ -73,18 +73,35 @@ object MediaStream {
     */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, quarantineDir: String, maxHamming: Int): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    sigIngestBatch(batch, batchId, indexDir, quarantineDir, maxHamming,
+      b => Multimodal.dHash(
+          b.select("asset_id", "media_type", "media")
+            .as[Multimodal.Asset]).toDF()
+        .select(col("asset_id").as("id"), col("dhash").as("sig")))
+  }
+
+  /** The single-64-bit-signature ingest core, shared by the image gate
+    * (dHash) and [[AudioStream]]'s amplitude-sign gate — the modality
+    * differs only in the `hash` projection (batch → (id, sig), rows
+    * DROPPED for payloads with no usable fingerprint); clustering,
+    * index cross-check, idempotent writes, and quarantine semantics
+    * are identical. (The video gate needs the multi-slot temporal
+    * machinery instead — see VideoStream.)
+    */
+  private[streaming] def sigIngestBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, quarantineDir: String, maxHamming: Int,
+      hash: DataFrame => DataFrame): Unit = {
     import graft.Graft
     import org.apache.spark.storage.StorageLevel
     val s = batch.sparkSession
     if (batch.isEmpty) return
     import s.implicits._
     Graft.cacheScope {
-      // ONE decode pass: (id, dhash, bytes) for decodable payloads —
-      // 16 B/asset of state; the media column is dropped right here
-      val hashed = Multimodal.dHash(
-          batch.select("asset_id", "media_type", "media")
-            .as[Multimodal.Asset]).toDF()
-        .select(col("asset_id").as("id"), col("dhash").as("sig"))
+      // ONE decode pass: (id, sig, bytes) for fingerprintable payloads
+      // — 16 B/asset of state; the media column is dropped right here
+      val hashed = hash(batch)
       val sizes = batch.select(col("asset_id").as("id"),
         length(col("media")).cast("long").as("byte_size"))
       val sigs = sizes.join(hashed, Seq("id"), "left")

@@ -676,4 +676,70 @@ class StreamingMultimodalSpec extends SparkSpec {
       maxHamming = 15)
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
+
+  test("AudioStream.nearDupIngest: amplitude-sign gate — gain/requantized dups quarantined, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.AudioStream
+    val feed = java.nio.file.Files.createTempDirectory("adi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("adi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("adi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("adi_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("adi_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // audio assets 1 and 4 are unrelated recordings (>= 22 bits apart —
+    // VideoAudioPerceptualSpec pins it); 100 is asset 1 GAIN-HALVED — a
+    // within-batch duplicate sharing zero bytes with its base
+    stage("a.parquet", Seq(
+      (1L, "audio", MultimodalFixture.media(1)),
+      (4L, "audio", MultimodalFixture.media(4)),
+      (100L, "audio", MultimodalFixture.apercGainMedia(1)),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
+    val q = AudioStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 7)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(1L, 4L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the REQUANTIZED copy of INDEXED recording 4 —
+      // zero shared bytes with anything at rest; 210 is novel
+      stage("b.parquet", Seq(
+        (201L, "audio", MultimodalFixture.apercQuantMedia(4)),
+        (210L, "audio", MultimodalFixture.media(7))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(1L, 4L, 210L), s"final index: $idx")
+    assert(quar == Set(
+      (100L, 1L, "within_batch"), (201L, 4L, "index_near_dup"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham == 0L, s"requantized copy should match at distance 0 " +
+      s"(measured envelope), got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(AudioStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    AudioStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 7)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
 }
