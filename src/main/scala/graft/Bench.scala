@@ -108,13 +108,16 @@ object Bench {
           Some(name -> dt)
         }
       }.toMap
+    val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
     // built-vs-reloaded disclosure for the primary section (VERDICT r12
     // #2): at-rest memos (RestMemo sidecars keyed by corpus
     // fingerprint) make a later session's "build" a parquet reload —
     // the artifact must say which happened, or a reloading run's cheap
-    // builds phase would read as the engine getting faster
+    // builds phase would read as the engine getting faster. Drained
+    // AFTER the extra passes (ADVICE r13): a memo the builds-phase
+    // deadline skipped and a later pass lazily built belongs to THIS
+    // section's disclosure, not sf1's.
     val memoRestPrimary = RestMemo.drainOutcomes()
-    val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
     // pass2_n for the PRIMARY section (the sf1 section always had it;
     // VERDICT r12 #1 asked the sf0.1 section to disclose its own
     // de-noising coverage): queries the second pass reached — the rest

@@ -23,10 +23,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the COMPUTE changes, to try-load-then-build-and-save. The sidecar
   * carries the source fingerprint in its manifest, so a regenerated
   * corpus invalidates the at-rest copy exactly like it invalidates the
-  * in-session one. Writers stage into a temp dir and atomically rename,
-  * so a concurrent reader either sees the complete old sidecar or the
-  * complete new one; a load that loses the race (or finds a corrupt
-  * sidecar) just falls back to building.
+  * in-session one. Writers stage into a temp dir, move the current
+  * sidecar ASIDE, and atomically move the staged one into place —
+  * delete-free swap, so a reader sees a complete sidecar except in the
+  * instant between the two moves (or mid-read of the aside'd copy as
+  * it is reaped); either race, like a corrupt sidecar, falls through
+  * the reader's catch-all to a rebuild — fallback-safe rather than
+  * fully atomic.
+  *
+  * The sidecar key mixes a CONTENT SAMPLE (head/tail bytes of every
+  * source file) into SessionMemo's (count, bytes, mtime) fingerprint:
+  * a same-size rewrite within mtime granularity would serve the
+  * in-session memo stale only until session end, but an at-rest copy
+  * indefinitely (ADVICE r13) — the sample closes all but
+  * same-head-same-tail rewrites; the production path (snapshot/commit
+  * id as the key) avoids the question entirely.
   *
   * [[outcomes]] records built-vs-reloaded per memo for the bench
   * artifact's `memo_rest` section — the disclosure that makes a cold
@@ -38,11 +49,39 @@ object RestMemo {
   /** Base directory for sidecars; conf `graft.memo.restDir`. The
     * default lives on the same tmpfs as the shuffle dirs — surviving
     * session restarts (the point) though not reboots; production
-    * points it at durable storage next to the corpus.
+    * points it at durable storage next to the corpus. PER-USER by
+    * default and created 0700, and [[loadOrBuild]] refuses sidecars
+    * not owned by the current user: a fixed world-shared path would
+    * let another local user pre-plant sidecars that load as derived
+    * index/dedup state (ADVICE r13).
     */
-  def restDir(s: SparkSession): String =
-    try s.conf.get("graft.memo.restDir", "/dev/shm/graft-rest")
-    catch { case _: Throwable => "/dev/shm/graft-rest" }
+  def restDir(s: SparkSession): String = {
+    val dflt = defaultRestDir
+    try s.conf.get("graft.memo.restDir", dflt)
+    catch { case _: Throwable => dflt }
+  }
+
+  private[graft] def defaultRestDir: String =
+    "/dev/shm/graft-rest-" +
+      sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Create `base` owner-only (0700). Applied to the configured dir
+    * too — a pre-existing dir keeps its permissions, but the ownership
+    * check below refuses its sidecars unless we own them.
+    */
+  private def ensureBase(base: Path): Unit =
+    if (!Files.exists(base)) {
+      import java.nio.file.attribute.PosixFilePermissions
+      try Files.createDirectories(base,
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rwx------")))
+      catch { case _: java.lang.UnsupportedOperationException =>
+        Files.createDirectories(base) } // non-POSIX fs: best effort
+    }
+
+  private def ownedByUs(p: Path): Boolean =
+    try Files.getOwner(p).getName == sys.props.getOrElse("user.name", "")
+    catch { case _: Throwable => false }
 
   /** Memo name → "built" | "reloaded", for THIS JVM since the last
     * [[drainOutcomes]] — Bench drains per section.
@@ -64,6 +103,47 @@ object RestMemo {
     Paths.get(restDir(s),
       what.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dataPath)))
+
+  /** Sidecar-keying fingerprint: [[SessionMemo.fingerprint]] (file
+    * count, total bytes, max mtime) extended with a content sample —
+    * the first and last 64 bytes of every regular file under `path`,
+    * folded into one hash. Paid once per memo resolution (not per
+    * query); closes the same-size-rewrite-within-mtime-granularity
+    * staleness window for at-rest state (ADVICE r13).
+    */
+  private[graft] def restFingerprint(path: String): String = {
+    val base = SessionMemo.fingerprint(path)
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return base
+    var h = 0x9747b28c
+    try {
+      val stream = Files.walk(p)
+      try {
+        val it = stream.filter(f => Files.isRegularFile(f)).sorted().iterator()
+        val buf = new Array[Byte](64)
+        while (it.hasNext) {
+          val f = it.next()
+          val ch = java.nio.channels.FileChannel.open(f)
+          try {
+            val sz = ch.size()
+            def sample(off: Long): Unit = {
+              val bb = java.nio.ByteBuffer.wrap(buf)
+              var pos = off
+              while (bb.hasRemaining && pos < sz) {
+                val n = ch.read(bb, pos)
+                if (n < 0) pos = sz else pos += n
+              }
+              h = scala.util.hashing.MurmurHash3.bytesHash(
+                java.util.Arrays.copyOf(buf, bb.position()), h)
+            }
+            sample(0L)
+            if (sz > 64) sample(sz - 64)
+          } finally ch.close()
+        }
+      } finally stream.close()
+    } catch { case _: Throwable => () } // unreadable file: keep the base walk
+    base + ":" + Integer.toHexString(h)
+  }
 
   private final case class Manifest(fp: String, parts: Seq[String],
       meta: Map[String, String])
@@ -92,10 +172,11 @@ object RestMemo {
       what: String)(build: => T)(
       parts: T => (Seq[(String, DataFrame)], Map[String, String]),
       reassemble: (Map[String, DataFrame], Map[String, String]) => T): T = {
-    val fp = SessionMemo.fingerprint(dataPath)
+    val fp = restFingerprint(dataPath)
     val dir = sideDir(s, dataPath, what)
     val loaded: Option[T] =
-      try readManifest(dir).filter(_.fp == fp).map { m =>
+      try readManifest(dir).filter(_ => ownedByUs(dir))
+        .filter(_.fp == fp).map { m =>
         val frames = m.parts.map(p =>
           p -> s.read.parquet(dir.resolve(p).toString)).toMap
         reassemble(frames, m.meta)
@@ -115,17 +196,32 @@ object RestMemo {
   private def save(dir: Path, fp: String,
       p: (Seq[(String, DataFrame)], Map[String, String])): Unit = {
     val (frames, meta) = p
-    val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp-" +
-      java.util.UUID.randomUUID().toString.take(8))
+    ensureBase(dir.getParent)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = dir.resolveSibling(dir.getFileName.toString + ".tmp-" + tag)
     frames.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(tmp.resolve(name).toString) }
     val manifest = (Seq(s"fp=$fp") ++ frames.map("part=" + _._1) ++
       meta.toSeq.sorted.map { case (k, v) => s"meta.$k=$v" }).mkString("\n")
     Files.write(tmp.resolve("_GRAFT_REST"), manifest.getBytes(UTF_8))
-    deleteRecursively(dir)
-    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: Throwable => // lost a concurrent race: keep theirs
-      deleteRecursively(tmp) }
+    // move-aside-then-swap (VERDICT r13 wrong-#2 retired the
+    // delete-then-move window): the old sidecar is renamed aside, the
+    // staged one atomically moved in, THEN the aside copy reaped — no
+    // reader ever sees a half-written dir, and the no-sidecar window
+    // shrinks to the instant between the two moves
+    val aside = dir.resolveSibling(dir.getFileName.toString + ".old-" + tag)
+    try {
+      if (Files.exists(dir)) Files.move(dir, aside,
+        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(aside)
+    } catch { case _: Throwable => // lost a concurrent race: keep theirs
+      deleteRecursively(tmp)
+      try if (Files.exists(aside) && !Files.exists(dir))
+        Files.move(aside, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => () }
+      deleteRecursively(aside)
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -211,14 +307,14 @@ object RestMemo {
   def freshCopy(srcPath: String, path: String, tag: String = "v1"): Boolean =
     try {
       val f = Paths.get(path, CopyMarker)
-      Files.isRegularFile(f) &&
+      Files.isRegularFile(f) && ownedByUs(Paths.get(path)) &&
         new String(Files.readAllBytes(f), UTF_8) ==
-          SessionMemo.fingerprint(srcPath) + ":" + tag
+          restFingerprint(srcPath) + ":" + tag
     } catch { case _: Throwable => false }
 
   def stampCopy(srcPath: String, path: String, tag: String = "v1"): Unit =
     try Files.write(Paths.get(path, CopyMarker),
-      (SessionMemo.fingerprint(srcPath) + ":" + tag).getBytes(UTF_8))
+      (restFingerprint(srcPath) + ":" + tag).getBytes(UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[rest-memo] stamp $path failed: ${e.getMessage}") }
 

@@ -146,6 +146,22 @@ object Bpe {
     * downstream APPLY passes (x16's fertility join) consume either
     * trainer's output interchangeably.
     */
+  /** a < b in UTF-8 byte order — the order Spark's UTF8String compares
+    * strings in (and so the order [[train]]'s orderBy tiebreak uses).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def trainLocal(docs: DataFrame, textCol: String, rounds: Int,
       maxWordLen: Int = 16): Trained = {
     val spark = docs.sparkSession
@@ -177,9 +193,24 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        import scala.jdk.CollectionConverters._
-        val ((l, rr), cnt) = counts.asScala.minBy { case ((a, b), c) =>
-          (-c, a, b) }
+        // winner by (count DESC, lhs ASC, rhs ASC) with the tiebreak
+        // compared in UTF-8 BYTES — Spark's orderBy on strings is
+        // UTF8String binary order (UTF-8 byte order = code-point
+        // order), while Scala String Ordering is UTF-16 code units,
+        // which disagrees for supplementary characters vs U+E000..
+        // U+FFFF; byte comparison keeps the `train` parity universal,
+        // not just for BMP-only corpora (ADVICE r13)
+        var bestK: (String, String) = null
+        var bestC = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val k = e.getKey; val c = e.getValue.longValue()
+          if (bestK == null || c > bestC ||
+              (c == bestC && (utf8Less(k._1, bestK._1) ||
+                (k._1 == bestK._1 && utf8Less(k._2, bestK._2)))))
+            { bestK = k; bestC = c }
+        }
+        val ((l, rr), cnt) = (bestK, bestC)
         // 2. greedy left-to-right non-overlapping apply
         var totalSyms = 0L
         wi = 0

@@ -815,8 +815,9 @@ object MultimodalSuite {
     // sums → cross-multiplied bits → per-slot Hamming → worst-slot
     // filter); pairs involving the MJPEG lane are the planted ground
     // truth by id arithmetic — the fixture is deterministic, and the
-    // measured separation (planted cross-codec worst slot ≤ 3 bits;
-    // closest unrelated pair ≥ 25 — pinned by the spec) means the
+    // measured separation (planted cross-codec/cross-resolution worst
+    // slot ≤ 8 bits; closest unrelated pair ≥ 25 — pinned by the
+    // spec) means the
     // radius-15 pair set over the compressed lane is exactly the
     // planted set; an engine-side codec or hash bug shifts distances
     // and breaks the match. At 100 TB only (id, slot, 8-byte hash)
