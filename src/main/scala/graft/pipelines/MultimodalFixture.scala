@@ -469,6 +469,40 @@ object MultimodalFixture {
       Array.tabulate(mjpegFrameCount(i))(k => down(mjpegFramePixels(i, k))))
   }
 
+  // --- fps-variant video asset set (round 14) ---------------------------
+  // The m18 corpus: each mjpeg clip's frames re-encoded as a
+  // FRAME-DUPLICATED DOUBLE-RATE DIB clip (every frame twice at half
+  // usPerFrame — the classic pulldown/upsample re-encode: same duration,
+  // same content timeline, twice the frame count). Against the vperc DIB
+  // lane this is the planted DIFFERING-FRAME-COUNT pair the round-13
+  // equal-slot-count rule made invisible (VERDICT r13 #2): under
+  // duration-fraction slot sampling, slot i of both encodings lands on
+  // the SAME content frame (floor(floor(2nf·i/k)/2) = floor(nf·i/k)), so
+  // per-slot distance is exactly 0 while the bytes share nothing. All
+  // DIB — every lane of the m18 oracle replays bit-exactly from
+  // hex(media), no planted arm.
+  def vperc2Path: String = s"$root/vperc2.parquet"
+  val VPerc2xOffset = 55000L
+
+  /** Frame-duplicated 2×-rate DIB re-encode of the mjpeg clip's frames. */
+  def vperc2xMedia(i: Long): Array[Byte] = {
+    val (w, h) = mjpegDims(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame / 2,
+      Array.tabulate(2 * mjpegFrameCount(i))(k => mjpegFramePixels(i, k / 2)))
+  }
+
+  def buildVPerc2(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nMjpegs.toLong, 1, 4)
+      .map(i => graft.operators.Multimodal.Asset(i + VPerc2xOffset, "video",
+        vperc2xMedia(i)))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(vperc2Path)
+    new File(s"$vperc2Path/$vperc2Marker").createNewFile()
+  }
+
   def buildVPerc(spark: SparkSession): Unit = {
     import spark.implicits._
     graft.Graft.tune(spark)
@@ -556,6 +590,7 @@ object MultimodalFixture {
   private val percMarker = "_GRAFT_PERC_V1"
   private val mjpegAviMarker = "_GRAFT_MJPEG_AVI_V2" // V2 = wave generator (m14 separation)
   private val vpercMarker = "_GRAFT_VPERC_V1"
+  private val vperc2Marker = "_GRAFT_VPERC2_V1"
   private val apercMarker = "_GRAFT_APERC_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
@@ -574,6 +609,8 @@ object MultimodalFixture {
         !new File(s"$mjpegPath/$mjpegAviMarker").exists()) buildMjpeg(spark)
     if (!new File(s"$vpercPath/_SUCCESS").exists() ||
         !new File(s"$vpercPath/$vpercMarker").exists()) buildVPerc(spark)
+    if (!new File(s"$vperc2Path/_SUCCESS").exists() ||
+        !new File(s"$vperc2Path/$vperc2Marker").exists()) buildVPerc2(spark)
     if (!new File(s"$apercPath/_SUCCESS").exists() ||
         !new File(s"$apercPath/$apercMarker").exists()) buildAPerc(spark)
     ready = true

@@ -78,6 +78,14 @@ object MultimodalSuite {
 
   private def VP = s"read_parquet('${MultimodalFixture.vpercPath}/*.parquet')"
 
+  private def vperc2Assets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vperc2Path))
+  }
+
+  private def V2 = s"read_parquet('${MultimodalFixture.vperc2Path}/*.parquet')"
+
   private def apercAssets(s: SparkSession): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
@@ -161,7 +169,8 @@ object MultimodalSuite {
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
-    "m15_audio_perceptual_neardups", "m16_video_dedup_clusters")
+    "m15_audio_perceptual_neardups", "m16_video_dedup_clusters",
+    "m18_video_fps_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -187,6 +196,27 @@ object MultimodalSuite {
       val p = pairs(s)
       RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the FPS-ROBUSTNESS pair table (m18 — the
+    * duration-fraction temporal signature over the ALL-DIB vperc ∪
+    * vperc2 corpus: full-rate, 2×-downscaled, and frame-duplicated
+    * double-rate encodings of the same clips).
+    */
+  private object VPerc2Shared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.vperc2Path, "m18-pairs") {
+        import s.implicits._
+        val corpus = vpercAssets(s).unionByName(vperc2Assets(s))
+        val sigs = Multimodal.videoDHash(corpus.as[Multimodal.Asset], 4).toDF()
+          .select(col("asset_id").as("id"), col("slot"),
+            col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.temporalNearDupsSig(sigs,
+          maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
       }
     }
   }
@@ -256,6 +286,7 @@ object MultimodalSuite {
       "media_perc_clusters" -> (() => { PercShared.clusters(s); () }),
       "media_video_dhash_pairs" -> (() => { VPercShared.pairs(s); () }),
       "media_vperc_clusters" -> (() => { VPercShared.clusters(s); () }),
+      "media_video_fps_pairs" -> (() => { VPerc2Shared.pairs(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
@@ -884,7 +915,38 @@ object MultimodalSuite {
         |ORDER BY canonical_id, member_id""".stripMargin),
       "Video perceptual dedup clusters: m14 pairs closed into min-id-" +
         "canonical components (the m5/m13 closure for the temporal " +
-        "domain); oracle embeds the m14 mirror and closes it recursively"))
+        "domain); oracle embeds the m14 mirror and closes it recursively"),
+
+    // --- m18: fps-robust video near-dup (round 14) -----------------------
+    // The frame-RATE axis of the temporal envelope, closing the
+    // documented round-13 boundary (equal-slot-count rule ⇒ a re-encode
+    // with a different frame count was invisible): videoDHash now
+    // samples slots at fixed fractions of DURATION and always emits k=4,
+    // so slot i of a clip and of its frame-duplicated double-rate
+    // re-encode (vperc2.parquet — every frame twice at half usPerFrame,
+    // the classic pulldown/upsample; same duration, same content
+    // timeline, twice the frames, zero shared bytes) lands on the SAME
+    // content frame (⌊⌊2nf·i/4⌋/2⌋ = ⌊nf·i/4⌋) — per-slot distance
+    // exactly 0. The corpus is vperc ∪ vperc2: full-rate DIB,
+    // 2×-downscaled DIB, and double-rate DIB lanes of the same wave
+    // clips — ALL lossless, so the oracle replays every lane bit-exactly
+    // from hex(media) with the duration-fraction geometry and demands
+    // the complete radius-15 pair set with NO planted arm (unlike m14's
+    // MJPEG lane). Expected pairs per clip i: (dib,down), (dib,2x),
+    // (down,2x) — the fps pair in both combinations plus the m14
+    // resolution pair; VideoAudioPerceptualSpec pins that exactly these
+    // emerge and that the old frame-count geometry provably missed the
+    // nf<4 fps pairs. Honest boundary (scaladoc'd on videoDHash): a
+    // DOWNSAMPLED re-encode that drops frames is caught only where
+    // retained frames cover the slot timestamps — frame-dropping
+    // robustness on hard-cut content needs scene-aware signatures.
+    "m18_video_fps_neardups" -> Q(
+      (s, _) => VPerc2Shared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM18),
+      "Fps-robust video near-dup: duration-fraction slot sampling makes " +
+        "a frame-duplicated double-rate re-encode align slot-for-slot; " +
+        "all-DIB corpus, complete radius-15 pair set replayed from " +
+        "hex(media) with no planted arm"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
@@ -946,16 +1008,17 @@ object MultimodalSuite {
     |ORDER BY id1, id2""".stripMargin
   }
 
-  /** m14's oracle: lossless DIB lanes replayed bit-exactly from
-    * hex(media) — canonical AVI header fields (the m3/m6 offsets),
-    * sampled-frame chunk offsets, bottom-up stride-aware pixel reads,
-    * 9×8 integer block sums, cross-multiplied mean bits, per-slot
-    * Hamming, worst-slot ≤ 15 over equal slot counts — UNIONed with the
-    * planted MJPEG-lane ground truth by id arithmetic (see the m14
-    * query comment for why the compressed lane cannot be replayed in
-    * SQL and why the planted set is exactly the radius-15 set).
+  /** Complete radius-15 temporal pair set over a LOSSLESS DIB corpus
+    * `src` (columns: id, hx = hex(media)), replayed bit-exactly from
+    * the container bytes: canonical AVI header fields (the m3/m6
+    * offsets), DURATION-FRACTION slot geometry (round 14 — slot i's
+    * frame = ⌊nf·i/4⌋, ALWAYS 4 slots, frames repeat when nf < 4 —
+    * mirroring videoDHash exactly), bottom-up stride-aware pixel
+    * reads, 9×8 integer block sums, cross-multiplied mean bits,
+    * per-slot Hamming, worst-slot ≤ 15. Embedded as a parenthesized
+    * subquery by the m14 / m16 / m18 oracles.
     */
-  private def sqlM14: String = {
+  private def sqlTemporalDibPairs(src: String): String = {
     def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
     def le32(p: Int): String =
       s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
@@ -964,23 +1027,22 @@ object MultimodalSuite {
     def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
     val pxo = "foff + (h - 1 - y) * stride + x * 3"
     s"""WITH v AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $VP),
+    |  $src),
     |hdr AS MATERIALIZED (
     |  SELECT id, hx, ${le32(49)} AS nf, ${le32(65)} AS w, ${le32(69)} AS h,
     |    ((${le32(65)} * 3 + 3) // 4) * 4 AS stride
     |  FROM v),
     |fr AS (
-    |  SELECT id, hx, w, h, stride, LEAST(4, nf) AS take, slot,
-    |    224 + ((nf * slot) // LEAST(4, nf)) * (8 + stride * h) + 8 AS foff
-    |  FROM hdr CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) sl
-    |  WHERE slot < LEAST(4, nf)),
+    |  SELECT id, hx, w, h, stride, slot,
+    |    224 + ((nf * slot) // 4) * (8 + stride * h) + 8 AS foff
+    |  FROM hdr CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) sl),
     |cells AS (
-    |  SELECT id, hx, w, h, stride, take, slot, foff, j, i
+    |  SELECT id, hx, w, h, stride, slot, foff, j, i
     |  FROM fr
     |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
     |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii),
     |blocks AS MATERIALIZED (
-    |  SELECT id, take, slot, j, i,
+    |  SELECT id, slot, j, i,
     |    COALESCE(list_sum(list_transform(
     |        range((j * h + 7) // 8, ((j + 1) * h + 7) // 8), y ->
     |      list_sum(list_transform(
@@ -990,7 +1052,7 @@ object MultimodalSuite {
     |      (((j + 1) * h + 7) // 8 - (j * h + 7) // 8) AS c
     |  FROM cells),
     |bits AS MATERIALIZED (
-    |  SELECT l.id, l.take, l.slot, l.j, l.i, (l.s * r.c < r.s * l.c) AS bit
+    |  SELECT l.id, l.slot, l.j, l.i, (l.s * r.c < r.s * l.c) AS bit
     |  FROM blocks l JOIN blocks r
     |    ON l.id = r.id AND l.slot = r.slot AND l.j = r.j AND r.i = l.i + 1
     |  WHERE l.i < 8),
@@ -998,11 +1060,22 @@ object MultimodalSuite {
     |  SELECT a.id AS id1, b.id AS id2, a.slot,
     |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
     |  FROM bits a JOIN bits b
-    |    ON a.slot = b.slot AND a.j = b.j AND a.i = b.i
-    |      AND a.take = b.take AND a.id < b.id
+    |    ON a.slot = b.slot AND a.j = b.j AND a.i = b.i AND a.id < b.id
     |  GROUP BY a.id, b.id, a.slot)
-    |SELECT id1, id2 FROM (
-    |  SELECT id1, id2 FROM ham GROUP BY id1, id2 HAVING MAX(hm) <= 15
+    |SELECT id1, id2 FROM ham GROUP BY id1, id2 HAVING MAX(hm) <= 15""".stripMargin
+  }
+
+  /** m14's oracle: the lossless DIB lanes' complete pair set
+    * ([[sqlTemporalDibPairs]] over vperc) UNIONed with the planted
+    * MJPEG-lane ground truth by id arithmetic (see the m14 query
+    * comment for why the compressed lane cannot be replayed in SQL and
+    * why the planted set is exactly the radius-15 set).
+    */
+  private def sqlM14: String =
+    s"""SELECT id1, id2 FROM (
+    |  SELECT id1, id2 FROM (
+    |${sqlTemporalDibPairs(s"SELECT asset_id AS id, hex(media) AS hx FROM $VP")}
+    |  ) lossless
     |  UNION ALL
     |  SELECT ${MultimodalFixture.MjpegIdOffset} + i AS id1,
     |    ${MultimodalFixture.VPercDibOffset} + i AS id2
@@ -1012,7 +1085,18 @@ object MultimodalSuite {
     |    ${MultimodalFixture.VPercDownOffset} + i
     |  FROM (SELECT unnest(range(0, ${MultimodalFixture.nMjpegs})) AS i) p2) u
     |ORDER BY id1, id2""".stripMargin
-  }
+
+  /** m18's oracle: the complete radius-15 pair set over the ALL-DIB
+    * vperc ∪ vperc2 corpus — every lane lossless, so unlike m14 there
+    * is NO planted arm: the fps-doubled pairs must emerge from the
+    * hex-replayed duration-fraction hash like every other pair.
+    */
+  private def sqlM18: String =
+    s"""SELECT id1, id2 FROM (
+    |${sqlTemporalDibPairs(
+        s"SELECT asset_id AS id, hex(media) AS hx FROM $VP\n" +
+          s"  UNION ALL SELECT asset_id, hex(media) FROM $V2")}
+    |) t ORDER BY id1, id2""".stripMargin
 
   /** m15's oracle: the 65-window amplitude sign hash rebuilt entirely
     * from hex(media) — WAV data-size header field → frame count, signed

@@ -654,10 +654,12 @@ class StreamingMultimodalSpec extends SparkSpec {
         .toSet)
     val (idx, quar) = snapshot()
     assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
-    // k slot rows per indexed clip (the frame-signature index shape)
+    // k slot rows per indexed clip (the frame-signature index shape) —
+    // ALWAYS k=4 since the round-14 duration-fraction geometry (frames
+    // repeat across slots when the clip has fewer than k frames)
     val slotRows = spark.read.parquet(indexDir)
       .filter(col("asset_id") === 0L).count()
-    assert(slotRows == math.min(4, MultimodalFixture.mjpegFrameCount(0)),
+    assert(slotRows == 4,
       s"clip 0 should index one row per sampled slot, got $slotRows")
     assert(quar == Set(
       (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),

@@ -38,11 +38,13 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     }.toSet
   }
 
+  /** The round-14 duration-fraction geometry (videoDHash): ALWAYS k
+    * slots, slot i = the frame covering time fraction i/k.
+    */
   private def frameHashes(bytes: Array[Byte], k: Int = 4): Seq[Long] = {
     val m = MediaBinary.decodeAviMeta(bytes).get
-    val take = math.min(k, m.nFrames)
-    (0 until take).map { i =>
-      val idx = (m.nFrames.toLong * i / take).toInt
+    (0 until k).map { i =>
+      val idx = (m.nFrames.toLong * i / k).toInt
       Multimodal.dHash64(m.width, m.height,
         MediaBinary.aviFramePixels(bytes, m, idx))
     }
@@ -53,37 +55,57 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
   }
 
-  test("video cross-codec + cross-resolution twins: zero shared byte chunks, tiny temporal distance") {
+  test("video cross-codec + cross-resolution + cross-fps twins: zero shared byte chunks, tiny temporal distance") {
     for (i <- Seq(0L, 3L, 6L, 11L)) {
       val dib = MultimodalFixture.vpercDibMedia(i)
       val down = MultimodalFixture.vpercDownMedia(i)
       val mj = MultimodalFixture.mjpegMedia(i)
+      val x2 = MultimodalFixture.vperc2xMedia(i)
       // the byte domain m4 lives in sees nothing in common across any
       // planted lane pair...
       assert(chunkMd5s(dib).intersect(chunkMd5s(mj)).isEmpty,
         s"DIB/MJPEG encodings of clip $i should share no chunk md5s")
       assert(chunkMd5s(dib).intersect(chunkMd5s(down)).isEmpty,
         s"full/downscaled encodings of clip $i should share no chunk md5s")
-      // ...while the temporal perceptual signature barely moves
+      // the fps twin is raw DIB of the SAME pixels (chosen so the m18
+      // oracle can replay it), so unlike a codec re-encode it keeps
+      // byte runs and a few chunk-aligned windows coincide — the honest
+      // byte-domain claim is that chunk Jaccard stays well under the
+      // m4 pipeline's 0.5 threshold, not that it is zero
+      val (cd, c2) = (chunkMd5s(dib), chunkMd5s(x2))
+      val inter = cd.intersect(c2).size
+      val jac = inter.toDouble / (cd.size + c2.size - inter)
+      assert(jac < 0.5,
+        s"full/double-rate chunk Jaccard $jac for clip $i reaches m4's threshold")
+      // ...while the temporal perceptual signature barely moves —
+      // and the fps pair is EXACT: duration-fraction slot i of both
+      // encodings is the same content frame
       assert(worstSlot(frameHashes(dib), frameHashes(mj)) <= 8,
         s"cross-codec worst slot for clip $i exceeds the pinned bound")
       assert(worstSlot(frameHashes(dib), frameHashes(down)) <= 8,
         s"cross-resolution worst slot for clip $i exceeds the pinned bound")
+      assert(worstSlot(frameHashes(dib), frameHashes(x2)) == 0,
+        s"cross-fps worst slot for clip $i should be exactly 0")
     }
   }
 
-  test("m14 separation envelope: planted worst slot <= 8, unrelated pairs >= 25 bits apart") {
+  test("m14/m18 separation envelope: planted worst slot <= 8, unrelated pairs >= 25 bits apart") {
+    // Under the round-14 duration-fraction geometry EVERY clip emits 4
+    // slots, so clips of differing frame counts — previously never
+    // comparable — now enter the measurement too; the envelope must
+    // hold over the full cross product of all four lanes (DIB,
+    // downscaled, MJPEG, frame-duplicated double-rate).
     val n = MultimodalFixture.nMjpegs
     val lanes = Seq(
       (0 until n).map(i => frameHashes(MultimodalFixture.vpercDibMedia(i))),
       (0 until n).map(i => frameHashes(MultimodalFixture.vpercDownMedia(i))),
-      (0 until n).map(i => frameHashes(MultimodalFixture.mjpegMedia(i))))
+      (0 until n).map(i => frameHashes(MultimodalFixture.mjpegMedia(i))),
+      (0 until n).map(i => frameHashes(MultimodalFixture.vperc2xMedia(i))))
     var plantedMax = 0
     var unrelatedMin = Int.MaxValue
     for (la <- lanes.indices; lb <- lanes.indices; i <- 0 until n;
          j <- 0 until n
-         if (la < lb || (la == lb && i < j)) &&
-           lanes(la)(i).size == lanes(lb)(j).size) {
+         if la < lb || (la == lb && i < j)) {
       val d = worstSlot(lanes(la)(i), lanes(lb)(j))
       if (la != lb && i == j) plantedMax = math.max(plantedMax, d)
       else unrelatedMin = math.min(unrelatedMin, d)
@@ -92,6 +114,36 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     // measured split the m14 oracle's MJPEG ground-truth arm rests on
     assert(plantedMax <= 8, s"planted worst slot grew to $plantedMax")
     assert(unrelatedMin >= 25, s"unrelated worst slot shrank to $unrelatedMin")
+  }
+
+  test("m18 declared query: exactly the planted fps/resolution triples; the old frame-count geometry missed the nf<4 fps pairs") {
+    val found = SparkEntry.queries("m18_video_fps_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = MultimodalFixture.nMjpegs.toLong
+    val planted = (0L until n).flatMap { i =>
+      Seq(
+        (MultimodalFixture.VPercDibOffset + i, MultimodalFixture.VPercDownOffset + i),
+        (MultimodalFixture.VPercDibOffset + i, MultimodalFixture.VPerc2xOffset + i),
+        (MultimodalFixture.VPercDownOffset + i, MultimodalFixture.VPerc2xOffset + i))
+    }.toSet
+    assert(found == planted,
+      s"m18 mismatch: missing=${planted.diff(found).toSeq.sorted.take(5)} " +
+        s"extra=${found.diff(planted).toSeq.sorted.take(5)}")
+    // the round-13 geometry (slot count = min(k, nFrames)) emitted
+    // DIFFERING slot counts for the nf<4 clips vs their frame-doubled
+    // twins, so the equal-count rule made those pairs structurally
+    // invisible — the boundary this round closes; prove the corpus
+    // actually exercises it
+    val short = (0L until n).filter(MultimodalFixture.mjpegFrameCount(_) < 4)
+    assert(short.nonEmpty, "fixture lost its nf<4 clips")
+    for (i <- short) {
+      val nf = MultimodalFixture.mjpegFrameCount(i)
+      assert(math.min(4, nf) != math.min(4, 2 * nf),
+        s"clip $i no longer demonstrates the old slot-count mismatch")
+      assert(found.contains(
+        (MultimodalFixture.VPercDibOffset + i, MultimodalFixture.VPerc2xOffset + i)),
+        s"nf=$nf fps pair for clip $i not caught")
+    }
   }
 
   test("audio twins: zero shared bytes, identical sign hash; unrelated >= 22 bits") {
