@@ -518,6 +518,118 @@ object MultimodalFixture {
     new File(s"$vpercPath/$vpercMarker").createNewFile()
   }
 
+  // --- crop-perceptual image asset set (round 14) -----------------------
+  // The m17 corpus: SMOOTH STRUCTURED pictures (per-id cloud textures —
+  // see cpercBasePixels; crops of structured content are the class the
+  // global dHash provably misses, PerceptualDedupSpec's envelope)
+  // planted with two crops each: the inner-10% center crop and a same-size
+  // TL-anchored crop, BOTH generated with the REGION-GRID integer
+  // arithmetic (x0 = w/10 — Multimodal.regionWindows regions 1 and 3),
+  // so each crop's pixel surface IS one of its base's family windows
+  // and the region pair scores Hamming 0. All three lanes are 24-bpp
+  // BMP — raw pixels in the container, so the m17 oracle replays every
+  // hash bit-exactly from hex(media) (the m7 walk), no generator replay
+  // and no planted arm.
+  def cpercPath: String = s"$root/cperc.parquet"
+  val CPercBaseOffset = 80000L
+  val CPercCenterOffset = 81000L
+  val CPercTlOffset = 82000L
+
+  private val CGrid = 6 // coarse cells per axis (7×7 corner values)
+
+  /** The crop-corpus base picture: a smooth per-id "cloud" texture —
+    * an id-keyed random 7×7 coarse grid bilinearly interpolated to the
+    * clip dims, per channel, in pure integer arithmetic. Smooth like
+    * photographic content (adjacent pixels drift slowly) yet
+    * id-DISTINCT at region scale: block means sample the random coarse
+    * field, so unrelated assets sit far apart under ANY region pairing
+    * — which the m14 wave frames are NOT (periodic content repeats
+    * block orderings across windows and ids, and the
+    * min-over-49-region-pairs rule then surfaces coincidental
+    * 0-distance pairs between different pictures; measured before this
+    * generator replaced them).
+    */
+  def cpercBasePixels(i: Long): (Int, Int, Array[Byte]) = {
+    val (w, h) = mjpegDims(i)
+    val g = CGrid
+    val corners = Array.tabulate(3, g + 1, g + 1) { (c, gy, gx) =>
+      ((mix(i * 1315423911L + c * 2654435761L + gy * 97L + gx) >>> 56) & 0xff).toInt
+    }
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val v = y * g * 256 / h
+      val gy = v >> 8; val fy = v & 255
+      var x = 0
+      while (x < w) {
+        val u = x * g * 256 / w
+        val gx = u >> 8; val fx = u & 255
+        var c = 0
+        while (c < 3) {
+          val top = corners(c)(gy)(gx) * (256 - fx) +
+            corners(c)(gy)(gx + 1) * fx
+          val bot = corners(c)(gy + 1)(gx) * (256 - fx) +
+            corners(c)(gy + 1)(gx + 1) * fx
+          out((y * w + x) * 3 + c) = ((top * (256 - fy) + bot * fy) >> 16).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  def cpercBaseMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = cpercBasePixels(i)
+    graft.sources.MediaBinary.encodeBmp(w, h, px)
+  }
+
+  private def cropWindow(w: Int, px: Array[Byte],
+      rx: Int, ry: Int, cw: Int, ch: Int): Array[Byte] = {
+    val out = new Array[Byte](cw * ch * 3)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(px, ((ry + y) * w + rx) * 3, out, y * cw * 3, cw * 3)
+      y += 1
+    }
+    out
+  }
+
+  /** Inner-10% center crop (region-1 window of the base). */
+  def cpercCenterMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = cpercBasePixels(i)
+    val (x0, y0) = (w / 10, h / 10)
+    val (cw, ch) = (w - 2 * x0, h - 2 * y0)
+    graft.sources.MediaBinary.encodeBmp(cw, ch,
+      cropWindow(w, px, x0, y0, cw, ch))
+  }
+
+  /** TL-anchored crop at the same scale (region-3 window of the base). */
+  def cpercTlMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = cpercBasePixels(i)
+    val (cw, ch) = (w - 2 * (w / 10), h - 2 * (h / 10))
+    graft.sources.MediaBinary.encodeBmp(cw, ch,
+      cropWindow(w, px, 0, 0, cw, ch))
+  }
+
+  def buildCPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nMjpegs.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + CPercBaseOffset, "image",
+          cpercBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + CPercCenterOffset, "image",
+          cpercCenterMedia(i)),
+        graft.operators.Multimodal.Asset(i + CPercTlOffset, "image",
+          cpercTlMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(cpercPath)
+    new File(s"$cpercPath/$cpercMarker").createNewFile()
+  }
+
   // --- perceptual AUDIO dedup asset set (round 13) ----------------------
   // Edited twins of the first nAPercBases audio assets: gain-halved
   // (every sample ÷2, ids +APercGainOffset) and requantized-to-12-bit
@@ -591,6 +703,7 @@ object MultimodalFixture {
   private val mjpegAviMarker = "_GRAFT_MJPEG_AVI_V2" // V2 = wave generator (m14 separation)
   private val vpercMarker = "_GRAFT_VPERC_V1"
   private val vperc2Marker = "_GRAFT_VPERC2_V1"
+  private val cpercMarker = "_GRAFT_CPERC_V2" // V2 = cloud textures (region distinctness)
   private val apercMarker = "_GRAFT_APERC_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
@@ -611,6 +724,8 @@ object MultimodalFixture {
         !new File(s"$vpercPath/$vpercMarker").exists()) buildVPerc(spark)
     if (!new File(s"$vperc2Path/_SUCCESS").exists() ||
         !new File(s"$vperc2Path/$vperc2Marker").exists()) buildVPerc2(spark)
+    if (!new File(s"$cpercPath/_SUCCESS").exists() ||
+        !new File(s"$cpercPath/$cpercMarker").exists()) buildCPerc(spark)
     if (!new File(s"$apercPath/_SUCCESS").exists() ||
         !new File(s"$apercPath/$apercMarker").exists()) buildAPerc(spark)
     ready = true

@@ -86,6 +86,14 @@ object MultimodalSuite {
 
   private def V2 = s"read_parquet('${MultimodalFixture.vperc2Path}/*.parquet')"
 
+  private def cpercAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.cpercPath))
+  }
+
+  private def CP = s"read_parquet('${MultimodalFixture.cpercPath}/*.parquet')"
+
   private def apercAssets(s: SparkSession): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
@@ -170,7 +178,7 @@ object MultimodalSuite {
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
     "m15_audio_perceptual_neardups", "m16_video_dedup_clusters",
-    "m18_video_fps_neardups")
+    "m17_crop_perceptual_neardups", "m18_video_fps_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -196,6 +204,25 @@ object MultimodalSuite {
       val p = pairs(s)
       RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the CROP-ROBUSTNESS pair table (m17 — the
+    * overlapping multi-scale region-dHash family fed to the
+    * min-over-region-pairs banding, once per session).
+    */
+  private object CPercShared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.cpercPath, "m17-pairs") {
+        import s.implicits._
+        val sigs = Multimodal.regionDHash(
+          cpercAssets(s).as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
       }
     }
   }
@@ -287,6 +314,7 @@ object MultimodalSuite {
       "media_video_dhash_pairs" -> (() => { VPercShared.pairs(s); () }),
       "media_vperc_clusters" -> (() => { VPercShared.clusters(s); () }),
       "media_video_fps_pairs" -> (() => { VPerc2Shared.pairs(s); () }),
+      "media_crop_region_pairs" -> (() => { CPercShared.pairs(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
@@ -917,6 +945,41 @@ object MultimodalSuite {
         "canonical components (the m5/m13 closure for the temporal " +
         "domain); oracle embeds the m14 mirror and closes it recursively"),
 
+    // --- m17: crop-robust perceptual image near-dup (round 14) ----------
+    // The crop rung — the image near-dup class the global dHash (m11)
+    // PROVABLY misses: PerceptualDedupSpec measures a 10% crop of
+    // structured content at ≈20 bits, beyond any usable radius, because
+    // every block of a global grid pools a different picture region. The
+    // patch path built from existing parts (VERDICT r13 #1): each image
+    // is hashed over a fixed OVERLAPPING MULTI-SCALE window family
+    // (full, center-10%, center-20%, four 10%-scale corner windows —
+    // Multimodal.regionWindows, all integer arithmetic), and assets pair
+    // on the MINIMUM Hamming distance over the region cross product
+    // (Dedup.regionNearDupsSig — banding on (band, block) without the
+    // region id, pigeonhole-exact at radius 7 / bands 8). The corpus
+    // (cperc.parquet) is 12 smooth per-id cloud textures (photo-like
+    // content that stays id-distinct at region scale — see
+    // cpercBasePixels for why periodic wave content is not) each planted
+    // with an inner-10% center crop and a TL-anchored crop generated with the
+    // SAME integer grid — each crop's full pixel surface IS one of its
+    // base's family windows, so the minimizing region pair scores
+    // exactly 0. All lanes are raw-pixel BMP, so the oracle replays
+    // every region hash bit-exactly from hex(media) (the m7 walk) and
+    // demands the complete radius-7 pair set with exact minima — no
+    // planted arm. At 100 TB: R=7 (id, 8 B) rows per image shuffle,
+    // pixels never leave the scan; the R² candidate-volume factor is
+    // the standard patch-hash trade, and production uses 16-bit bands
+    // at a tighter radius. Honest boundary (regionWindows scaladoc):
+    // crops at offsets/scales between family windows match only
+    // approximately — full off-grid crop robustness needs keypoint
+    // anchoring, not a fixed grid.
+    "m17_crop_perceptual_neardups" -> Q(
+      (s, _) => CPercShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM17),
+      "Crop-robust perceptual near-dup: overlapping multi-scale region " +
+        "dHash family, pairs by minimum Hamming over the region cross " +
+        "product; complete radius-7 pair set replayed from hex(media)"),
+
     // --- m18: fps-robust video near-dup (round 14) -----------------------
     // The frame-RATE axis of the temporal envelope, closing the
     // documented round-13 boundary (equal-slot-count rule ⇒ a re-encode
@@ -1085,6 +1148,74 @@ object MultimodalSuite {
     |    ${MultimodalFixture.VPercDownOffset} + i
     |  FROM (SELECT unnest(range(0, ${MultimodalFixture.nMjpegs})) AS i) p2) u
     |ORDER BY id1, id2""".stripMargin
+
+  /** m17's oracle: every region hash of every cperc asset rebuilt
+    * bit-exactly from hex(media) — BMP header walk (the m7 offsets:
+    * dataOff, dims, 4-byte-aligned stride, bottom-up rows), the
+    * regionWindows integer window family, 9×8 block sums per (asset,
+    * region), cross-multiplied mean bits, Hamming over the REGION
+    * CROSS PRODUCT per asset pair, minimum ≤ 7 — the complete pair
+    * set with exact minima, no planted arm.
+    */
+  private def sqlM17: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    // byte value at 0-based offset k
+    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+    // x, y below are ABSOLUTE surface coordinates (region offsets are
+    // folded into the range bounds), bottom-up BMP rows
+    val pxo = "off0 + (h - 1 - y) * stride + x * 3"
+    s"""WITH m AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $CP),
+    |d AS MATERIALIZED (
+    |  SELECT id, hx, ${le32(19)} AS w, ${le32(23)} AS h, ${le32(11)} AS off0,
+    |    ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
+    |  FROM m),
+    |reg AS (
+    |  SELECT id, hx, off0, stride, w, h, r,
+    |    CASE r WHEN 1 THEN w // 10 WHEN 2 THEN w // 5
+    |      WHEN 4 THEN 2 * (w // 10) WHEN 6 THEN 2 * (w // 10)
+    |      ELSE 0 END AS rx,
+    |    CASE r WHEN 1 THEN h // 10 WHEN 2 THEN h // 5
+    |      WHEN 5 THEN 2 * (h // 10) WHEN 6 THEN 2 * (h // 10)
+    |      ELSE 0 END AS ry,
+    |    CASE r WHEN 0 THEN w WHEN 2 THEN w - 2 * (w // 5)
+    |      ELSE w - 2 * (w // 10) END AS rw,
+    |    CASE r WHEN 0 THEN h WHEN 2 THEN h - 2 * (h // 5)
+    |      ELSE h - 2 * (h // 10) END AS rh
+    |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS r) rr),
+    |cells AS (
+    |  SELECT id, hx, off0, stride, h, r, rx, ry, rw, rh, j, i
+    |  FROM reg
+    |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+    |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+    |  WHERE rw >= 9 AND rh >= 8),
+    |blocks AS MATERIALIZED (
+    |  SELECT id, r, j, i,
+    |    COALESCE(list_sum(list_transform(
+    |        range(ry + (j * rh + 7) // 8, ry + ((j + 1) * rh + 7) // 8), y ->
+    |      list_sum(list_transform(
+    |          range(rx + (i * rw + 8) // 9, rx + ((i + 1) * rw + 8) // 9), x ->
+    |        ${bv(pxo)} + ${bv(s"$pxo + 1")} + ${bv(s"$pxo + 2")})))), 0) AS s,
+    |    (((i + 1) * rw + 8) // 9 - (i * rw + 8) // 9) *
+    |      (((j + 1) * rh + 7) // 8 - (j * rh + 7) // 8) AS c
+    |  FROM cells),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.r, l.j, l.i, (l.s * rr.c < rr.s * l.c) AS bit
+    |  FROM blocks l JOIN blocks rr
+    |    ON l.id = rr.id AND l.r = rr.r AND l.j = rr.j AND rr.i = l.i + 1
+    |  WHERE l.i < 8),
+    |ham AS (
+    |  SELECT a.id AS id1, a.r AS ra, b.id AS id2, b.r AS rb,
+    |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
+    |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
+    |  GROUP BY a.id, a.r, b.id, b.r)
+    |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
+    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
+    |ORDER BY id1, id2""".stripMargin
+  }
 
   /** m18's oracle: the complete radius-15 pair set over the ALL-DIB
     * vperc ∪ vperc2 corpus — every lane lossless, so unlike m14 there

@@ -166,6 +166,49 @@ class PerceptualDedupSpec extends SparkSpec {
       s"structured-content crop distance collapsed: ${wCrop.mkString(",")}")
   }
 
+  test("m17 declared query: planted crops caught at 0 via region windows; the global dHash provably misses every one") {
+    // The crop rung (round 14): the global-grid hash cannot catch a
+    // crop on structured content (the envelope test above), the
+    // overlapping region-window family can — because the crop's full
+    // pixel surface IS one of the base's family windows.
+    val found = SparkEntry.queries("m17_crop_perceptual_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = MultimodalFixture.nMjpegs.toLong
+    for (i <- 0L until n) {
+      val base = MultimodalFixture.CPercBaseOffset + i
+      // both planted crops pair with their base at EXACTLY 0
+      for (crop <- Seq(MultimodalFixture.CPercCenterOffset + i,
+          MultimodalFixture.CPercTlOffset + i))
+        assert(found.get((base, crop)).contains(0L),
+          s"planted crop pair ($base,$crop) missing or nonzero: ${found.get((base, crop))}")
+      // ...while the SINGLE global dHash (the m11 operator) sits far
+      // beyond the radius for the same pairs — the miss m17 closes
+      val (w, h, px) = MultimodalFixture.cpercBasePixels(i)
+      val gBase = Multimodal.dHash64(w, h, px)
+      for (cropMedia <- Seq(MultimodalFixture.cpercCenterMedia(i),
+          MultimodalFixture.cpercTlMedia(i))) {
+        val (cw, ch, cpx) = Multimodal.decodeImageAny(cropMedia).get
+        val d = java.lang.Long.bitCount(gBase ^ Multimodal.dHash64(cw, ch, cpx))
+        assert(d > 7, s"global dHash caught the crop of asset $i at $d bits " +
+          "- the m17 demonstration corpus lost its miss class")
+      }
+      // byte domain: crop vs base chunk Jaccard far below m4's threshold
+      val cb = chunkMd5s(MultimodalFixture.cpercBaseMedia(i))
+      val cc = chunkMd5s(MultimodalFixture.cpercCenterMedia(i))
+      val inter = cb.intersect(cc).size
+      assert(inter.toDouble / (cb.size + cc.size - inter) < 0.5,
+        s"chunk Jaccard for asset $i crop reaches m4's threshold")
+    }
+    // no CROSS-PICTURE pair survives the radius: every reported pair
+    // is a base/crop or crop/crop relation of ONE picture (the
+    // crop-crop siblings are genuinely the same image — two windows of
+    // it — and finding most of them through overlapping regions is the
+    // operator working, not noise)
+    for (((a, b), _) <- found)
+      assert(a % 1000 == b % 1000,
+        s"cross-picture pair ($a,$b) inside the radius")
+  }
+
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {
     val df = SparkEntry.queries("m11_perceptual_neardups")(spark, "")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
