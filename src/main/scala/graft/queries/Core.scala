@@ -840,15 +840,23 @@ object Core {
     * Columns are pruned to the query's needs — at 100 TB the bucketed
     * copy is an ingest-time projection, not a second corpus.
     *
-    * Unlike the path-based layout memos this one rebuilds per session:
-    * `bucketBy` tables live in the session catalog (in-memory here), so
-    * a fresh session must re-register them even when the files survive
-    * — with a persistent metastore (the production deployment) the
-    * registration, like the files, would be ingest-time state and the
-    * RestMemo freshCopy skip would apply to the write here too.
+    * AT REST since round 14 (VERDICT r13 #3, closing the documented
+    * per-session-rebuild gap): the bucketed FILES were always
+    * reusable, only the `bucketBy` registration is session-catalog
+    * state — and the bucket spec is fully reconstructible from the
+    * frozen write, so a fresh session whose RestMemo copy markers
+    * match simply RE-REGISTERS the existing file sets as external
+    * bucketed tables (`CREATE TABLE … CLUSTERED BY … INTO 8 BUCKETS
+    * LOCATION …` — the bucket ids live in the file names the bucketed
+    * writer produced, which is all the reader needs) instead of
+    * rewriting them. With a persistent metastore (the production
+    * deployment) even the registration survives; here it is one DDL
+    * statement per table at session start. The cheap evidence join
+    * runs either way so the bench `bucket_join` section stays
+    * populated in reloading runs (the layout_skip rule).
     */
   private object BucketLayoutShared {
-    import graft.SessionMemo
+    import graft.{RestMemo, SessionMemo}
     def tables(s: SparkSession, dir: String): (String, String) =
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-bucketed-v1") {
@@ -863,16 +871,39 @@ object Core {
         val base = "/dev/shm/graft-layout/" + tag
         val lt = s"graft_b_lineitem_$tag"
         val ot = s"graft_b_orders_$tag"
-        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
-          .repartition(8, col("l_orderkey"))
-          .write.mode("overwrite").option("path", base + "_bkt_li")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-        table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .repartition(8, col("o_orderkey"))
-          .write.mode("overwrite").option("path", base + "_bkt_or")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-        // evidence run: execute the declared join once, then count
-        // shuffle exchanges below the join in the EXECUTED plan
+        val liSrc = s"$dir/lineitem.parquet"
+        val orSrc = s"$dir/orders.parquet"
+        val liPath = base + "_bkt_li"
+        val orPath = base + "_bkt_or"
+        def register(name: String, path: String, key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val ddl = s.read.parquet(path).schema.toDDL
+          s.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+            s"LOCATION '$path'")
+        }
+        if (RestMemo.freshCopy(liSrc, liPath, "layout-bucketed-v1") &&
+            RestMemo.freshCopy(orSrc, orPath, "layout-bucketed-v1")) {
+          register(lt, liPath, "l_orderkey")
+          register(ot, orPath, "o_orderkey")
+          RestMemo.recordOutcome("layout-bucketed-v1", "reloaded")
+        } else {
+          table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+            .repartition(8, col("l_orderkey"))
+            .write.mode("overwrite").option("path", liPath)
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+          table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+            .repartition(8, col("o_orderkey"))
+            .write.mode("overwrite").option("path", orPath)
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+          RestMemo.stampCopy(liSrc, liPath, "layout-bucketed-v1")
+          RestMemo.stampCopy(orSrc, orPath, "layout-bucketed-v1")
+          RestMemo.recordOutcome("layout-bucketed-v1", "built")
+        }
+        // evidence run (built AND reloaded paths): execute the declared
+        // join once, then count shuffle exchanges below the join in the
+        // EXECUTED plan — a re-registered table must prove the
+        // zero-shuffle claim, not inherit it
         val j = bucketedJoinFrame(s, lt, ot)
         j.queryExecution.toRdd.count()
         val smj = flatPlan(j.queryExecution.executedPlan).collectFirst {

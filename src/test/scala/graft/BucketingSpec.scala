@@ -94,4 +94,38 @@ class BucketingSpec extends SparkSpec {
       .orderBy("o_orderpriority").collect().toSeq
     assert(got == expected)
   }
+
+  test("bucketed layout at rest: a fresh session re-registers the frozen files and keeps the zero-shuffle join") {
+    val dir = "/root/testdata/sf0.001"
+    // first resolution writes (or reloads) the bucketed copies and
+    // stamps them with the source fingerprint
+    SparkEntry.queries("p17_bucketed_join_zero_shuffle")(spark, dir)
+      .collect()
+    RestMemo.drainOutcomes()
+    // a NEW session gets its own SessionMemo slots, so the memo
+    // recomputes; the copy markers match, so it must take the
+    // RE-REGISTRATION path (DDL over the existing file sets — the
+    // round-13 per-session rebuild gap) and the evidence join must
+    // still prove zero shuffle below the SMJ
+    val s2 = spark.newSession()
+    Graft.tune(s2)
+    val got = SparkEntry.queries("p17_bucketed_join_zero_shuffle")(s2, dir)
+      .orderBy("o_orderpriority").collect().toSeq
+    val outcomes = RestMemo.drainOutcomes()
+    assert(outcomes.get("layout-bucketed-v1").contains("reloaded"),
+      s"second session should reload, recorded: $outcomes")
+    val ev = graft.queries.Core.bucketJoin.get(dir)
+    assert(ev != null && ev._1 == 0L && ev._2 > 0L,
+      s"re-registered bucketed join lost the zero-shuffle evidence: $ev")
+    // and the rows are still the unbucketed answer
+    val expected = Graft.table(s2, dir, "lineitem")
+      .join(Graft.table(s2, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == expected)
+  }
 }
