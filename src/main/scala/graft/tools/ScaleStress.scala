@@ -42,6 +42,13 @@ object ScaleStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // `probes` mode: just the machine-readable artifact rows (the thing
     // Bench emits per round), printed and written to SCALE_LAST.json
+    // `bpelocal` mode: just the driver-local trainer measurement
+    if (args.drop(1).headOption.contains("bpelocal")) {
+      val spark = Graft.session()
+      println("{" + bpeTrainLocalJson(spark, sfDir) + "}")
+      spark.stop()
+      return
+    }
     if (args.drop(1).headOption.contains("probes")) {
       val spark = Graft.session()
       val json = probeJson(spark, sfDir)
@@ -196,6 +203,37 @@ object ScaleStress {
     * rows exponent for the O(√n) state).
     * Returns one JSON object (probes array + ratios + exponents).
     */
+  /** The driver-local-BPE-at-production-merge-counts measurement (see
+    * the call site in [[probeJson]] for the crossover rationale):
+    * `"bpe_train_local":{...}` as a JSON fragment.
+    */
+  def bpeTrainLocalJson(spark: SparkSession, sfDir: String,
+      rounds: Int = 1024): String = {
+    def r2(v: Double) = f"$v%.2f"
+    // The fixture prose has a TINY vocabulary (31 distinct words at
+    // every SF — training merges it to completion after ~90 rounds),
+    // so a production-merge-count probe ENRICHES the token space
+    // deterministically: each (word, doc_id % 256) pair becomes a
+    // 12-char md5-hex word — a vocabulary in the thousands over a
+    // 16-symbol alphabet, with merge structure for 1024+ real rounds.
+    // Merge-loop cost is a function of vocabulary size and round
+    // count, not of which bytes the words hold, so the measured
+    // merges/s transfers to real corpora with Heaps-law vocabularies.
+    val docs = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => substring(md5(concat(w, (col("doc_id") % 256).cast("string"))),
+            1, 12))).as("text"))
+    val t0 = System.nanoTime()
+    val trained = graft.operators.Bpe.trainLocal(docs, "text", rounds, 16)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val merges = trained.merges.size
+    s""""bpe_train_local":{"rounds":$rounds,"merges":$merges,""" +
+      s""""sec":${r2(sec)},""" +
+      s""""merges_per_sec":${r2(merges / math.max(1e-9, sec))},""" +
+      s""""total_words":${trained.totalWords}}"""
+  }
+
   def probeJson(spark: SparkSession, sfDir: String,
       mSmall: Int = 1, mLarge: Int = 4, decade: Boolean = true): String = {
     final case class P(name: String, m: Int, n: Long, rows: Long, sec: Double)
@@ -516,6 +554,17 @@ object ScaleStress {
       spark.catalog.clearCache()
     }
     def r2(v: Double) = f"$v%.2f"
+    // DRIVER-LOCAL BPE trainer at production-ish merge counts (VERDICT
+    // r13 #4): Bpe.trainLocal over the sf corpus vocabulary at
+    // rounds=1024 — the distributed word-count pass plus the bounded
+    // vocabulary collect plus 1024 in-process merge passes, ZERO
+    // per-round Spark jobs. Recorded next to bpe_round_cost so the
+    // crossover is a measured artifact: relational cost = sec/round
+    // (bpe_round_cost.sec_*), local cost = merges/s here; the local
+    // form wins as soon as rounds × relational-sec/round exceeds this
+    // one-shot total. merges < rounds means the vocabulary merged to
+    // completion first (recorded as-is, not padded).
+    val bpeLocalSection = "," + bpeTrainLocalJson(spark, sfDir)
     // least-squares slope of y against x — the log-log growth exponent
     def slope(pts: Seq[(Double, Double)]): Double = {
       val k = pts.size
@@ -547,7 +596,7 @@ object ScaleStress {
         s""""time_exponent":${r2(timeExp)},"rows_exponent":${r2(rowsExp)}}"""
     }
     s"""{"probes":[${rows.mkString(",")}],"m_small":$mSmall,""" +
-      s""""m_large":$mLarge,"decade":$decade,"sf":"$sfDir"}"""
+      s""""m_large":$mLarge,"decade":$decade$bpeLocalSection,"sf":"$sfDir"}"""
   }
 
   /** Cold-session RELOAD probe (VERDICT r12 #2 done-condition): the
