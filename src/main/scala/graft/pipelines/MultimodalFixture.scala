@@ -671,6 +671,49 @@ object MultimodalFixture {
   def apercQuantMedia(baseId: Long): Array[Byte] =
     transformWav(media(baseId), v => v & ~0xf)
 
+  // Negative-envelope probe variants (round 14 — spec-only, the
+  // percBright/percCrop pattern for audio): what the sign hash does
+  // NOT survive must be MEASURED, not guessed
+  // (VideoAudioPerceptualSpec pins the table). Not part of any
+  // declared corpus.
+
+  /** Frame-level window over the decoded data chunk, re-encoded. */
+  private def sliceWav(bytes: Array[Byte], keep: (Int, Int) => Boolean,
+      rate: Int => Int): Array[Byte] = {
+    val w = graft.sources.MediaBinary.decodeWav(bytes)
+      .getOrElse(sys.error("aperc base is not a WAV"))
+    val bpf = w.channels * w.bitsPerSample / 8
+    val nf = w.data.length / bpf
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nf) {
+      if (keep(f, nf)) out.write(w.data, f * bpf, bpf)
+      f += 1
+    }
+    graft.sources.MediaBinary.encodeWav(rate(w.sampleRate), w.channels,
+      w.bitsPerSample, out.toByteArray)
+  }
+
+  /** 2× downsample: every other frame kept, rate halved (16→8 kHz). */
+  def apercResampleMedia(baseId: Long): Array[Byte] =
+    sliceWav(media(baseId), (f, _) => f % 2 == 0, _ / 2)
+
+  /** Trim `frac` of the duration off EACH end (±5% default). */
+  def apercTrimMedia(baseId: Long, frac: Double = 0.05): Array[Byte] =
+    sliceWav(media(baseId),
+      (f, nf) => f >= (nf * frac).toInt && f < nf - (nf * frac).toInt,
+      identity)
+
+  /** Deterministic additive noise of ±`amp` per sample (clamped). */
+  def apercNoiseMedia(baseId: Long, amp: Int = 512): Array[Byte] = {
+    var k = -1
+    transformWav(media(baseId), v => {
+      k += 1
+      val nz = ((mix(baseId * 7919L + k) >>> 40) % (2L * amp + 1)).toInt - amp
+      math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, v + nz))
+    })
+  }
+
   def buildAPerc(spark: SparkSession): Unit = {
     import spark.implicits._
     graft.Graft.tune(spark)

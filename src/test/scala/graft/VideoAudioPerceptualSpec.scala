@@ -172,6 +172,55 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     }
   }
 
+  test("audio robustness envelope: what radius-7 survives and what it provably does not") {
+    // The negative side of the m15 envelope (VERDICT r13 #5 — the
+    // image dHash envelope's honesty, mirrored): gain/requantization
+    // invariance is proven above (distance 0 by construction); this
+    // measures the edits the 65-window amplitude-delta sign hash does
+    // NOT necessarily survive, on the real fixture audio.
+    import spark.implicits._
+    def hash(bytes: Array[Byte]): Long = {
+      val ds = Seq(Multimodal.Asset(0L, "audio", bytes)).toDS()
+      Multimodal.audioDHash(ds).collect().head.dhash
+    }
+    val bases = MultimodalFixture.apercBaseIds
+    def dists(edit: Long => Array[Byte]): Seq[Int] = bases.map { b =>
+      java.lang.Long.bitCount(
+        hash(MultimodalFixture.media(b)) ^ hash(edit(b)))
+    }
+    val resample = dists(MultimodalFixture.apercResampleMedia)
+    val trim = dists(b => MultimodalFixture.apercTrimMedia(b))
+    val noiseSmall = dists(b => MultimodalFixture.apercNoiseMedia(b, 512))
+    val noiseBig = dists(b => MultimodalFixture.apercNoiseMedia(b, 8192))
+    info(s"2x resample (16->8 kHz): min=${resample.min} max=${resample.max}")
+    info(s"+-5% trim: min=${trim.min} max=${trim.max}")
+    info(s"noise +-512 (1.6% fs): min=${noiseSmall.min} max=${noiseSmall.max}")
+    info(s"noise +-8192 (25% fs): min=${noiseBig.min} max=${noiseBig.max}")
+    // Measured table (this fixture's LCG audio — a near-FLAT amplitude
+    // envelope, the hash's worst case: adjacent-window deltas sit at
+    // sampling-noise level, so ANY change to the pooled sample set can
+    // flip signs; structured real-world envelopes are sturdier):
+    //   - 2x resample: NOT caught (measured 10-18 bits) — halving the
+    //     samples per window moves each mean by ~ the delta magnitude
+    //     itself on flat content;
+    //   - ±5% trim: NOT caught (measured 26-39) — the trim shifts
+    //     every window boundary by ~3 of 65 windows, misaligning the
+    //     whole delta sequence; a trimmed/resampled repost needs an
+    //     alignment-searching front end (the audio analogue of the
+    //     crop boundary m17 addresses for images);
+    //   - additive noise ±1.6% fs: CAUGHT (measured max 1 bit) — the
+    //     per-window mean of ~500 noise samples concentrates;
+    //   - additive noise ±25% fs: borderline (measured 6-13) — heavy
+    //     noise rivals the window-to-window variation.
+    assert(resample.min > 7 && resample.max <= 24,
+      s"resample envelope moved: ${resample.min}..${resample.max}")
+    assert(trim.min > 7, s"trim unexpectedly caught: min=${trim.min}")
+    assert(noiseSmall.max <= 7,
+      s"small-noise envelope grew: max=${noiseSmall.max}")
+    assert(noiseBig.max <= 20,
+      s"heavy-noise envelope grew: max=${noiseBig.max}")
+  }
+
   test("m14 declared query: exactly the planted pairs per clip; m4's pipeline finds none") {
     val found = SparkEntry.queries("m14_video_perceptual_neardups")(spark, "")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
