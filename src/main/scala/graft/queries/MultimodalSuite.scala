@@ -179,7 +179,8 @@ object MultimodalSuite {
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
     "m15_audio_perceptual_neardups", "m15b_audio_prefix_full",
     "m16_video_dedup_clusters",
-    "m17_crop_perceptual_neardups", "m18_video_fps_neardups")
+    "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
+    "m19_crop_dedup_clusters")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -251,6 +252,14 @@ object MultimodalSuite {
           .select(col("asset_id").as("id"), col("dhash").as("sig"))
         Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
           maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }
+    }
+    def clusters(s: SparkSession): DataFrame = {
+      // pairs resolved BEFORE the clusters slot computes (the
+      // DedupShared re-entrancy rule)
+      val p = pairs(s)
+      RestMemo.frame(s, MultimodalFixture.cpercPath, "m17-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
       }
     }
   }
@@ -343,6 +352,7 @@ object MultimodalSuite {
       "media_vperc_clusters" -> (() => { VPercShared.clusters(s); () }),
       "media_video_fps_pairs" -> (() => { VPerc2Shared.pairs(s); () }),
       "media_crop_region_pairs" -> (() => { CPercShared.pairs(s); () }),
+      "media_crop_clusters" -> (() => { CPercShared.clusters(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }),
       "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }))
     graft.Prebuild.timed(items, go)
@@ -1031,6 +1041,36 @@ object MultimodalSuite {
       "Crop-robust perceptual near-dup: overlapping multi-scale region " +
         "dHash family, pairs by minimum Hamming over the region cross " +
         "product; complete radius-7 pair set replayed from hex(media)"),
+
+    // --- m19: crop dedup APPLY (round 14) --------------------------------
+    // The m13/m16 closure for the crop domain: crop relations CHAIN
+    // (base≈center-crop, base≈TL-crop ⇒ all three are one picture), so
+    // the shippable artifact is the component table with min-id
+    // canonicals — each planted triple collapses to the base id
+    // (80000+i is the group minimum by construction). The oracle embeds
+    // m17's full hex-replayed mirror and closes it with the recursive
+    // CTE; the crop/crop sibling pairs the region family finds directly
+    // only tighten the same components.
+    "m19_crop_dedup_clusters" -> Q(
+      (s, _) => CPercShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |$sqlM17
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Crop dedup clusters: m17 region-window pairs closed into min-id-" +
+        "canonical components (each base/center/TL triple collapses to " +
+        "one picture); oracle embeds the m17 mirror and closes it " +
+        "recursively"),
 
     // --- m18: fps-robust video near-dup (round 14) -----------------------
     // The frame-RATE axis of the temporal envelope, closing the

@@ -637,10 +637,14 @@ class StreamingMultimodalSpec extends SparkSpec {
         .select("asset_id").as[Long].collect().toSet
       assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
       // batch 1: 201 is the MJPEG RE-ENCODE of INDEXED clip 1 —
-      // different codec, zero shared bytes with anything at rest; 210
+      // different codec, zero shared bytes with anything at rest; 202
+      // is the FRAME-DUPLICATED DOUBLE-RATE re-encode of indexed clip 0
+      // (the round-14 fps axis: different frame count, caught only
+      // because duration-fraction slots align on content time); 210
       // carries novel content
       stage("b.parquet", Seq(
         (201L, "video", MultimodalFixture.mjpegMedia(1)),
+        (202L, "video", MultimodalFixture.vperc2xMedia(0)),
         (210L, "video", MultimodalFixture.vpercDibMedia(2))))
       q.processAllAvailable()
     } finally q.stop()
@@ -663,12 +667,20 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"clip 0 should index one row per sampled slot, got $slotRows")
     assert(quar == Set(
       (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (202L, 0L, "index_near_dup"),
       (999L, -1L, "undecodable")), s"quarantine: $quar")
     val ham = spark.read.parquet(quarDir)
       .filter(col("asset_id") === 201L).select("hamming")
       .as[Long].collect()(0)
     assert(ham <= 3L, s"MJPEG re-encode of clip 1 should match within " +
       s"the measured cross-codec envelope, got $ham")
+    // the fps twin matches its indexed original EXACTLY: every
+    // duration-fraction slot lands on the same content frame
+    val hamFps = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 202L).select("hamming")
+      .as[Long].collect()(0)
+    assert(hamFps == 0L,
+      s"double-rate re-encode of clip 0 should match at 0, got $hamFps")
     // replay batch 1: dynamic partition overwrite + own-partition
     // exclusion must leave both sinks unchanged
     val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
