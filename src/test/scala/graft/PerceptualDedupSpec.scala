@@ -209,6 +209,60 @@ class PerceptualDedupSpec extends SparkSpec {
         s"cross-picture pair ($a,$b) inside the radius")
   }
 
+  test("m17 off-grid crops: region matching degrades with distance from the window grid — measured, not assumed") {
+    // The region family's honest boundary: a crop cut EXACTLY on the
+    // window grid reproduces a family window (distance 0, the m17
+    // contract); a crop at an in-between offset/scale lands NEAR the
+    // closest window, not on it. Measure the min-over-region-cross-
+    // product distance for off-grid crops of the cloud textures.
+    def regionHashes(w: Int, h: Int, px: Array[Byte]): Seq[Long] =
+      Multimodal.regionWindows(w, h).collect {
+        case (_, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+          Multimodal.dHash64Region(w, px, rx, ry, rw, rh)
+      }
+    def minCross(a: Seq[Long], b: Seq[Long]): Int =
+      (for (x <- a; y <- b) yield java.lang.Long.bitCount(x ^ y)).min
+    def innerCrop(w: Int, h: Int, px: Array[Byte],
+        num: Int, den: Int): (Int, Int, Array[Byte]) = {
+      val (x0, y0) = (w * num / den, h * num / den)
+      val (cw, ch) = (w - 2 * x0, h - 2 * y0)
+      val out = new Array[Byte](cw * ch * 3)
+      for (y <- 0 until ch)
+        System.arraycopy(px, ((y + y0) * w + x0) * 3, out, y * cw * 3, cw * 3)
+      (cw, ch, out)
+    }
+    val n = MultimodalFixture.nMjpegs.toLong
+    def distsAt(num: Int, den: Int): Seq[Int] = (0L until n).map { i =>
+      val (w, h, px) = MultimodalFixture.cpercBasePixels(i)
+      val base = regionHashes(w, h, px)
+      val (cw, ch, cpx) = innerCrop(w, h, px, num, den)
+      minCross(base, regionHashes(cw, ch, cpx))
+    }
+    val on10 = distsAt(1, 10)   // ON the grid (region 1) — the contract
+    val off7 = distsAt(7, 100)  // 7% inner crop — 3% of w off-grid
+    val off13 = distsAt(13, 100) // 13% — between the 10% and 20% rungs
+    val off16 = distsAt(16, 100) // 16% — 4% from the 20% rung
+    info(s"on-grid 10%: max=${on10.max}")
+    info(s"off-grid 7%: min=${off7.min} max=${off7.max} " +
+      s"within7=${off7.count(_ <= 7)}/12")
+    info(s"off-grid 13%: min=${off13.min} max=${off13.max} " +
+      s"within7=${off13.count(_ <= 7)}/12")
+    info(s"off-grid 16%: min=${off16.min} max=${off16.max} " +
+      s"within7=${off16.count(_ <= 7)}/12")
+    assert(on10.max == 0, s"grid-aligned crop drifted: max=${on10.max}")
+    // pinned from measurement: on this smooth content class the
+    // overlapping multi-scale family covers the ENTIRE 7-16% inner-crop
+    // band within radius 7 (measured max 6 at every probe point — the
+    // nearest window differs by ≤4% of the surface and block pooling
+    // absorbs it). The honest caveat is CONTENT, not geometry: sharp
+    // repetitive detail at the window boundary can flip more block
+    // orderings than these textures do — keypoint anchoring remains
+    // the rung above, for arbitrary-offset crops of arbitrary content.
+    for ((name, ds) <- Seq(("7%", off7), ("13%", off13), ("16%", off16)))
+      assert(ds.max <= 7,
+        s"$name off-grid crops left radius 7: ${ds.mkString(",")}")
+  }
+
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {
     val df = SparkEntry.queries("m11_perceptual_neardups")(spark, "")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

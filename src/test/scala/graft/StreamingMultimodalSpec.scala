@@ -604,6 +604,79 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(4L).length == 16 && feats(4L).forall(v => v >= -1 && v < 1))
   }
 
+  test("CropStream.nearDupIngest: region gate — cropped reposts quarantined, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.CropStream
+    val feed = java.nio.file.Files.createTempDirectory("cdi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("cdi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("cdi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdi_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdi_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // cloud-texture pictures 0/1 are unrelated (id-keyed coarse random
+    // fields); 100 is the CENTER CROP of 0 — a within-batch crop
+    // relation the whole-image dHash gate would miss entirely
+    stage("a.parquet", Seq(
+      (0L, "image", MultimodalFixture.cpercBaseMedia(0)),
+      (1L, "image", MultimodalFixture.cpercBaseMedia(1)),
+      (100L, "image", MultimodalFixture.cpercCenterMedia(0)),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
+    val q = CropStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 7)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the TL-CROP of INDEXED picture 1 — a cropped
+      // repost arriving later, zero shared bytes, whole-image dHash
+      // ~20 bits away; 210 carries novel content
+      stage("b.parquet", Seq(
+        (201L, "image", MultimodalFixture.cpercTlMedia(1)),
+        (210L, "image", MultimodalFixture.cpercBaseMedia(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
+    // R=7 region rows per indexed image (the region-fingerprint shape)
+    val regionRows = spark.read.parquet(indexDir)
+      .filter(col("asset_id") === 0L).count()
+    assert(regionRows == 7,
+      s"image 0 should index one row per region window, got $regionRows")
+    assert(quar == Set(
+      (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    // the cropped repost matches its indexed original EXACTLY: its
+    // full window reproduces the original's TL region window
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham == 0L, s"TL crop of picture 1 should match at 0, got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(CropStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    CropStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 7)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
+
   test("VideoStream.nearDupIngest: temporal gate — cross-codec/cross-resolution dups quarantined, replay idempotent") {
     import spark.implicits._
     import graft.pipelines.MultimodalFixture
