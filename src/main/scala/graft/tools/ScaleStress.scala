@@ -495,6 +495,35 @@ object ScaleStress {
       emb.unpersist(false)
       spark.catalog.clearCache()
     }
+    // REGION-family growth probe (round 14): synthetic cloud-texture
+    // BMPs (the cperc generator accepts arbitrary ids) → regionDHash
+    // (R=7 windows/image) → regionNearDupsSig at the PRODUCTION
+    // banding config (bands=4 → 16-bit blocks, radius 3 — the m17
+    // fixture's 8-bit/radius-7 config is the exact-recall DEMO shape;
+    // at scale the wide blocks keep buckets near-empty so the R× rows
+    // per band do NOT quadratically inflate candidates). rows = the
+    // reported pair count (unrelated textures → ~0 at radius 3: a
+    // growing value here would be the quadratic-noise signal); the
+    // time covers encode+decode+hash+banding end to end.
+    Seq((mSmall, false), (mSmall, true), (mLarge, true)).foreach {
+      case (m, rec) =>
+        record = rec
+        val n = 512L * m
+        run("region_pairs", m, n) {
+          import spark.implicits._
+          val assets = spark.range(0L, n, 1L, 16).mapPartitions(_.map { id =>
+            val (w, h, px) =
+              graft.pipelines.MultimodalFixture.cpercBasePixels(id)
+            graft.operators.Multimodal.Asset(id, "image",
+              graft.sources.MediaBinary.encodeBmp(w, h, px))
+          })
+          val sigs = graft.operators.Multimodal.regionDHash(assets).toDF()
+            .select(col("asset_id").as("id"), col("dhash").as("sig"))
+          Dedup.regionNearDupsSig(sigs, maxHamming = 3,
+            maxBucketSize = 256, bands = 4).count()
+        }
+        spark.catalog.clearCache()
+    }
     // BPE per-round marginal cost at FIXED vocabulary (VERDICT r12 #5):
     // the copies here share the token space (plain id-shifted
     // duplicates — deliberately NOT corpus()'s per-copy token suffix,

@@ -48,5 +48,16 @@ class ScaleExponentSpec extends SparkSpec {
       s"BPE training state grew with corpus size at fixed vocab: $bpe")
     assert(bpe("time_exponent").toDouble < 0.5,
       s"BPE round cost not flat-ish in corpus size: $bpe")
+    // REGION-window near-dup (m17's operator) at the PRODUCTION
+    // banding config (16-bit blocks, radius 3): reported pairs on an
+    // unrelated synthetic corpus must stay ~zero relative to n — the
+    // R² quadratic-candidate noise of the patch-hash trade would
+    // surface here first — and end-to-end time (encode+decode+hash+
+    // banding) stays well under quadratic
+    val rp = probe("region_pairs")
+    assert(rp("rows_large").toLong * 20 < rp("n_large").toLong,
+      s"region-pair noise grew toward quadratic: $rp")
+    assert(rp("time_exponent").toDouble < 1.3,
+      s"region pipeline time exponent not near-linear: $rp")
   }
 }
