@@ -742,6 +742,84 @@ object Multimodal {
     }
   }
 
+  case class SpanHash(asset_id: Long, span: Int, dhash: Long)
+
+  /** The fixed span family for TRIM-ROBUST audio matching (the
+    * [[regionWindows]] idea in the time domain), as (span id,
+    * startNum, endNum) hundredths of the frame count:
+    *
+    *   0  full        [0, 100)
+    *   1  both-5%     [5, 95)
+    *   2  both-10%    [10, 90)
+    *   3  tail-10%    [0, 90)
+    *   4  head-10%    [10, 100)
+    *
+    * Integer arithmetic (frame [nf·a/100, nf·b/100)) so a trim cut on
+    * the same grid reproduces a family span pixel— sample-exactly: the
+    * ±5% trimmed repost's FULL hash equals the original's span-1 hash
+    * bit for bit, where the single full-clip hash drifts 26-39 bits
+    * (the measured negative envelope). Off-grid trims land near the
+    * closest span — the m17 off-grid rule.
+    */
+  private[graft] val audioSpans: Seq[(Int, Int, Int)] =
+    Seq((0, 0, 100), (1, 5, 95), (2, 10, 90), (3, 0, 90), (4, 10, 100))
+
+  /** TRIM-ROBUST audio signature (m15c): one 65-window amplitude-delta
+    * sign hash ([[audioDHash]]'s construction) per span of the fixed
+    * family, over the decoded PCM frames [nf·a/100, nf·b/100). Spans
+    * with fewer than `windows` frames are dropped (the degenerate-key
+    * rule). Feed [[Dedup.regionNearDupsSig]] — assets pair on the
+    * MINIMUM Hamming over the span cross product, so a trimmed repost
+    * matches its original through the aligned span pair. S=5 rows of
+    * (id, span, 8 B) per clip leave the scan; samples never shuffle.
+    */
+  def audioSpanDHash(assets: Dataset[Asset],
+      windows: Int = 65): Dataset[SpanHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        graft.sources.MediaBinary.decodeWav(a.media)
+          .filter(w => w.bitsPerSample == 16 && w.channels > 0)
+          .toSeq.flatMap { w =>
+            val bytesPerFrame = 2 * w.channels
+            val nf = w.data.length / bytesPerFrame
+            audioSpans.flatMap { case (sp, aN, bN) =>
+              val s0 = (nf.toLong * aN / 100).toInt
+              val s1 = (nf.toLong * bN / 100).toInt
+              val nfs = s1 - s0
+              if (nfs < windows) None
+              else {
+                val sums = new Array[Long](windows)
+                val counts = new Array[Long](windows)
+                var f = s0
+                while (f < s1) {
+                  val i = ((f - s0).toLong * windows / nfs).toInt
+                  var c = 0
+                  while (c < w.channels) {
+                    val off = (f * w.channels + c) * 2
+                    val v = ((w.data(off) & 0xff) |
+                      ((w.data(off + 1) & 0xff) << 8)).toShort.toInt
+                    sums(i) += math.abs(v)
+                    counts(i) += 1
+                    c += 1
+                  }
+                  f += 1
+                }
+                var hash = 0L
+                var i = 0
+                while (i < windows - 1) {
+                  if (meanLess(sums(i), counts(i), sums(i + 1), counts(i + 1)))
+                    hash |= 1L << i
+                  i += 1
+                }
+                Some(SpanHash(a.asset_id, sp, hash))
+              }
+            }
+          }
+      }
+    }
+  }
+
   /** Sample up to `n` evenly-spaced frames from a video asset. REAL
     * for genuine AVIs (round 9): the container's frame index is parsed
     * once (`decodeAviMeta` — header tree + `00db` chunk offsets), then

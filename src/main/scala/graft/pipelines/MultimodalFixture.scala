@@ -714,6 +714,45 @@ object MultimodalFixture {
     })
   }
 
+  // --- trimmed-audio asset set (round 14, m15c) --------------------------
+  // The trim boundary the negative envelope pinned (±5% trim = 26-39
+  // sign-hash bits, NOT caught) closed the m17 way: a SPAN-OFFSET hash
+  // family. These are genuine WAV twins whose frames are a SPAN of the
+  // base's, cut with the same integer arithmetic the span family uses
+  // (frame [nf·a/100, nf·b/100)), so one of the base's span hashes is
+  // bit-identical to the twin's full hash. Everything hex-replayable.
+  def atrimPath: String = s"$root/atrim.parquet"
+  val ATrimBothOffset = 76000L
+  val ATrimHeadOffset = 77000L
+
+  /** Keep frames [nf·a/100, nf·b/100) of the base — integer-exact. */
+  private def spanWav(baseId: Long, a: Int, b: Int): Array[Byte] =
+    sliceWav(media(baseId),
+      (f, nf) => f >= nf.toLong * a / 100 && f < nf.toLong * b / 100,
+      identity)
+
+  /** Both ends trimmed 5% (the span-(5,95) twin). */
+  def atrimBothMedia(baseId: Long): Array[Byte] = spanWav(baseId, 5, 95)
+
+  /** Head trimmed 10% (the span-(10,100) twin). */
+  def atrimHeadMedia(baseId: Long): Array[Byte] = spanWav(baseId, 10, 100)
+
+  def buildATrim(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.sparkContext.parallelize(apercBaseIds, 4).toDF("base_id")
+      .as[Long]
+      .flatMap(b => Seq(
+        graft.operators.Multimodal.Asset(b + ATrimBothOffset, "audio",
+          atrimBothMedia(b)),
+        graft.operators.Multimodal.Asset(b + ATrimHeadOffset, "audio",
+          atrimHeadMedia(b))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(atrimPath)
+    new File(s"$atrimPath/$atrimMarker").createNewFile()
+  }
+
   def buildAPerc(spark: SparkSession): Unit = {
     import spark.implicits._
     graft.Graft.tune(spark)
@@ -748,6 +787,7 @@ object MultimodalFixture {
   private val vperc2Marker = "_GRAFT_VPERC2_V1"
   private val cpercMarker = "_GRAFT_CPERC_V2" // V2 = cloud textures (region distinctness)
   private val apercMarker = "_GRAFT_APERC_V1"
+  private val atrimMarker = "_GRAFT_ATRIM_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -771,6 +811,8 @@ object MultimodalFixture {
         !new File(s"$cpercPath/$cpercMarker").exists()) buildCPerc(spark)
     if (!new File(s"$apercPath/_SUCCESS").exists() ||
         !new File(s"$apercPath/$apercMarker").exists()) buildAPerc(spark)
+    if (!new File(s"$atrimPath/_SUCCESS").exists() ||
+        !new File(s"$atrimPath/$atrimMarker").exists()) buildATrim(spark)
     ready = true
   }
 

@@ -94,6 +94,14 @@ object MultimodalSuite {
 
   private def CP = s"read_parquet('${MultimodalFixture.cpercPath}/*.parquet')"
 
+  private def atrimAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.atrimPath))
+  }
+
+  private def AT = s"read_parquet('${MultimodalFixture.atrimPath}/*.parquet')"
+
   private def apercAssets(s: SparkSession): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
@@ -178,7 +186,7 @@ object MultimodalSuite {
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
     "m15_audio_perceptual_neardups", "m15b_audio_prefix_full",
-    "m16_video_dedup_clusters",
+    "m15c_audio_trim_neardups", "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
     "m19_crop_dedup_clusters")
 
@@ -233,6 +241,29 @@ object MultimodalSuite {
         Graft.truncate(
           pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
             .crossJoin(nHashed), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the TRIM-ROBUSTNESS audio pair table (m15c —
+    * the span-offset hash family fed to the min-over-cross-product
+    * banding, once per session: the m17 machinery in the time domain).
+    */
+  private object ATrimShared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.atrimPath, "m15c-pairs") {
+        import s.implicits._
+        val corpus = assets(s)
+          .filter(col("media_type") === "audio" && col("asset_id") < 30)
+          .unionByName(apercAssets(s))
+          .unionByName(atrimAssets(s))
+        val sigs = Multimodal.audioSpanDHash(corpus.as[Multimodal.Asset])
+          .toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
       }
     }
   }
@@ -354,7 +385,8 @@ object MultimodalSuite {
       "media_crop_region_pairs" -> (() => { CPercShared.pairs(s); () }),
       "media_crop_clusters" -> (() => { CPercShared.clusters(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }),
-      "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }))
+      "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }),
+      "media_audio_trim_pairs" -> (() => { ATrimShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -977,6 +1009,28 @@ object MultimodalSuite {
         "hashed, complete radius-7 pair histogram + hashed-asset count, " +
         "replayed entirely from hex(media)"),
 
+    // --- m15c: TRIM-robust audio near-dup (round 14) ---------------------
+    // The trim boundary the negative envelope pinned (a ±5% trim moves
+    // the single full-clip sign hash 26-39 bits — NOT caught), closed
+    // the m17 way: each clip is hashed over a fixed SPAN-OFFSET family
+    // (full, both-5%, both-10%, tail-10%, head-10% — integer frame
+    // arithmetic, Multimodal.audioSpans) and assets pair on the MINIMUM
+    // Hamming over the span cross product (the same regionNearDupsSig
+    // machinery — banding without the span id, pigeonhole-exact at
+    // radius 7 / bands 8). The atrim.parquet twins are cut on the span
+    // grid, so the trimmed repost's full hash IS one of its base's span
+    // hashes (distance exactly 0); the gain/quant aperc twins stay in
+    // the corpus and keep matching (per-sample transforms commute with
+    // spans). Everything hex-replayable: the oracle rebuilds every
+    // (asset, span) hash from hex(media) with the window-sliced walk
+    // and demands the complete radius-7 pair set with exact minima.
+    "m15c_audio_trim_neardups" -> Q(
+      (s, _) => ATrimShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM15c),
+      "Trim-robust audio near-dup: span-offset sign-hash family, pairs " +
+        "by minimum Hamming over the span cross product; complete " +
+        "radius-7 pair set replayed from hex(media)"),
+
     // --- m16: video perceptual dedup APPLY (round 13) --------------------
     // The m5/m13 closure step for the temporal domain: cross-codec and
     // cross-resolution relations CHAIN (DIB≈MJPEG, DIB≈downscale ⇒ all
@@ -1425,6 +1479,60 @@ object MultimodalSuite {
     |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE nf >= 65) AS n_hashed
     |FROM ham WHERE hamming <= 7
     |GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
+
+  /** m15c's oracle: every (asset, span) sign hash rebuilt from
+    * hex(media) — the m15b window-sliced walk with a SPAN dimension
+    * (span frames [nf·a/100, nf·b/100), windows cut inside the span),
+    * Hamming over the SPAN CROSS PRODUCT per asset pair, minimum ≤ 7.
+    */
+  private def sqlM15c: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
+    def sampw(k: String) = {
+      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
+      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    }
+    val spanRows = graft.operators.Multimodal.audioSpans
+      .map { case (sp, a, b) => s"($sp, $a, $b)" }.mkString(", ")
+    s"""WITH au AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
+    |  WHERE media_type = 'audio' AND asset_id < 30
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AP
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AT),
+    |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
+    |sp AS (SELECT id, hx, nf, spn, (nf * b) // 100 - (nf * a) // 100 AS nfs,
+    |    (nf * a) // 100 AS s0
+    |  FROM p CROSS JOIN (VALUES $spanRows) spans(spn, a, b)
+    |  WHERE (nf * b) // 100 - (nf * a) // 100 >= 65),
+    |w AS MATERIALIZED (
+    |  SELECT id, spn, wi,
+    |    ((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65 AS wf,
+    |    substring(hx, 2 * (44 + (s0 + (wi * nfs + 64) // 65) * 4) + 1,
+    |      8 * (((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65)) AS wh
+    |  FROM sp CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws),
+    |sums AS MATERIALIZED (
+    |  SELECT id, spn, wi,
+    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
+    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
+    |    2 * wf AS c
+    |  FROM w),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.spn, l.wi, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM sums l JOIN sums r
+    |    ON l.id = r.id AND l.spn = r.spn AND r.wi = l.wi + 1
+    |  WHERE l.wi < 64),
+    |ham AS (
+    |  SELECT a.id AS id1, a.spn AS sp1, b.id AS id2, b.spn AS sp2,
+    |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
+    |  FROM bits a JOIN bits b ON a.wi = b.wi AND a.id < b.id
+    |  GROUP BY a.id, a.spn, b.id, b.spn)
+    |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
+    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
+    |ORDER BY id1, id2""".stripMargin
   }
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */

@@ -261,6 +261,38 @@ class VideoAudioPerceptualSpec extends SparkSpec {
       s"unexpected m15b histogram: ${rows.toSeq} (expected hashed=$expectHashed)")
   }
 
+  test("m15c declared query: trimmed reposts caught at 0 via the span family; the full-clip hash misses them") {
+    import spark.implicits._
+    val found = SparkEntry.queries("m15c_audio_trim_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def fullHash(bytes: Array[Byte]): Long = {
+      val ds = Seq(Multimodal.Asset(0L, "audio", bytes)).toDS()
+      Multimodal.audioDHash(ds).collect().head.dhash
+    }
+    for (b <- MultimodalFixture.apercBaseIds) {
+      val trims = Seq(
+        b + MultimodalFixture.ATrimBothOffset ->
+          MultimodalFixture.atrimBothMedia(b),
+        b + MultimodalFixture.ATrimHeadOffset ->
+          MultimodalFixture.atrimHeadMedia(b))
+      for ((tid, media) <- trims) {
+        // the span family catches the trim at EXACTLY 0...
+        assert(found.get((b, tid)).contains(0L),
+          s"planted trim pair ($b,$tid) missing or nonzero: ${found.get((b, tid))}")
+        // ...where the single full-clip sign hash (the m15 operator)
+        // sits far beyond the radius — the envelope this query closes
+        val d = java.lang.Long.bitCount(
+          fullHash(MultimodalFixture.media(b)) ^ fullHash(media))
+        assert(d > 7, s"full-clip hash caught the trim of $b at $d bits " +
+          "- the m15c demonstration corpus lost its miss class")
+      }
+    }
+    // no CROSS-FAMILY pair survives the radius: every reported pair
+    // relates edits of ONE base recording
+    for (((a, b), _) <- found)
+      assert(a % 1000 == b % 1000, s"cross-family pair ($a,$b) inside radius")
+  }
+
   test("m15 declared query: every twin pair found at distance 0") {
     val found = SparkEntry.queries("m15_audio_perceptual_neardups")(spark, "")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
