@@ -627,6 +627,31 @@ object Multimodal {
     }
   }
 
+  /** [[regionDHash]] with a DECODE-STATUS sentinel for stream gates
+    * (ADVICE r14): an image that decodes but whose EVERY family window
+    * is sub-grid (rw<9 or rh<8 — a tiny picture) emits one
+    * (asset_id, region = -1, dhash = 0) row instead of vanishing, so a
+    * caller can distinguish "too small to fingerprint" from a genuine
+    * decode failure (which still emits nothing) without a second
+    * decode pass. The declared batch operator keeps the plain
+    * drop-silently contract — a sentinel row in a dedup corpus would
+    * be a degenerate key.
+    */
+  def regionDHashStatus(assets: Dataset[Asset]): Dataset[RegionHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        decodeImageAny(a.media).toSeq.flatMap { case (w, h, px) =>
+          val rows = regionWindows(w, h).collect {
+            case (r, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+              RegionHash(a.asset_id, r, dHash64Region(w, px, rx, ry, rw, rh))
+          }
+          if (rows.isEmpty) Seq(RegionHash(a.asset_id, -1, 0L)) else rows
+        }
+      }
+    }
+  }
+
   // --- perceptual video/audio hashing (round 13) ------------------------
 
   case class FrameHash(asset_id: Long, slot: Int, dhash: Long)

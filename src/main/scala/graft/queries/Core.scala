@@ -670,7 +670,7 @@ object Core {
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-sorted-v1") {
         val src = s"$dir/lineitem.parquet"
-        val path = "/dev/shm/graft-layout/" +
+        val path = RestMemo.layoutDir() + "/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
         // the copy is an AT-REST artifact: a fresh marker (fingerprint
         // of the source table) means a previous session already wrote
@@ -741,7 +741,7 @@ object Core {
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-zorder-v1") {
         val src = s"$dir/lineitem.parquet"
-        val path = "/dev/shm/graft-layout/" +
+        val path = RestMemo.layoutDir() + "/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_") + "_z"
         val li = table(s, dir, "lineitem")
           .select("l_orderkey", "l_partkey", "l_quantity")
@@ -782,7 +782,7 @@ object Core {
       SessionMemo.getOrCompute(s, s"$dir/lineitem.parquet",
           "layout-bloom-v2") {
         val src = s"$dir/lineitem.parquet"
-        val path = "/dev/shm/graft-layout/" +
+        val path = RestMemo.layoutDir() + "/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_") + "_bloom"
         val li = table(s, dir, "lineitem")
           .select(xxhash64(col("l_orderkey"),
@@ -868,7 +868,7 @@ object Core {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
           "_" + java.lang.Integer.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(dir))
-        val base = "/dev/shm/graft-layout/" + tag
+        val base = RestMemo.layoutDir() + "/" + tag
         val lt = s"graft_b_lineitem_$tag"
         val ot = s"graft_b_orders_$tag"
         val liSrc = s"$dir/lineitem.parquet"

@@ -198,7 +198,8 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-pairs") {
+      RestMemo.frame(s, Seq(MultimodalFixture.vpercPath,
+          MultimodalFixture.mjpegPath), "m14-pairs") {
         import s.implicits._
         val corpus = vpercAssets(s).unionByName(mjpegAssets(s))
         val sigs = Multimodal.videoDHash(corpus.as[Multimodal.Asset], 4).toDF()
@@ -212,7 +213,8 @@ object MultimodalSuite {
       // pairs resolved BEFORE the clusters slot computes (the
       // DedupShared re-entrancy rule)
       val p = pairs(s)
-      RestMemo.frame(s, MultimodalFixture.vpercPath, "m14-clusters") {
+      RestMemo.frame(s, Seq(MultimodalFixture.vpercPath,
+          MultimodalFixture.mjpegPath), "m14-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
       }
     }
@@ -228,7 +230,8 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def hist(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.apercPath, "m15b-hist") {
+      RestMemo.frame(s, Seq(MultimodalFixture.assetsPath,
+          MultimodalFixture.apercPath), "m15b-hist") {
         import s.implicits._
         val corpus = assets(s).filter(col("media_type") === "audio")
           .unionByName(apercAssets(s))
@@ -253,7 +256,9 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.atrimPath, "m15c-pairs") {
+      RestMemo.frame(s, Seq(MultimodalFixture.assetsPath,
+          MultimodalFixture.apercPath,
+          MultimodalFixture.atrimPath), "m15c-pairs") {
         import s.implicits._
         val corpus = assets(s)
           .filter(col("media_type") === "audio" && col("asset_id") < 30)
@@ -304,7 +309,8 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.vperc2Path, "m18-pairs") {
+      RestMemo.frame(s, Seq(MultimodalFixture.vpercPath,
+          MultimodalFixture.vperc2Path), "m18-pairs") {
         import s.implicits._
         val corpus = vpercAssets(s).unionByName(vperc2Assets(s))
         val sigs = Multimodal.videoDHash(corpus.as[Multimodal.Asset], 4).toDF()
@@ -324,7 +330,8 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.apercPath, "m15-pairs") {
+      RestMemo.frame(s, Seq(MultimodalFixture.assetsPath,
+          MultimodalFixture.apercPath), "m15-pairs") {
         import s.implicits._
         val corpus = assets(s)
           .filter(col("media_type") === "audio" && col("asset_id") < 30)
@@ -346,7 +353,8 @@ object MultimodalSuite {
     import graft.{Graft, RestMemo}
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
-      RestMemo.frame(s, MultimodalFixture.percPath, "m11-pairs") {
+      RestMemo.frame(s, Seq(MultimodalFixture.gifPath,
+          MultimodalFixture.percPath), "m11-pairs") {
         import s.implicits._
         val corpus = gifAssets(s).unionByName(percAssets(s))
         val sigs = Multimodal.dHash(corpus.as[Multimodal.Asset]).toDF()
@@ -359,7 +367,8 @@ object MultimodalSuite {
       // pairs resolved BEFORE the clusters slot computes (the
       // DedupShared re-entrancy rule)
       val p = pairs(s)
-      RestMemo.frame(s, MultimodalFixture.percPath, "m11-clusters") {
+      RestMemo.frame(s, Seq(MultimodalFixture.gifPath,
+          MultimodalFixture.percPath), "m11-clusters") {
         Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
       }
     }

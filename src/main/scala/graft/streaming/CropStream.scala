@@ -31,7 +31,10 @@ import graft.operators.{Dedup, Multimodal}
   * image, the VideoStream k-slot shape), media bytes never leave their
   * batch's scan, and each batch pays one decode pass plus the banded
   * equi-join against the index. Undecodable payloads are quarantined
-  * loudly. Exactly-once effect without a transactional sink: both
+  * loudly as 'undecodable'; payloads that decode but are too small for
+  * any family window carry their own 'too_small' reason (ADVICE r14 —
+  * neither is indexed). Exactly-once effect without a transactional
+  * sink: both
   * writes are partitioned by micro-batch id under dynamic partition
   * overwrite with the batch's own partition excluded from the index
   * view (the DocStream rule).
@@ -79,25 +82,36 @@ object CropStream {
     import s.implicits._
     Graft.cacheScope {
       // ONE decode pass: (id, region, sig) for decodable images — R
-      // 8-byte rows per image; the media column is dropped right here
-      val sigs = Graft.trackedPersist(
-        Multimodal.regionDHash(
+      // 8-byte rows per image, plus the region = -1 sentinel for
+      // decoded-but-sub-grid pictures (ADVICE r14: a tiny image is
+      // 'too_small', not 'undecodable'); the media column is dropped
+      // right here
+      val allSigs = Graft.trackedPersist(
+        Multimodal.regionDHashStatus(
           batch.select("asset_id", "media_type", "media")
             .as[Multimodal.Asset]).toDF()
           .select(col("asset_id").as("id"), col("region"),
             col("dhash").as("sig")),
         StorageLevel.MEMORY_AND_DISK)
+      val sigs = allSigs.filter(col("region") >= 0)
       val sizes = Graft.trackedPersist(
         batch.select(col("asset_id").as("id"),
           length(col("media")).cast("long").as("byte_size")),
         StorageLevel.MEMORY_AND_DISK)
       val decodedIds = sigs.select("id").distinct()
-      val undecodable = sizes
-        .join(decodedIds, Seq("id"), "left_anti")
-        .select(col("id").as("asset_id"),
+      def unmatched(reason: String, ids: DataFrame): DataFrame =
+        ids.select(col("id").as("asset_id"),
           lit(null).cast("long").as("matched_id"),
           lit(null).cast("long").as("hamming"),
-          lit("undecodable").as("reason"))
+          lit(reason).as("reason"))
+      // decoded fine but every family window is sub-grid: quarantined
+      // with its own reason — such assets are never indexed (their
+      // fingerprint would be degenerate), but the label says why
+      val tooSmall = unmatched("too_small",
+        allSigs.filter(col("region") === -1).select("id"))
+      val undecodable = unmatched("undecodable",
+        sizes.select("id")
+          .join(allSigs.select("id").distinct(), Seq("id"), "left_anti"))
       // within-batch crop clusters → canonical survivors
       val pairs = Dedup.regionNearDupsSig(sigs.select("id", "sig"),
           maxHamming, bands = 8)
@@ -137,7 +151,8 @@ object CropStream {
             col("sig").as("dhash"), col("byte_size"))
           .withColumn("ingest_batch", lit(batchId)), eager = true)
       val quarT = Graft.truncate(
-        localDropped.unionByName(crossDropped).unionByName(undecodable)
+        localDropped.unionByName(crossDropped).unionByName(tooSmall)
+          .unionByName(undecodable)
           .withColumn("ingest_batch", lit(batchId)), eager = true)
       try {
         novelT.write.mode("overwrite")

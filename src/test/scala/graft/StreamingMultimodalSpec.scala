@@ -623,10 +623,14 @@ class StreamingMultimodalSpec extends SparkSpec {
     // cloud-texture pictures 0/1 are unrelated (id-keyed coarse random
     // fields); 100 is the CENTER CROP of 0 — a within-batch crop
     // relation the whole-image dHash gate would miss entirely
+    // 998 is a genuine 4x4 BMP — decodable, but every region window is
+    // sub-grid (rw<9): quarantined as 'too_small', NOT 'undecodable'
     stage("a.parquet", Seq(
       (0L, "image", MultimodalFixture.cpercBaseMedia(0)),
       (1L, "image", MultimodalFixture.cpercBaseMedia(1)),
       (100L, "image", MultimodalFixture.cpercCenterMedia(0)),
+      (998L, "image",
+        graft.sources.MediaBinary.encodeBmp(4, 4, new Array[Byte](48))),
       (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
     val q = CropStream.nearDupIngest(spark, feed.toString, indexDir,
       quarDir, ckpt, maxHamming = 7)
@@ -660,6 +664,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"image 0 should index one row per region window, got $regionRows")
     assert(quar == Set(
       (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (998L, -1L, "too_small"),
       (999L, -1L, "undecodable")), s"quarantine: $quar")
     // the cropped repost matches its indexed original EXACTLY: its
     // full window reproduces the original's TL region window
