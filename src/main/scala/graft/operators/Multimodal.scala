@@ -738,33 +738,52 @@ object Multimodal {
           .filter(w => w.bitsPerSample == 16 && w.channels > 0 &&
             math.min(w.data.length / (2 * w.channels), maxFrames) >= windows)
           .map { w =>
-            val bytesPerFrame = 2 * w.channels
-            val nFrames = math.min(w.data.length / bytesPerFrame, maxFrames)
-            val sums = new Array[Long](windows)
-            val counts = new Array[Long](windows)
-            val nSamples = nFrames * w.channels
-            var s = 0
-            while (s < nSamples) {
-              val f = s / w.channels
-              val i = (f.toLong * windows / nFrames).toInt
-              val off = s * 2
-              val v = ((w.data(off) & 0xff) |
-                ((w.data(off + 1) & 0xff) << 8)).toShort.toInt
-              sums(i) += math.abs(v)
-              counts(i) += 1
-              s += 1
-            }
-            var hash = 0L
-            var i = 0
-            while (i < windows - 1) {
-              if (meanLess(sums(i), counts(i), sums(i + 1), counts(i + 1)))
-                hash |= 1L << i
-              i += 1
-            }
-            PerceptualHash(a.asset_id, hash)
+            val nFrames = math.min(w.data.length / (2 * w.channels), maxFrames)
+            PerceptualHash(a.asset_id, signHashRange(w, 0, nFrames, windows))
           }
       }
     }
+  }
+
+  /** The windowed amplitude-delta SIGN hash over PCM frames [s0, s1)
+    * of a decoded 16-bit WAV — the ONE construction behind
+    * [[audioDHash]] (the full/prefix range) and [[audioSpanDHash]]
+    * (every span of the family), factored in round 15 (VERDICT r14 #5)
+    * so span 0 of the family IS the full hash by construction rather
+    * than by duplicated-loop agreement: window of frame f =
+    * ⌊(f−s0)·windows/(s1−s0)⌋, each window's mean absolute amplitude
+    * an exact integer sum ÷ count over all channels, bit i = 1 iff
+    * window i's mean < window i+1's mean ([[meanLess]] — no float
+    * enters any bit). Callers guarantee s1 − s0 ≥ windows (the
+    * degenerate-key rule) and 16-bit PCM.
+    */
+  private[graft] def signHashRange(w: graft.sources.MediaBinary.Wav,
+      s0: Int, s1: Int, windows: Int): Long = {
+    val nfs = s1 - s0
+    val sums = new Array[Long](windows)
+    val counts = new Array[Long](windows)
+    var f = s0
+    while (f < s1) {
+      val i = ((f - s0).toLong * windows / nfs).toInt
+      var c = 0
+      while (c < w.channels) {
+        val off = (f * w.channels + c) * 2
+        val v = ((w.data(off) & 0xff) |
+          ((w.data(off + 1) & 0xff) << 8)).toShort.toInt
+        sums(i) += math.abs(v)
+        counts(i) += 1
+        c += 1
+      }
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < windows - 1) {
+      if (meanLess(sums(i), counts(i), sums(i + 1), counts(i + 1)))
+        hash |= 1L << i
+      i += 1
+    }
+    hash
   }
 
   case class SpanHash(asset_id: Long, span: Int, dhash: Long)
@@ -790,55 +809,46 @@ object Multimodal {
     Seq((0, 0, 100), (1, 5, 95), (2, 10, 90), (3, 0, 90), (4, 10, 100))
 
   /** TRIM-ROBUST audio signature (m15c): one 65-window amplitude-delta
-    * sign hash ([[audioDHash]]'s construction) per span of the fixed
-    * family, over the decoded PCM frames [nf·a/100, nf·b/100). Spans
-    * with fewer than `windows` frames are dropped (the degenerate-key
-    * rule). Feed [[Dedup.regionNearDupsSig]] — assets pair on the
-    * MINIMUM Hamming over the span cross product, so a trimmed repost
-    * matches its original through the aligned span pair. S=5 rows of
-    * (id, span, 8 B) per clip leave the scan; samples never shuffle.
+    * sign hash ([[signHashRange]] — audioDHash's exact construction)
+    * per span of the fixed family, over the decoded PCM frames
+    * [nf·a/100, min(nf·b/100, nf·a/100 + maxFrames)). Spans with fewer
+    * than `windows` frames are dropped (the degenerate-key rule). Feed
+    * [[Dedup.regionNearDupsSig]] — assets pair on the MINIMUM Hamming
+    * over the span cross product, so a trimmed repost matches its
+    * original through the aligned span pair. S=5 rows of (id, span,
+    * 8 B) per clip leave the scan; samples never shuffle.
+    *
+    * `maxFrames` (m15d — VERDICT r14 #6, composing the span family
+    * with m15b's prefix-fingerprint production shape) bounds each
+    * span's HASHED LENGTH while keeping its START anchored at the
+    * full-clip duration fraction. That anchoring is what makes the
+    * composition trim-robust for LONG recordings: a grid-cut trim
+    * [nf·a/100, nf·b/100) has its full prefix-capped hash cover base
+    * frames [nf·a/100, nf·a/100 + min(trimLen, maxFrames)), and the
+    * base's span (a, b) capped to the SAME maxFrames covers the
+    * identical frame range (the span's uncapped end equals the trim's
+    * end by the shared grid), so the aligned pair stays bit-exact at
+    * any cap. Spans cut as fractions of the PREFIX instead would
+    * misalign as soon as the trim offset exceeds a prefix fraction —
+    * the documented r14 non-composition this parameter closes.
+    * Per-asset work is bounded at S·maxFrames frames.
     */
-  def audioSpanDHash(assets: Dataset[Asset],
-      windows: Int = 65): Dataset[SpanHash] = {
+  def audioSpanDHash(assets: Dataset[Asset], windows: Int = 65,
+      maxFrames: Int = Int.MaxValue): Dataset[SpanHash] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.flatMap { a =>
         graft.sources.MediaBinary.decodeWav(a.media)
           .filter(w => w.bitsPerSample == 16 && w.channels > 0)
           .toSeq.flatMap { w =>
-            val bytesPerFrame = 2 * w.channels
-            val nf = w.data.length / bytesPerFrame
+            val nf = w.data.length / (2 * w.channels)
             audioSpans.flatMap { case (sp, aN, bN) =>
               val s0 = (nf.toLong * aN / 100).toInt
-              val s1 = (nf.toLong * bN / 100).toInt
-              val nfs = s1 - s0
-              if (nfs < windows) None
-              else {
-                val sums = new Array[Long](windows)
-                val counts = new Array[Long](windows)
-                var f = s0
-                while (f < s1) {
-                  val i = ((f - s0).toLong * windows / nfs).toInt
-                  var c = 0
-                  while (c < w.channels) {
-                    val off = (f * w.channels + c) * 2
-                    val v = ((w.data(off) & 0xff) |
-                      ((w.data(off + 1) & 0xff) << 8)).toShort.toInt
-                    sums(i) += math.abs(v)
-                    counts(i) += 1
-                    c += 1
-                  }
-                  f += 1
-                }
-                var hash = 0L
-                var i = 0
-                while (i < windows - 1) {
-                  if (meanLess(sums(i), counts(i), sums(i + 1), counts(i + 1)))
-                    hash |= 1L << i
-                  i += 1
-                }
-                Some(SpanHash(a.asset_id, sp, hash))
-              }
+              val s1 = math.min(nf.toLong * bN / 100,
+                s0.toLong + maxFrames).toInt
+              if (s1 - s0 < windows) None
+              else Some(SpanHash(a.asset_id, sp,
+                signHashRange(w, s0, s1, windows)))
             }
           }
       }

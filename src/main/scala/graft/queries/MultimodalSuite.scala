@@ -186,7 +186,8 @@ object MultimodalSuite {
     "m5_media_dedup_clusters", "m11_perceptual_neardups",
     "m13_perceptual_dedup_clusters", "m14_video_perceptual_neardups",
     "m15_audio_perceptual_neardups", "m15b_audio_prefix_full",
-    "m15c_audio_trim_neardups", "m16_video_dedup_clusters",
+    "m15c_audio_trim_neardups", "m15d_audio_prefix_trim_full",
+    "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
     "m19_crop_dedup_clusters")
 
@@ -243,6 +244,41 @@ object MultimodalSuite {
         val nHashed = sigs.agg(count(lit(1)).as("n_hashed"))
         Graft.truncate(
           pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(nHashed), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the FULL-CORPUS PREFIX-CAPPED span-family
+    * pair HISTOGRAM (m15d — VERDICT r14 #6: m15b's production prefix
+    * shape composed with m15c's trim robustness). Every audio asset's
+    * span family is hashed with spans ANCHORED at full-duration
+    * fractions and LENGTH-capped at 4096 frames (see audioSpanDHash's
+    * maxFrames scaladoc for why that anchoring keeps grid-cut trims of
+    * LONG recordings bit-exact where spans-over-prefix would not), fed
+    * to the min-over-cross-product banding, aggregated to the pair
+    * histogram + hashed-asset count (the m15b value shape).
+    */
+  private object ATrimFullShared {
+    import graft.{Graft, RestMemo}
+    def hist(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, Seq(MultimodalFixture.assetsPath,
+          MultimodalFixture.apercPath,
+          MultimodalFixture.atrimPath), "m15d-hist") {
+        import s.implicits._
+        val corpus = assets(s).filter(col("media_type") === "audio")
+          .unionByName(apercAssets(s))
+          .unionByName(atrimAssets(s))
+        val sigs = Multimodal.audioSpanDHash(corpus.as[Multimodal.Asset],
+          windows = 65, maxFrames = 4096).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        val pairs = graft.operators.Dedup.regionNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8)
+        val nHashed = sigs.select("id").distinct()
+          .agg(count(lit(1)).as("n_hashed"))
+        Graft.truncate(
+          pairs.groupBy("min_hamming").agg(count(lit(1)).as("n_pairs"))
             .crossJoin(nHashed), eager = true)
       }
     }
@@ -395,7 +431,8 @@ object MultimodalSuite {
       "media_crop_clusters" -> (() => { CPercShared.clusters(s); () }),
       "media_audio_dhash_pairs" -> (() => { APercShared.pairs(s); () }),
       "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }),
-      "media_audio_trim_pairs" -> (() => { ATrimShared.pairs(s); () }))
+      "media_audio_trim_pairs" -> (() => { ATrimShared.pairs(s); () }),
+      "media_audio_trim_prefix_hist" -> (() => { ATrimFullShared.hist(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -1040,6 +1077,29 @@ object MultimodalSuite {
         "by minimum Hamming over the span cross product; complete " +
         "radius-7 pair set replayed from hex(media)"),
 
+    // --- m15d: FULL-CORPUS prefix-capped trim-robust aggregate (r15) ------
+    // Closes the documented m15b/m15c non-composition (VERDICT r14
+    // residual #3 / next #6): m15b's prefix fingerprint bounds per-asset
+    // work but a trimmed LONG recording shifts past any prefix-relative
+    // span, while m15c's full-clip spans are unbounded per asset. Here
+    // every audio asset (the full corpus, no id bound) is hashed over
+    // the span family with starts ANCHORED at full-duration fractions
+    // and lengths capped at 4096 frames — a grid-cut trim's capped full
+    // hash covers exactly the base's capped matching span (the shared
+    // end bound makes the cap commute; audioSpanDHash scaladoc), so
+    // planted trims pair at 0 while per-asset work stays bounded at
+    // S·4096 frames. Aggregated to the m15b histogram shape; the
+    // oracle replays every (asset, span) capped hash from hex(media)
+    // with the window-sliced walk and must land on the identical
+    // histogram, n_hashed re-derived from the WAV header field alone.
+    "m15d_audio_prefix_trim_full" -> Q(
+      (s, _) => ATrimFullShared.hist(s).orderBy("min_hamming"),
+      Some(sqlM15d),
+      "Full-corpus prefix-capped trim-robust audio aggregate: every " +
+        "audio asset's span family hashed over duration-anchored " +
+        "4096-frame-capped spans, complete radius-7 min-Hamming pair " +
+        "histogram replayed from hex(media)"),
+
     // --- m16: video perceptual dedup APPLY (round 13) --------------------
     // The m5/m13 closure step for the temporal domain: cross-codec and
     // cross-resolution relations CHAIN (DIB≈MJPEG, DIB≈downscale ⇒ all
@@ -1542,6 +1602,78 @@ object MultimodalSuite {
     |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
     |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
     |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** m15d's oracle: the m15c span walk over the FULL audio corpus with
+    * each span's end capped at start + 4096 frames (the prefix-capped
+    * composition — LEAST mirrors audioSpanDHash's min), aggregated to
+    * the m15b histogram shape. n_hashed counts assets whose capped
+    * span 0 still holds ≥ 65 frames — derived from the WAV data-size
+    * header field alone, proving the scan covered every asset.
+    */
+  private def sqlM15d: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
+    def sampw(k: String) = {
+      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
+      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    }
+    val spanRows = graft.operators.Multimodal.audioSpans
+      .map { case (sp, a, b) => s"($sp, $a, $b)" }.mkString(", ")
+    s"""WITH au AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
+    |  WHERE media_type = 'audio'
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AP
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AT),
+    |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
+    |sp AS (SELECT id, hx, nf, spn,
+    |    LEAST((nf * b) // 100, (nf * a) // 100 + 4096)
+    |      - (nf * a) // 100 AS nfs,
+    |    (nf * a) // 100 AS s0
+    |  FROM p CROSS JOIN (VALUES $spanRows) spans(spn, a, b)
+    |  WHERE LEAST((nf * b) // 100, (nf * a) // 100 + 4096)
+    |      - (nf * a) // 100 >= 65),
+    |w AS MATERIALIZED (
+    |  SELECT id, spn, wi,
+    |    ((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65 AS wf,
+    |    substring(hx, 2 * (44 + (s0 + (wi * nfs + 64) // 65) * 4) + 1,
+    |      8 * (((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65)) AS wh
+    |  FROM sp CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws),
+    |sums AS MATERIALIZED (
+    |  SELECT id, spn, wi,
+    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
+    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
+    |    2 * wf AS c
+    |  FROM w),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.spn, l.wi, (l.s * r.c < r.s * l.c) AS bit
+    |  FROM sums l JOIN sums r
+    |    ON l.id = r.id AND l.spn = r.spn AND r.wi = l.wi + 1
+    |  WHERE l.wi < 64),
+    |hashes AS MATERIALIZED (
+    |  -- fold each span's 64 delta bits into two 32-bit halves so the
+    |  -- all-pairs stage is ONE row per span pair (bit_count of xor),
+    |  -- not 64 — the full corpus makes the m15c bits-level pair join
+    |  -- a 64x row blowup this aggregate avoids
+    |  SELECT id, spn,
+    |    CAST(SUM(CASE WHEN bit AND wi < 32
+    |      THEN (CAST(1 AS BIGINT) << wi) ELSE 0 END) AS BIGINT) AS h0,
+    |    CAST(SUM(CASE WHEN bit AND wi >= 32
+    |      THEN (CAST(1 AS BIGINT) << (wi - 32)) ELSE 0 END) AS BIGINT) AS h1
+    |  FROM bits GROUP BY id, spn),
+    |ham AS (
+    |  SELECT a.id AS id1, b.id AS id2,
+    |    bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS hm
+    |  FROM hashes a JOIN hashes b ON a.id < b.id),
+    |mins AS (
+    |  SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
+    |  FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7)
+    |SELECT min_hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM sp) AS n_hashed
+    |FROM mins GROUP BY min_hamming ORDER BY min_hamming""".stripMargin
   }
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */

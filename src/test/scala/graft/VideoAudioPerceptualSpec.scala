@@ -293,6 +293,52 @@ class VideoAudioPerceptualSpec extends SparkSpec {
       assert(a % 1000 == b % 1000, s"cross-family pair ($a,$b) inside radius")
   }
 
+  test("m15d prefix-capped spans: trims of long recordings caught at 0; the plain prefix hash misses them") {
+    import spark.implicits._
+    // the composition m15d exists for (VERDICT r14 #6): spans anchored
+    // at FULL-duration fractions, lengths capped at 4096 frames — a
+    // grid-cut trim's capped full hash covers exactly the base's
+    // capped matching span, while m15b's plain [0, 4096) prefix hash
+    // starts 400-2400 frames earlier and misses entirely
+    def spanHashes(bytes: Array[Byte]): Seq[Long] = {
+      val ds = Seq(Multimodal.Asset(0L, "audio", bytes)).toDS()
+      Multimodal.audioSpanDHash(ds, maxFrames = 4096)
+        .collect().map(_.dhash).toSeq
+    }
+    def prefixHash(bytes: Array[Byte]): Long = {
+      val ds = Seq(Multimodal.Asset(0L, "audio", bytes)).toDS()
+      Multimodal.audioDHash(ds, maxFrames = 4096).collect().head.dhash
+    }
+    def minCross(a: Seq[Long], b: Seq[Long]): Int =
+      (for (x <- a; y <- b) yield java.lang.Long.bitCount(x ^ y)).min
+    for (b <- MultimodalFixture.apercBaseIds.take(4)) {
+      val base = MultimodalFixture.media(b)
+      for ((name, media) <- Seq(
+          ("both-5%", MultimodalFixture.atrimBothMedia(b)),
+          ("head-10%", MultimodalFixture.atrimHeadMedia(b)))) {
+        assert(minCross(spanHashes(base), spanHashes(media)) == 0,
+          s"$name trim of $b not at 0 under the capped span family")
+        val d = java.lang.Long.bitCount(prefixHash(base) ^ prefixHash(media))
+        assert(d > 7, s"plain prefix hash caught the $name trim of $b " +
+          s"at $d bits - the m15d demonstration corpus lost its miss class")
+      }
+    }
+    // the declared aggregate covers EVERY audio asset (fixture + the
+    // aperc and atrim twin lanes), distance-0 mass >= the planted sets
+    val rows = SparkEntry.queries("m15d_audio_prefix_trim_full")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectHashed = (0L until MultimodalFixture.nAssets.toLong)
+      .count(MultimodalFixture.mediaType(_) == "audio") +
+      4 * MultimodalFixture.nAPercBases
+    assert(rows.forall(_._3 == expectHashed.toLong),
+      s"m15d hashed-asset count: ${rows.headOption.map(_._3)} " +
+        s"(expected $expectHashed)")
+    val zero = rows.collectFirst { case (0L, n, _) => n }.getOrElse(0L)
+    // 30 aperc trio pairs + 20 base/trim pairs at exactly 0, plus any
+    // gain/quant-twin-to-trim pairs that also land at 0
+    assert(zero >= 50L, s"m15d distance-0 mass only $zero")
+  }
+
   test("m15 declared query: every twin pair found at distance 0") {
     val found = SparkEntry.queries("m15_audio_perceptual_neardups")(spark, "")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
