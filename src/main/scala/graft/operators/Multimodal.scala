@@ -802,8 +802,13 @@ object Multimodal {
     * the same grid reproduces a family span pixel— sample-exactly: the
     * ±5% trimmed repost's FULL hash equals the original's span-1 hash
     * bit for bit, where the single full-clip hash drifts 26-39 bits
-    * (the measured negative envelope). Off-grid trims land near the
-    * closest span — the m17 off-grid rule.
+    * (the measured negative envelope). Off-grid trims are CONTENT-
+    * CLASS-dependent (measured, AudioEnvelopeSpec — correcting the
+    * round-14 by-analogy claim): on structured envelopes they land
+    * near the closest span (2-3% misalignment → 4-16 bits, the m17
+    * smooth degradation), while on flat-envelope content the delta
+    * signs are sampling noise and ANY misalignment jumps to the
+    * 20-28-bit noise level — no span density fixes the flat class.
     */
   private[graft] val audioSpans: Seq[(Int, Int, Int)] =
     Seq((0, 0, 100), (1, 5, 95), (2, 10, 90), (3, 0, 90), (4, 10, 100))
