@@ -706,6 +706,54 @@ object Multimodal {
     }
   }
 
+  case class SpanFrameHash(asset_id: Long, span: Int, slot: Int, dhash: Long)
+
+  /** TRIM-ROBUST temporal signature (m20 — VERDICT r14 #1, composing
+    * the m15c span-offset family with the m18 duration-fraction slot
+    * geometry): for every span of the fixed family ([[audioSpans]] —
+    * the shared time-span grid, frames [nf·a/100, nf·b/100)), sample k
+    * duration-fraction slots WITHIN the span (slot i = frame
+    * s0 + ⌊nfs·i/k⌋, always k slots for any span holding ≥ 1 frame)
+    * and dHash each sampled frame. A clipped intro/outro re-upload cut
+    * on the span grid has its FULL span land frame-for-frame on one of
+    * the base's sub-spans — every aligned slot at distance 0 — where
+    * [[videoDHash]]'s full-duration anchoring shifts every slot onto
+    * different frames (the documented m14/m18 blind class; the spec
+    * proves the miss). Feed [[Dedup.spanTemporalNearDupsSig]]: pairs
+    * by the MINIMUM over span pairs of the worst aligned slot.
+    *
+    * Cost posture: ≤ S·k sampled (span, slot) indices per clip resolve
+    * to distinct frames decoded ONCE (the m3 seek shape — spans
+    * overlap heavily, so typically ~2k distinct frames, never S·k
+    * decodes); S·k rows of (id, span, slot, 8 B) leave the scan,
+    * frames never shuffle. Sub-grid clips (w<9 or h<8) drop — the
+    * degenerate-key rule; spans with zero frames drop per span.
+    */
+  def videoSpanDHash(assets: Dataset[Asset], k: Int = 4): Dataset[SpanFrameHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        graft.sources.MediaBinary.decodeAviMeta(a.media) match {
+          case Some(m) if m.width >= 9 && m.height >= 8 && m.nFrames > 0 =>
+            val idxs = for {
+              (sp, aN, bN) <- audioSpans
+              s0 = (m.nFrames.toLong * aN / 100).toInt
+              nfs = (m.nFrames.toLong * bN / 100).toInt - s0
+              if nfs >= 1
+              i <- 0 until k
+            } yield (sp, i, s0 + (nfs.toLong * i / k).toInt)
+            val hashes = idxs.map(_._3).distinct.map { idx =>
+              idx -> dHash64(m.width, m.height,
+                graft.sources.MediaBinary.aviFramePixels(a.media, m, idx))
+            }.toMap
+            idxs.map { case (sp, i, idx) =>
+              SpanFrameHash(a.asset_id, sp, i, hashes(idx)) }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
   /** 64-bit perceptual sign hash of an audio payload — the dHash
     * construction in the time domain: the decoded 16-bit PCM frames are
     * cut into `windows` (=65) equal windows (window of frame f =

@@ -551,9 +551,20 @@ object MultimodalFixture {
     */
   def cpercBasePixels(i: Long): (Int, Int, Array[Byte]) = {
     val (w, h) = mjpegDims(i)
+    (w, h, cloudPixels(i * 1315423911L, w, h))
+  }
+
+  /** The cloud-texture surface for an arbitrary seed — the [[cpercBasePixels]]
+    * generator factored (round 15) so the video-trim and orientation
+    * corpora draw from the same smooth-but-key-distinct content class:
+    * a seed-keyed random 7×7 coarse grid bilinearly interpolated to
+    * (w, h) per channel, pure integer arithmetic. cperc keeps its exact
+    * round-14 bytes (seed = i·1315423911).
+    */
+  def cloudPixels(seed: Long, w: Int, h: Int): Array[Byte] = {
     val g = CGrid
     val corners = Array.tabulate(3, g + 1, g + 1) { (c, gy, gx) =>
-      ((mix(i * 1315423911L + c * 2654435761L + gy * 97L + gx) >>> 56) & 0xff).toInt
+      ((mix(seed + c * 2654435761L + gy * 97L + gx) >>> 56) & 0xff).toInt
     }
     val out = new Array[Byte](w * h * 3)
     var y = 0
@@ -577,7 +588,7 @@ object MultimodalFixture {
       }
       y += 1
     }
-    (w, h, out)
+    out
   }
 
   def cpercBaseMedia(i: Long): Array[Byte] = {
@@ -628,6 +639,72 @@ object MultimodalFixture {
       .repartition(2)
       .write.mode("overwrite").parquet(cpercPath)
     new File(s"$cpercPath/$cpercMarker").createNewFile()
+  }
+
+  // --- trimmed-video asset set (round 15, m20) ---------------------------
+  // The video analogue of atrim.parquet: a clipped intro/outro repost
+  // shifts EVERY duration-fraction slot of videoDHash (m14/m18's
+  // geometry — slots anchored to the full clip duration), so trimmed
+  // re-uploads were the last documented-invisible video edit class.
+  // Closed the m15c way: genuine DIB twins whose frames are a SPAN of
+  // the base's, cut with the same integer arithmetic the span family
+  // uses (frame [nf·a/100, nf·b/100)), so the base's span slots land on
+  // the twin's full-span slots frame-for-frame. Content is per-(id,
+  // frame) cloud textures — INDEPENDENT across frames (and ids), so
+  // the full-duration slot geometry provably misses the trims (its
+  // slots land on different frames) while unrelated clips stay far
+  // under any span pairing. Base clips carry 40-72 frames (the 2-5
+  // frame wave clips make 5%/10% trims degenerate — floor(nf·5/100)=0
+  // below nf=20). All DIB — the m20 oracle replays every (span, slot)
+  // hash bit-exactly from hex(media), no planted arm.
+  def vtrimPath: String = s"$root/vtrim.parquet"
+  val VTrimBaseOffset = 90000L
+  val VTrimBothOffset = 91000L
+  val VTrimHeadOffset = 92000L
+  val nVTrims = 10
+
+  def vtrimDims(i: Long): (Int, Int) =
+    (48 + (i % 4).toInt * 8, 32 + (i % 3).toInt * 8)
+
+  def vtrimFrameCount(i: Long): Int = 40 + (i % 5).toInt * 8
+
+  /** Per-(id, frame) cloud texture — frames independent by seed. */
+  def vtrimFramePixels(i: Long, k: Int): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    cloudPixels(mix(i * 2862933555777941757L + k) * 31L, w, h)
+  }
+
+  def vtrimBaseMedia(i: Long): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame,
+      Array.tabulate(vtrimFrameCount(i))(k => vtrimFramePixels(i, k)))
+  }
+
+  /** Frames [nf·a/100, nf·b/100) of the base — the span-grid cut. */
+  def vtrimSpanMedia(i: Long, a: Int, b: Int): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    val nf = vtrimFrameCount(i)
+    val f0 = (nf.toLong * a / 100).toInt
+    val f1 = (nf.toLong * b / 100).toInt
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame,
+      Array.tabulate(f1 - f0)(k => vtrimFramePixels(i, f0 + k)))
+  }
+
+  def buildVTrim(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nVTrims.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + VTrimBaseOffset, "video",
+          vtrimBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + VTrimBothOffset, "video",
+          vtrimSpanMedia(i, 5, 95)),
+        graft.operators.Multimodal.Asset(i + VTrimHeadOffset, "video",
+          vtrimSpanMedia(i, 10, 100))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(vtrimPath)
+    new File(s"$vtrimPath/$vtrimMarker").createNewFile()
   }
 
   // --- perceptual AUDIO dedup asset set (round 13) ----------------------
@@ -788,6 +865,7 @@ object MultimodalFixture {
   private val cpercMarker = "_GRAFT_CPERC_V2" // V2 = cloud textures (region distinctness)
   private val apercMarker = "_GRAFT_APERC_V1"
   private val atrimMarker = "_GRAFT_ATRIM_V1"
+  private val vtrimMarker = "_GRAFT_VTRIM_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -813,6 +891,8 @@ object MultimodalFixture {
         !new File(s"$apercPath/$apercMarker").exists()) buildAPerc(spark)
     if (!new File(s"$atrimPath/_SUCCESS").exists() ||
         !new File(s"$atrimPath/$atrimMarker").exists()) buildATrim(spark)
+    if (!new File(s"$vtrimPath/_SUCCESS").exists() ||
+        !new File(s"$vtrimPath/$vtrimMarker").exists()) buildVTrim(spark)
     ready = true
   }
 

@@ -146,6 +146,40 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     }
   }
 
+  test("m20 declared query: planted video trims at 0 via the span family; the full-duration geometry misses them") {
+    val found = SparkEntry.queries("m20_video_trim_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = MultimodalFixture.nVTrims.toLong
+    for (i <- 0L until n) {
+      val base = MultimodalFixture.VTrimBaseOffset + i
+      for (off <- Seq(MultimodalFixture.VTrimBothOffset,
+          MultimodalFixture.VTrimHeadOffset)) {
+        // the span family catches each grid-cut trim at EXACTLY 0...
+        assert(found.get((base, off + i)).contains(0L),
+          s"planted trim pair ($base,${off + i}) missing or nonzero: " +
+            s"${found.get((base, off + i))}")
+        // ...where m14/m18's full-duration slot geometry lands on
+        // DIFFERENT frames (independent textures) — the blind class
+        // this query exists to close
+        val w = worstSlot(
+          frameHashes(MultimodalFixture.vtrimBaseMedia(i)),
+          frameHashes(off match {
+            case MultimodalFixture.VTrimBothOffset =>
+              MultimodalFixture.vtrimSpanMedia(i, 5, 95)
+            case _ => MultimodalFixture.vtrimSpanMedia(i, 10, 100)
+          }))
+        assert(w > 15, s"full-duration geometry caught the trim of $i " +
+          s"at worst slot $w - the m20 demonstration corpus lost its " +
+          "miss class")
+      }
+    }
+    // no CROSS-CLIP pair inside the radius: every reported pair relates
+    // cuts of ONE base clip (the both/head siblings genuinely are the
+    // same clip and pairing most of them is the operator working)
+    for (((a, b), _) <- found)
+      assert(a % 1000 == b % 1000, s"cross-clip pair ($a,$b) inside radius")
+  }
+
   test("audio twins: zero shared bytes, identical sign hash; unrelated >= 22 bits") {
     import spark.implicits._
     def hash(bytes: Array[Byte]): Long = {
