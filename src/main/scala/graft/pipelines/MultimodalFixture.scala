@@ -641,6 +641,85 @@ object MultimodalFixture {
     new File(s"$cpercPath/$cpercMarker").createNewFile()
   }
 
+  // --- orientation-perceptual image asset set (round 15, m22) -----------
+  // The m22 corpus: cloud-texture base pictures planted with a
+  // 90°-clockwise-rotated twin and a horizontally-mirrored twin — the
+  // two most common orientation edits, both pure integer pixel
+  // permutations. A rotated/mirrored repost defeats the global dHash
+  // AND the m17 region family alike (every window pools a permuted
+  // picture; the spec measures both misses), while the 8-orientation
+  // hash family matches by GROUP CLOSURE at exactly 0. All raw-pixel
+  // BMP — the m22 oracle replays every orientation hash bit-exactly
+  // from hex(media), no planted arm.
+  def opercPath: String = s"$root/operc.parquet"
+  val OPercBaseOffset = 85000L
+  val OPercRotOffset = 86000L
+  val OPercFlipOffset = 87000L
+  val nOPercs = 10
+
+  def opercBasePixels(i: Long): (Int, Int, Array[Byte]) = {
+    val (w, h) = mjpegDims(i)
+    (w, h, cloudPixels(mix(i * 1100087778366101931L + 17L) * 31L, w, h))
+  }
+
+  def opercBaseMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = opercBasePixels(i)
+    graft.sources.MediaBinary.encodeBmp(w, h, px)
+  }
+
+  /** 90°-CW-rotated twin: new (x', y') = old (y', h−1−x'). */
+  def opercRotMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = opercBasePixels(i)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < w) { // rotated dims are h × w
+      var x = 0
+      while (x < h) {
+        val s = ((h - 1 - x) * w + y) * 3
+        val d = (y * h + x) * 3
+        out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    graft.sources.MediaBinary.encodeBmp(h, w, out)
+  }
+
+  /** Horizontally mirrored twin: new (x', y') = old (w−1−x', y'). */
+  def opercFlipMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = opercBasePixels(i)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + (w - 1 - x)) * 3
+        val d = (y * w + x) * 3
+        out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    graft.sources.MediaBinary.encodeBmp(w, h, out)
+  }
+
+  def buildOPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nOPercs.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + OPercBaseOffset, "image",
+          opercBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + OPercRotOffset, "image",
+          opercRotMedia(i)),
+        graft.operators.Multimodal.Asset(i + OPercFlipOffset, "image",
+          opercFlipMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(opercPath)
+    new File(s"$opercPath/$opercMarker").createNewFile()
+  }
+
   // --- trimmed-video asset set (round 15, m20) ---------------------------
   // The video analogue of atrim.parquet: a clipped intro/outro repost
   // shifts EVERY duration-fraction slot of videoDHash (m14/m18's
@@ -866,6 +945,7 @@ object MultimodalFixture {
   private val apercMarker = "_GRAFT_APERC_V1"
   private val atrimMarker = "_GRAFT_ATRIM_V1"
   private val vtrimMarker = "_GRAFT_VTRIM_V1"
+  private val opercMarker = "_GRAFT_OPERC_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -893,6 +973,8 @@ object MultimodalFixture {
         !new File(s"$atrimPath/$atrimMarker").exists()) buildATrim(spark)
     if (!new File(s"$vtrimPath/_SUCCESS").exists() ||
         !new File(s"$vtrimPath/$vtrimMarker").exists()) buildVTrim(spark)
+    if (!new File(s"$opercPath/_SUCCESS").exists() ||
+        !new File(s"$opercPath/$opercMarker").exists()) buildOPerc(spark)
     ready = true
   }
 

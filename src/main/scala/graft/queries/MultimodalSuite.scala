@@ -94,6 +94,14 @@ object MultimodalSuite {
 
   private def CP = s"read_parquet('${MultimodalFixture.cpercPath}/*.parquet')"
 
+  private def opercAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.opercPath))
+  }
+
+  private def OP = s"read_parquet('${MultimodalFixture.opercPath}/*.parquet')"
+
   private def vtrimAssets(s: SparkSession): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
@@ -197,7 +205,8 @@ object MultimodalSuite {
     "m15c_audio_trim_neardups", "m15d_audio_prefix_trim_full",
     "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
-    "m19_crop_dedup_clusters", "m20_video_trim_neardups")
+    "m19_crop_dedup_clusters", "m20_video_trim_neardups",
+    "m22_orient_perceptual_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -366,6 +375,25 @@ object MultimodalSuite {
     }
   }
 
+  /** Per-session memo of the ORIENTATION-ROBUSTNESS pair table (m22 —
+    * the 8-orientation dihedral hash family fed to the same
+    * min-over-cross-product banding as m17/m15c, once per session).
+    */
+  private object OPercShared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.opercPath, "m22-pairs") {
+        import s.implicits._
+        val sigs = Multimodal.orientDHash(
+          opercAssets(s).as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }
+    }
+  }
+
   /** Per-session memo of the TRIM-ROBUSTNESS video pair table (m20 —
     * the span-offset slot family fed to the min-over-span-pairs
     * worst-slot banding, once per session: m15c's geometry composed
@@ -462,7 +490,8 @@ object MultimodalSuite {
       "media_audio_prefix_hist" -> (() => { APercFullShared.hist(s); () }),
       "media_audio_trim_pairs" -> (() => { ATrimShared.pairs(s); () }),
       "media_audio_trim_prefix_hist" -> (() => { ATrimFullShared.hist(s); () }),
-      "media_video_trim_pairs" -> (() => { VTrimShared.pairs(s); () }))
+      "media_video_trim_pairs" -> (() => { VTrimShared.pairs(s); () }),
+      "media_orient_pairs" -> (() => { OPercShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -1285,7 +1314,36 @@ object MultimodalSuite {
       "Trim-robust video near-dup: duration-fraction slots sampled " +
         "within each span of the offset family, pairs by minimum over " +
         "span pairs of the worst aligned slot; complete radius-15 pair " +
-        "set replayed from hex(media)"))
+        "set replayed from hex(media)"),
+
+    // --- m22: rotation/flip-robust image near-dup (round 15) --------------
+    // The last common image edit class (VERDICT r14 #4): a mirrored or
+    // 90°-rotated repost defeats the global dHash AND the m17 region
+    // family alike — every pooling window reads a permuted picture.
+    // Closed by GROUP CLOSURE rather than approximation: orientDHash
+    // hashes each image under all 8 dihedral orientations (4 rotations
+    // × optional mirror, index-mapped — no pixel copies), and since the
+    // orientation family of g(A) is the SAME SET as A's family for any
+    // dihedral g, the minimum over the orientation cross product
+    // (Dedup.regionNearDupsSig reused — banding without the orientation
+    // id, pigeonhole-exact at radius 7 / bands 8) is EXACTLY 0 for a
+    // rotated/mirrored repost — a pure integer pixel permutation, so
+    // unlike the lossy envelopes the contract has no approximation arm
+    // at all. The corpus (operc.parquet) is 10 cloud-texture BMP bases
+    // each planted with a rot-90 and a mirrored twin; the oracle
+    // replays every orientation hash bit-exactly from hex(media) (the
+    // m17 walk with the orientation index maps as CASE arithmetic) and
+    // demands the complete radius-7 pair set with exact minima — no
+    // planted arm. At 100 TB: 8 rows of (id, orient, 8 B) per image
+    // shuffle, pixels never leave the scan — the m17 patch-hash cost
+    // shape with R=8.
+    "m22_orient_perceptual_neardups" -> Q(
+      (s, _) => OPercShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM22),
+      "Rotation/flip-robust perceptual near-dup: 8-orientation dihedral " +
+        "dHash family, pairs by minimum Hamming over the orientation " +
+        "cross product; complete radius-7 pair set replayed from " +
+        "hex(media)"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
@@ -1504,6 +1562,70 @@ object MultimodalSuite {
         s"SELECT asset_id AS id, hex(media) AS hx FROM $VP\n" +
           s"  UNION ALL SELECT asset_id, hex(media) FROM $V2")}
     |) t ORDER BY id1, id2""".stripMargin
+
+  /** m22's oracle: every dihedral-orientation hash of every operc
+    * asset rebuilt bit-exactly from hex(media) — BMP header walk (the
+    * m7/m17 offsets), the 8 orientation index maps as CASE arithmetic
+    * over (o, xp, yp) with the 9×8 grid laid over the ORIENTED dims,
+    * cross-multiplied mean bits, Hamming over the ORIENTATION CROSS
+    * PRODUCT per asset pair, minimum ≤ 7 — the complete pair set with
+    * exact minima, no planted arm.
+    */
+  private def sqlM22: String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+    // the dHash64Oriented index maps: xp/yp are ORIENTED coordinates,
+    // (sx, sy) the original-surface read; mirror folds into xf first
+    val xf = "(CASE WHEN o >= 4 THEN wp - 1 - xp ELSE xp END)"
+    val sx = s"(CASE (o % 4) WHEN 0 THEN $xf WHEN 1 THEN yp " +
+      s"WHEN 2 THEN w - 1 - $xf ELSE w - 1 - yp END)"
+    val sy = s"(CASE (o % 4) WHEN 0 THEN yp WHEN 1 THEN h - 1 - $xf " +
+      s"WHEN 2 THEN h - 1 - yp ELSE $xf END)"
+    val pxo = s"off0 + (h - 1 - $sy) * stride + $sx * 3"
+    s"""WITH m AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $OP),
+    |d AS MATERIALIZED (
+    |  SELECT id, hx, ${le32(19)} AS w, ${le32(23)} AS h, ${le32(11)} AS off0,
+    |    ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
+    |  FROM m),
+    |ori AS (
+    |  SELECT id, hx, off0, stride, w, h, o,
+    |    CASE WHEN o % 2 = 1 THEN h ELSE w END AS wp,
+    |    CASE WHEN o % 2 = 1 THEN w ELSE h END AS hp
+    |  FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oo),
+    |cells AS (
+    |  SELECT id, hx, off0, stride, w, h, o, wp, hp, j, i
+    |  FROM ori
+    |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+    |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+    |  WHERE wp >= 9 AND hp >= 8),
+    |blocks AS MATERIALIZED (
+    |  SELECT id, o, j, i,
+    |    COALESCE(list_sum(list_transform(
+    |        range((j * hp + 7) // 8, ((j + 1) * hp + 7) // 8), yp ->
+    |      list_sum(list_transform(
+    |          range((i * wp + 8) // 9, ((i + 1) * wp + 8) // 9), xp ->
+    |        ${bv(pxo)} + ${bv(s"$pxo + 1")} + ${bv(s"$pxo + 2")})))), 0) AS s,
+    |    (((i + 1) * wp + 8) // 9 - (i * wp + 8) // 9) *
+    |      (((j + 1) * hp + 7) // 8 - (j * hp + 7) // 8) AS c
+    |  FROM cells),
+    |bits AS MATERIALIZED (
+    |  SELECT l.id, l.o, l.j, l.i, (l.s * rr.c < rr.s * l.c) AS bit
+    |  FROM blocks l JOIN blocks rr
+    |    ON l.id = rr.id AND l.o = rr.o AND l.j = rr.j AND rr.i = l.i + 1
+    |  WHERE l.i < 8),
+    |ham AS (
+    |  SELECT a.id AS id1, a.o AS oa, b.id AS id2, b.o AS ob,
+    |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
+    |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
+    |  GROUP BY a.id, a.o, b.id, b.o)
+    |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
+    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
+    |ORDER BY id1, id2""".stripMargin
+  }
 
   /** m20's oracle: every (span, slot) frame hash of every vtrim asset
     * rebuilt bit-exactly from hex(media) — canonical-AVI header walk,

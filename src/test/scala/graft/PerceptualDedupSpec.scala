@@ -263,6 +263,70 @@ class PerceptualDedupSpec extends SparkSpec {
         s"$name off-grid crops left radius 7: ${ds.mkString(",")}")
   }
 
+  test("m22 declared query: rotated/mirrored reposts at exactly 0 by group closure; dHash misses them, the region family at best grazes the radius") {
+    // o = 0 is the plain dHash by construction
+    for (i <- 0L until MultimodalFixture.nOPercs.toLong) {
+      val (w, h, px) = MultimodalFixture.opercBasePixels(i)
+      assert(Multimodal.dHash64Oriented(w, h, px, 0) ==
+        Multimodal.dHash64(w, h, px), s"orientation 0 of $i != dHash64")
+    }
+    // the misses m22 exists to close, MEASURED: the global dHash and
+    // the m17 region family both pool a permuted picture for every
+    // window — distances land far beyond any usable radius
+    def regionHashes(w: Int, h: Int, px: Array[Byte]): Seq[Long] =
+      Multimodal.regionWindows(w, h).collect {
+        case (_, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+          Multimodal.dHash64Region(w, px, rx, ry, rw, rh)
+      }
+    def minCross(a: Seq[Long], b: Seq[Long]): Int =
+      (for (x <- a; y <- b) yield java.lang.Long.bitCount(x ^ y)).min
+    def decode(m: Array[Byte]) =
+      graft.sources.MediaBinary.decodeBmp(m).get
+    var dHashMiss = Int.MaxValue
+    var regionMiss = Int.MaxValue
+    for (i <- 0L until MultimodalFixture.nOPercs.toLong) {
+      val (w, h, px) = MultimodalFixture.opercBasePixels(i)
+      for (tw <- Seq(MultimodalFixture.opercRotMedia(i),
+          MultimodalFixture.opercFlipMedia(i))) {
+        val t = decode(tw)
+        dHashMiss = math.min(dHashMiss, java.lang.Long.bitCount(
+          Multimodal.dHash64(w, h, px) ^
+            Multimodal.dHash64(t.width, t.height, t.pixels)))
+        regionMiss = math.min(regionMiss, minCross(
+          regionHashes(w, h, px),
+          regionHashes(t.width, t.height, t.pixels)))
+      }
+    }
+    info(s"closest rot/flip twin: global dHash $dHashMiss bits, " +
+      s"region-family min $regionMiss bits")
+    assert(dHashMiss > 7, s"global dHash caught an orientation twin " +
+      s"at $dHashMiss - the m22 demonstration corpus lost its miss class")
+    // the region family has NO structural orientation robustness — its
+    // closest twin measures exactly AT the demo radius (min 7, one
+    // lucky smooth-texture window pair; every other twin is beyond
+    // it), so relying on it for rotations would be content luck where
+    // m22's group closure is an identity
+    assert(regionMiss >= 6 && regionMiss <= 24,
+      s"region-family orientation envelope moved: $regionMiss")
+    // the declared query: every base/rot, base/flip AND rot/flip
+    // sibling pair at EXACTLY 0 (group closure — the rot and flip of
+    // one picture are dihedral-related to each other too), nothing else
+    val found = SparkEntry.queries("m22_orient_perceptual_neardups")(spark, "")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val expected = (0L until MultimodalFixture.nOPercs.toLong).flatMap { i =>
+      Seq(
+        ((MultimodalFixture.OPercBaseOffset + i,
+          MultimodalFixture.OPercRotOffset + i), 0L),
+        ((MultimodalFixture.OPercBaseOffset + i,
+          MultimodalFixture.OPercFlipOffset + i), 0L),
+        ((MultimodalFixture.OPercRotOffset + i,
+          MultimodalFixture.OPercFlipOffset + i), 0L))
+    }.toSet
+    assert(found == expected,
+      s"m22 mismatch: missing=${expected.diff(found).toSeq.sortBy(_._1).take(5)} " +
+        s"extra=${found.diff(expected).toSeq.sortBy(_._1).take(5)}")
+  }
+
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {
     val df = SparkEntry.queries("m11_perceptual_neardups")(spark, "")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
