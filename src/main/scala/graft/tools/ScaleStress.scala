@@ -524,6 +524,55 @@ object ScaleStress {
         }
         spark.catalog.clearCache()
     }
+    // STREAMING CROP-GATE ingest probe (round 15 — VERDICT r14 #8:
+    // region_pairs pins the batch operator's growth; this pins the
+    // STREAM gate's): CropStream.ingestBatch driven directly (its
+    // semantics are batch-deterministic — the stream only schedules
+    // it) over 4 equal batches of synthetic cloud-texture BMPs at two
+    // corpus sizes, at the PRODUCTION radius 3 (the region_pairs
+    // posture; the fixture gates run the radius-7 exact-recall DEMO
+    // config, where smooth unrelated textures coincidentally quarantine
+    // a few % — measured before this pin). sec times the LAST batch —
+    // the one that pays the banded index×batch join against the
+    // fullest accumulated index — end to end (encode+decode+hash+
+    // within-batch clusters+cross join+both sink writes); rows = the
+    // at-rest index's region rows after ingest, which must grow
+    // LINEARLY at R=7 rows per novel image.
+    Seq((mSmall, false), (mSmall, true), (mLarge, true)).foreach {
+      case (m, rec) =>
+        record = rec
+        val batches = 4
+        val perBatch = 128L * m
+        val n = batches * perBatch
+        val tmp = java.nio.file.Files.createTempDirectory("crop_ingest")
+        val indexDir = tmp.resolve("index").toString
+        val quarDir = tmp.resolve("quar").toString
+        import spark.implicits._
+        def batchDf(b: Int): DataFrame =
+          spark.range(b * perBatch, (b + 1) * perBatch, 1, 16)
+            .mapPartitions(_.map { id =>
+              val (w, h, px) =
+                graft.pipelines.MultimodalFixture.cpercBasePixels(id)
+              graft.operators.Multimodal.Asset(id, "image",
+                graft.sources.MediaBinary.encodeBmp(w, h, px))
+            }).toDF("asset_id", "media_type", "media")
+        (0 until batches - 1).foreach { b =>
+          graft.streaming.CropStream.ingestBatch(batchDf(b), b.toLong,
+            indexDir, quarDir, maxHamming = 3)
+        }
+        run("cropstream_ingest", m, n) {
+          graft.streaming.CropStream.ingestBatch(batchDf(batches - 1),
+            (batches - 1).toLong, indexDir, quarDir, maxHamming = 3)
+          spark.read.parquet(indexDir).count()
+        }
+        spark.catalog.clearCache()
+        try {
+          val stream = java.nio.file.Files.walk(tmp)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally stream.close()
+        } catch { case _: Throwable => () }
+    }
     // BPE per-round marginal cost at FIXED vocabulary (VERDICT r12 #5):
     // the copies here share the token space (plain id-shifted
     // duplicates — deliberately NOT corpus()'s per-copy token suffix,
