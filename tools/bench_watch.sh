@@ -19,12 +19,18 @@
 #    before or during a run;
 #  - adoption into the repo goes through tools/adopt_bench.sh
 #    (write-once BENCH_ADOPTED_<tag>.json).
-#  - LOUD runs are requeued (round 15 — VERDICT r14 #7): the pre-run
-#    load gate can pass and the tenant still ramp mid-run; the artifact
-#    self-describes its window via load_1m samples, so a completed run
-#    whose max sample exceeds $loud_gate keeps its numbers as best-of
-#    candidates but does NOT consume the attempt (bounded by
-#    $max_requeues so a permanently-loud host still terminates).
+#  - LOUD-START runs are requeued (round 15 — VERDICT r14 #7): the
+#    pre-run load gate is one instantaneous read, so a run can launch
+#    into a rising window; the artifact's EARLY load_1m samples (start,
+#    after_builds — taken before Bench's own sf0.1/sf1 phases drive the
+#    loadavg themselves; calibration: adopted-quiet r14 runs read
+#    1.5-3.4 there but 7-17 at after_sf1/end) flag it, and a flagged
+#    run keeps its numbers as a best-of candidate but does NOT consume
+#    the attempt (bounded by $max_requeues so a permanently-loud host
+#    still terminates). Mid-run tenant crests are NOT sample-detectable
+#    (instantaneous reads miss them; late samples alias Bench's own
+#    load) — those stay covered by in-run min-of-N plus
+#    best-of-attempts, which is why attempts default to 4.
 set -u
 tag=${1:?usage: bench_watch.sh <tag> [attempts] [budget] [good_total]}
 attempts=${2:-4}
@@ -84,8 +90,9 @@ while [ "$i" -lt "$attempts" ]; do
   loud=$(python3 -c 'import json,sys
 try:
   d=json.load(open(sys.argv[1]))
-  mx=max(d.get("load_1m",{}).values() or [0.0])
-  print(1 if mx > float(sys.argv[2]) else 0)
+  lm=d.get("load_1m",{})
+  early=[lm[k] for k in ("start","after_builds") if k in lm]
+  print(1 if early and max(early) > float(sys.argv[2]) else 0)
 except Exception: print(0)' "/tmp/bench_${tag}_run_${ts}.json" "$loud_gate")
   if [ "$loud" = "1" ] && [ "$requeues" -lt "$max_requeues" ]; then
     requeues=$((requeues + 1))
