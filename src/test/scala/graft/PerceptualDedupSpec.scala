@@ -325,6 +325,24 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(found == expected,
       s"m22 mismatch: missing=${expected.diff(found).toSeq.sortBy(_._1).take(5)} " +
         s"extra=${found.diff(expected).toSeq.sortBy(_._1).take(5)}")
+    // the orientation and re-encode axes COMPOSE: a rotated repost
+    // re-encoded in a different LOSSLESS container (the m11 class on
+    // top of the m22 class — BMP original, PNG rotated copy, zero
+    // shared bytes) still matches at exactly 0, because orientDHash is
+    // container-magic-sniffed and group closure is a pixel identity
+    import spark.implicits._
+    def orientHashes(media: Array[Byte]): Seq[Long] = {
+      val ds = Seq(Multimodal.Asset(0L, "image", media)).toDS()
+      Multimodal.orientDHash(ds).collect().map(_.dhash).toSeq
+    }
+    for (i <- Seq(0L, 4L, 9L)) {
+      val rot = decode(MultimodalFixture.opercRotMedia(i))
+      val rotPng = graft.sources.PngBinary.encodePng(
+        rot.width, rot.height, rot.pixels)
+      assert(minCross(orientHashes(MultimodalFixture.opercBaseMedia(i)),
+        orientHashes(rotPng)) == 0,
+        s"rotation+re-encode composition of picture $i not at 0")
+    }
   }
 
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {

@@ -180,6 +180,49 @@ class VideoAudioPerceptualSpec extends SparkSpec {
       assert(a % 1000 == b % 1000, s"cross-clip pair ($a,$b) inside radius")
   }
 
+  test("the trim and fps axes COMPOSE: a trimmed-then-frame-doubled re-encode still matches at 0 through the span family") {
+    // the robustness matrix is only as good as its compositions: a
+    // repost that is BOTH clipped (m20's class) and re-encoded at a
+    // doubled frame rate (m18's class) must still land at 0 — and it
+    // does by construction, because videoSpanDHash's slots are
+    // duration fractions WITHIN each span (floor(floor(2·nfs·i/k)/2) =
+    // floor(nfs·i/k), the m18 identity applied inside the span)
+    import graft.sources.MediaBinary
+    def spanSlotHashes(bytes: Array[Byte], k: Int = 4): Map[(Int, Int), Long] = {
+      val m = MediaBinary.decodeAviMeta(bytes).get
+      (for {
+        (sp, aN, bN) <- Multimodal.audioSpans
+        s0 = (m.nFrames.toLong * aN / 100).toInt
+        nfs = (m.nFrames.toLong * bN / 100).toInt - s0
+        if nfs >= 1
+        i <- 0 until k
+      } yield (sp, i) -> Multimodal.dHash64(m.width, m.height,
+        MediaBinary.aviFramePixels(bytes, m,
+          s0 + (nfs.toLong * i / k).toInt))).toMap
+    }
+    def minWorst(a: Map[(Int, Int), Long], b: Map[(Int, Int), Long]): Int = {
+      val spansA = a.keys.map(_._1).toSeq.distinct
+      val spansB = b.keys.map(_._1).toSeq.distinct
+      (for (sa <- spansA; sb <- spansB) yield
+        (0 until 4).map(i => java.lang.Long.bitCount(
+          a((sa, i)) ^ b((sb, i)))).max).min
+    }
+    for (i <- Seq(0L, 3L, 7L)) {
+      val base = MultimodalFixture.vtrimBaseMedia(i)
+      // the both-5% trim, then every frame doubled at half usPerFrame
+      // (the vperc2 re-encode applied to the trimmed clip)
+      val trimmed = MediaBinary.decodeAviMeta(
+        MultimodalFixture.vtrimSpanMedia(i, 5, 95)).get
+      val tbytes = MultimodalFixture.vtrimSpanMedia(i, 5, 95)
+      val frames = Array.tabulate(2 * trimmed.nFrames)(k =>
+        MediaBinary.aviFramePixels(tbytes, trimmed, k / 2))
+      val composed = MediaBinary.encodeAvi(trimmed.width, trimmed.height,
+        MultimodalFixture.AviUsPerFrame / 2, frames)
+      assert(minWorst(spanSlotHashes(base), spanSlotHashes(composed)) == 0,
+        s"trim+fps composition of clip $i not at 0")
+    }
+  }
+
   test("audio twins: zero shared bytes, identical sign hash; unrelated >= 22 bits") {
     import spark.implicits._
     def hash(bytes: Array[Byte]): Long = {
