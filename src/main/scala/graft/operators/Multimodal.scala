@@ -745,6 +745,28 @@ object Multimodal {
     }
   }
 
+  /** [[orientDHash]] with the [[regionDHashStatus]] decode-status
+    * sentinel for stream gates: an image that decodes but qualifies
+    * for NO orientation (sub-grid in both aspect arrangements) emits
+    * one (asset_id, orient = -1, dhash = 0) row; genuine decode
+    * failures emit nothing.
+    */
+  def orientDHashStatus(assets: Dataset[Asset]): Dataset[OrientHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        decodeImageAny(a.media).toSeq.flatMap { case (w, h, px) =>
+          val rows = (0 until 8).collect {
+            case o if (if ((o & 1) == 0) w >= 9 && h >= 8
+                       else h >= 9 && w >= 8) =>
+              OrientHash(a.asset_id, o, dHash64Oriented(w, h, px, o))
+          }
+          if (rows.isEmpty) Seq(OrientHash(a.asset_id, -1, 0L)) else rows
+        }
+      }
+    }
+  }
+
   // --- perceptual video/audio hashing (round 13) ------------------------
 
   case class FrameHash(asset_id: Long, slot: Int, dhash: Long)

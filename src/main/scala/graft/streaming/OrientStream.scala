@@ -6,32 +6,27 @@ import org.apache.spark.sql.types._
 
 import graft.operators.Multimodal
 
-/** Streaming ingest of an IMAGE feed with CROP-ROBUST perceptual dedup
-  * — the m17 operator at the stream gate (round 14, extending the
-  * modality gates to the edit class [[MediaStream]]'s single-hash gate
-  * is structurally blind to): per micro-batch, decode every arriving
-  * image and hash its overlapping multi-scale REGION-WINDOW family
-  * ([[Multimodal.regionDHash]] — R=7 windows, 8 B each), collapse
-  * within-batch crop relations to cluster canonicals, check survivors
-  * against the accumulated at-rest REGION-FINGERPRINT index with the
-  * cross-corpus region banding ([[graft.operators.Dedup.regionNearDupsSigCross]]
-  * — index×batch candidates on (band, block) WITHOUT the region id, so
-  * a crop's full window collides with the original's matching
-  * sub-window; verified by the MINIMUM over the region cross product),
-  * append novel region sets and quarantine duplicate arrivals with
-  * their best match. A cropped repost of an already-indexed picture —
-  * the most common image near-dup class in web corpora, invisible to
-  * both the byte gate and the whole-image dHash gate — is caught here
-  * at distance 0 when the crop sits on the window grid, and
-  * approximately near it off-grid (PerceptualDedupSpec measures the
-  * degradation).
+/** Streaming ingest of an IMAGE feed with ROTATION/FLIP-robust
+  * perceptual dedup — the m22 operator at the stream gate (round 15,
+  * closing the last image edit class the gate matrix left open): per
+  * micro-batch, decode every arriving image and hash all 8 DIHEDRAL
+  * ORIENTATIONS ([[Multimodal.orientDHash]] — index-mapped, 8 B each),
+  * collapse within-batch orientation relations to cluster canonicals,
+  * check survivors against the accumulated at-rest ORIENTATION-
+  * FINGERPRINT index with the same cross-corpus min-over-cross-product
+  * banding, append novel families and quarantine duplicate arrivals.
+  * A mirrored or 90°-rotated repost of an indexed picture — invisible
+  * to the byte gate, the whole-image dHash gate, AND the crop gate
+  * (PerceptualDedupSpec measures both misses) — is caught here at
+  * EXACTLY 0 by group closure: the arrival's orientation family is the
+  * same hash set as the original's.
   *
   * The micro-batch pipeline, state posture, quarantine-reason contract
   * ('undecodable' vs 'too_small'), and replay idempotence all live in
-  * the factored [[FamilyStream]] core (round 15 — this gate and
-  * [[OrientStream]] differ only in the hasher and the family column).
+  * the factored [[FamilyStream]] core — this gate and [[CropStream]]
+  * differ only in the hasher and the family column.
   */
-object CropStream {
+object OrientStream {
 
   /** Parquet schema of the asset feed as stored. */
   val storedSchema: StructType = FamilyStream.storedSchema
@@ -61,10 +56,10 @@ object CropStream {
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, quarantineDir: String, maxHamming: Int): Unit =
     FamilyStream.ingestBatch(batch, batchId, indexDir, quarantineDir,
-      maxHamming, familyCol = "region", familySigs = b => {
+      maxHamming, familyCol = "orient", familySigs = b => {
         import b.sparkSession.implicits._
-        Multimodal.regionDHashStatus(b.as[Multimodal.Asset]).toDF()
-          .select(col("asset_id").as("id"), col("region"),
+        Multimodal.orientDHashStatus(b.as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("orient"),
             col("dhash").as("sig"))
       })
 }

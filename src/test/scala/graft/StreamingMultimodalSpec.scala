@@ -682,6 +682,82 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
 
+  test("OrientStream.nearDupIngest: orientation gate — rotated/mirrored reposts quarantined at 0, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.OrientStream
+    val feed = java.nio.file.Files.createTempDirectory("odi_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("odi_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("odi_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("odi_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("odi_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // 100 is the MIRRORED copy of 0 — a within-batch orientation
+    // relation; 998 a genuine 4x4 BMP (too_small); 999 undecodable
+    stage("a.parquet", Seq(
+      (0L, "image", MultimodalFixture.opercBaseMedia(0)),
+      (1L, "image", MultimodalFixture.opercBaseMedia(1)),
+      (100L, "image", MultimodalFixture.opercFlipMedia(0)),
+      (998L, "image",
+        graft.sources.MediaBinary.encodeBmp(4, 4, new Array[Byte](48))),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 41 + 13).toByte))))
+    val q = OrientStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 7)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the ROT-90 of INDEXED picture 1 — a rotated
+      // repost arriving later, zero shared bytes, invisible to the
+      // whole-image dHash gate AND the crop gate; 210 carries novel
+      // content
+      stage("b.parquet", Seq(
+        (201L, "image", MultimodalFixture.opercRotMedia(1)),
+        (210L, "image", MultimodalFixture.opercBaseMedia(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
+    // 8 orientation rows per indexed image (the family-index shape)
+    val orientRows = spark.read.parquet(indexDir)
+      .filter(col("asset_id") === 0L).count()
+    assert(orientRows == 8,
+      s"image 0 should index one row per orientation, got $orientRows")
+    assert(quar == Set(
+      (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (998L, -1L, "too_small"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    // the rotated repost matches its indexed original EXACTLY: group
+    // closure — its orientation family is the original's hash set
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham == 0L, s"rot-90 of picture 1 should match at 0, got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(OrientStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    OrientStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 7)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
+
   test("VideoStream.nearDupIngest: temporal gate — cross-codec/cross-resolution dups quarantined, replay idempotent") {
     import spark.implicits._
     import graft.pipelines.MultimodalFixture
