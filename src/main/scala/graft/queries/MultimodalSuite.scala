@@ -206,7 +206,7 @@ object MultimodalSuite {
     "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
     "m19_crop_dedup_clusters", "m20_video_trim_neardups",
-    "m22_orient_perceptual_neardups")
+    "m22_orient_perceptual_neardups", "m23_orient_dedup_clusters")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -392,6 +392,14 @@ object MultimodalSuite {
           maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
       }
     }
+    def clusters(s: SparkSession): DataFrame = {
+      // pairs resolved BEFORE the clusters slot computes (the
+      // DedupShared re-entrancy rule)
+      val p = pairs(s)
+      RestMemo.frame(s, MultimodalFixture.opercPath, "m22-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
+      }
+    }
   }
 
   /** Per-session memo of the TRIM-ROBUSTNESS video pair table (m20 —
@@ -491,7 +499,8 @@ object MultimodalSuite {
       "media_audio_trim_pairs" -> (() => { ATrimShared.pairs(s); () }),
       "media_audio_trim_prefix_hist" -> (() => { ATrimFullShared.hist(s); () }),
       "media_video_trim_pairs" -> (() => { VTrimShared.pairs(s); () }),
-      "media_orient_pairs" -> (() => { OPercShared.pairs(s); () }))
+      "media_orient_pairs" -> (() => { OPercShared.pairs(s); () }),
+      "media_orient_clusters" -> (() => { OPercShared.clusters(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -1343,7 +1352,37 @@ object MultimodalSuite {
       "Rotation/flip-robust perceptual near-dup: 8-orientation dihedral " +
         "dHash family, pairs by minimum Hamming over the orientation " +
         "cross product; complete radius-7 pair set replayed from " +
-        "hex(media)"))
+        "hex(media)"),
+
+    // --- m23: orientation dedup APPLY (round 15) ---------------------------
+    // The m13/m16/m19 closure for the orientation domain: dihedral
+    // relations CHAIN (base≈rot, base≈flip ⇒ all three are one
+    // picture), so the shippable artifact is the component table with
+    // min-id canonicals — each planted triple collapses to the base id
+    // (85000+i is the group minimum by construction). The oracle embeds
+    // m22's full hex-replayed mirror and closes it with the recursive
+    // CTE; the rot/flip sibling pairs group closure finds directly only
+    // tighten the same components.
+    "m23_orient_dedup_clusters" -> Q(
+      (s, _) => OPercShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |$sqlM22
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Orientation dedup clusters: m22 dihedral pairs closed into " +
+        "min-id-canonical components (each base/rot/flip triple " +
+        "collapses to one picture); oracle embeds the m22 mirror and " +
+        "closes it recursively"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
