@@ -726,7 +726,9 @@ object Multimodal {
     * without the orientation id) is EXACTLY 0 — a pixel permutation,
     * fully hex-replayable, unlike the lossy edit envelopes. Per
     * orientation the sub-grid rule applies to the ORIENTED dims (a
-    * 100×6 strip emits only unrotated orientations); undecodable
+    * 100×8 strip emits only the even, unrotated-aspect orientations —
+    * the odd ones need h ≥ 9; a 100×6 strip fails the gate for ALL 8
+    * and emits nothing); undecodable
     * payloads emit nothing. Decode once, 8 index-mapped pooling passes
     * — pixels never shuffle, the m4 posture.
     */

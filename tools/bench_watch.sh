@@ -32,7 +32,7 @@
 #    load) — those stay covered by in-run min-of-N plus
 #    best-of-attempts, which is why attempts default to 4.
 set -u
-tag=${1:?usage: bench_watch.sh <tag> [attempts] [budget] [good_total]}
+tag=${1:?usage: bench_watch.sh <tag> [attempts] [budget] [good_total] [loud_gate]}
 attempts=${2:-4}
 budget=${3:-1100}
 good=${4:-62}
