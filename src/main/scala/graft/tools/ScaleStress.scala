@@ -538,41 +538,57 @@ object ScaleStress {
     // within-batch clusters+cross join+both sink writes); rows = the
     // at-rest index's region rows after ingest, which must grow
     // LINEARLY at R=7 rows per novel image.
-    Seq((mSmall, false), (mSmall, true), (mLarge, true)).foreach {
-      case (m, rec) =>
-        record = rec
-        val batches = 4
-        val perBatch = 128L * m
-        val n = batches * perBatch
-        val tmp = java.nio.file.Files.createTempDirectory("crop_ingest")
-        val indexDir = tmp.resolve("index").toString
-        val quarDir = tmp.resolve("quar").toString
-        import spark.implicits._
-        def batchDf(b: Int): DataFrame =
-          spark.range(b * perBatch, (b + 1) * perBatch, 1, 16)
-            .mapPartitions(_.map { id =>
-              val (w, h, px) =
-                graft.pipelines.MultimodalFixture.cpercBasePixels(id)
-              graft.operators.Multimodal.Asset(id, "image",
-                graft.sources.MediaBinary.encodeBmp(w, h, px))
-            }).toDF("asset_id", "media_type", "media")
-        (0 until batches - 1).foreach { b =>
-          graft.streaming.CropStream.ingestBatch(batchDf(b), b.toLong,
-            indexDir, quarDir, maxHamming = 3)
-        }
-        run("cropstream_ingest", m, n) {
-          graft.streaming.CropStream.ingestBatch(batchDf(batches - 1),
-            (batches - 1).toLong, indexDir, quarDir, maxHamming = 3)
-          spark.read.parquet(indexDir).count()
-        }
-        spark.catalog.clearCache()
-        try {
-          val stream = java.nio.file.Files.walk(tmp)
-          try stream.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          finally stream.close()
-        } catch { case _: Throwable => () }
-    }
+    def streamIngestProbe(name: String)(
+        ingest: (DataFrame, Long, String, String) => Unit): Unit =
+      Seq((mSmall, false), (mSmall, true), (mLarge, true)).foreach {
+        case (m, rec) =>
+          record = rec
+          val batches = 4
+          val perBatch = 128L * m
+          val n = batches * perBatch
+          val tmp = java.nio.file.Files.createTempDirectory(name)
+          val indexDir = tmp.resolve("index").toString
+          val quarDir = tmp.resolve("quar").toString
+          import spark.implicits._
+          def batchDf(b: Int): DataFrame =
+            spark.range(b * perBatch, (b + 1) * perBatch, 1, 16)
+              .mapPartitions(_.map { id =>
+                val (w, h, px) =
+                  graft.pipelines.MultimodalFixture.cpercBasePixels(id)
+                graft.operators.Multimodal.Asset(id, "image",
+                  graft.sources.MediaBinary.encodeBmp(w, h, px))
+              }).toDF("asset_id", "media_type", "media")
+          (0 until batches - 1).foreach { b =>
+            ingest(batchDf(b), b.toLong, indexDir, quarDir)
+          }
+          run(name, m, n) {
+            ingest(batchDf(batches - 1), (batches - 1).toLong, indexDir,
+              quarDir)
+            spark.read.parquet(indexDir).count()
+          }
+          spark.catalog.clearCache()
+          try {
+            val stream = java.nio.file.Files.walk(tmp)
+            try stream.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally stream.close()
+          } catch { case _: Throwable => () }
+      }
+    streamIngestProbe("cropstream_ingest")((b, id, idx, q) =>
+      graft.streaming.CropStream.ingestBatch(b, id, idx, q, maxHamming = 3))
+    // STREAMING ORIENTATION-GATE ingest probe (round 16 — VERDICT r15
+    // #5: cropstream_ingest pins the crop gate's growth; this pins the
+    // rotation/flip gate's). Same scaffold and production radius 3;
+    // the at-rest index must grow at EXACTLY R=8 orientation rows per
+    // novel image (every cperc surface has w ≥ 68, h ≥ 36 — all 8
+    // dihedral orientations pass the sub-grid gate), so rows_exponent
+    // must read 1.0. The orientation family's min is over an 8×8
+    // cross product per candidate pair, but candidates are still
+    // (band, block) bucket collisions over 8 B sigs — pixels never
+    // leave the decode scan, the cropstream posture.
+    streamIngestProbe("orientstream_ingest")((b, id, idx, q) =>
+      graft.streaming.OrientStream.ingestBatch(b, id, idx, q,
+        maxHamming = 3))
     // BPE per-round marginal cost at FIXED vocabulary (VERDICT r12 #5):
     // the copies here share the token space (plain id-shifted
     // duplicates — deliberately NOT corpus()'s per-copy token suffix,

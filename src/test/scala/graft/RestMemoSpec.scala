@@ -94,6 +94,38 @@ class RestMemoSpec extends SparkSpec {
     }
   }
 
+  test("frame: the what-tag bump contract — changed compute under the old tag reloads stale; the bumped tag misses and rebuilds") {
+    withRestDir { _ =>
+      val src = writeSource(Seq((1L, "a"), (2L, "b")))
+      var builds = 0
+      // the memoized compute, parameterized the way a code change would
+      // change it (v1 counts rows per key; v2 sums ids per key)
+      def get(what: String, v2: Boolean) = RestMemo.frame(spark, src, what) {
+        builds += 1
+        val agg = if (v2) sum(col("id")).as("n") else count(lit(1)).as("n")
+        Graft.truncate(spark.read.parquet(src).groupBy(col("s")).agg(agg),
+          eager = true)
+      }
+      val v1Rows = get("spec-tag", v2 = false).orderBy("s").collect().toSeq
+      assert(builds == 1)
+      SessionMemo.endSession(spark)
+      // THE HAZARD the contract exists for: the compute changed but the
+      // tag did not — the fingerprint (source data) is unchanged, so the
+      // v1 sidecar reloads as if current and serves the OLD compute's
+      // rows. This is documented behavior (RestMemo.frame scaladoc), and
+      // why a compute change MUST ship with a bumped tag.
+      val stale = get("spec-tag", v2 = true).orderBy("s").collect().toSeq
+      assert(builds == 1, "unbumped tag must reload (that IS the hazard)")
+      assert(stale == v1Rows, "stale reload serves the old compute")
+      // THE CONTRACT: bumping the tag (spec-tag -> spec-tag-v2) misses
+      // the v1 sidecar and rebuilds with the new compute.
+      val fresh = get("spec-tag-v2", v2 = true).orderBy("s").collect().toSeq
+      assert(builds == 2, "bumped tag must miss the v1 sidecar and rebuild")
+      assert(fresh != v1Rows, "rebuilt rows reflect the new compute")
+      assert(RestMemo.drainOutcomes().get("spec-tag-v2").contains("built"))
+    }
+  }
+
   test("literalFrame: reload lands in LocalRelation form with identical rows") {
     withRestDir { _ =>
       val src = writeSource(Seq((1L, "p"), (2L, "q")))
