@@ -109,6 +109,22 @@ object Bench {
         }
       }.toMap
     val extras = Seq("bench2", "bench3", "bench4").map(extraPass)
+    // v15 warm-query stage attribution (VERDICT r15 #4): the one query
+    // that stays bimodal across adopted windows — run its staged
+    // pipeline once AFTER the warm passes (multiDyn memo hot, same
+    // state as the per-query numbers above) so the artifact names the
+    // stage that moves. ~5 s; the load_1m after_sf01 sample brackets it.
+    val v15SplitPrimary: Seq[(String, Double)] =
+      try {
+        val r = graft.queries.VectorSuite.v15Split(spark, sfDir)
+        spark.catalog.clearCache()
+        r.foreach { case (k, v) =>
+          System.err.println(f"[v15_split] $k%-12s $v%8.2f s") }
+        r
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] v15_split failed: ${e.getMessage}")
+        Nil
+      }
     // built-vs-reloaded disclosure for the primary section (VERDICT r12
     // #2): at-rest memos (RestMemo sidecars keyed by corpus
     // fingerprint) make a later session's "build" a parquet reload —
@@ -341,6 +357,14 @@ object Bench {
         s""""$d":{"graph":${r2(g)},"closure":${r2(c)}}"""
       }.mkString(""","v20_split":{""", ",", "}")
     }
+    // v15 warm-query stage split at the primary SF (VERDICT r15 #4):
+    // per-stage seconds of the declared pipeline with persist barriers
+    // between stages — which stage carries the cross-window bimodality
+    // is a recorded number, not archaeology
+    val v15Section =
+      if (v15SplitPrimary.isEmpty) ""
+      else v15SplitPrimary.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString(""","v15_split":{""", ",", "}")
     // p14's measured data-skipping, one entry per dir whose layout memo
     // was built this run: rows the pushed range scan decoded vs the
     // table total (the VERDICT-r10 ask that a DECLARED query's skip
@@ -380,14 +404,17 @@ object Bench {
       "reached (the rest keep 1-pass times); memo_shared marks the " +
       "queries that would lazily charge a build if its prebuild item " +
       "was skipped/failed; v20_split records the v20 build's " +
-      "graph-vs-closure seconds"
+      "graph-vs-closure seconds; v15_split records the v15 query's " +
+      "warm per-stage seconds (persist barriers between stages, so " +
+      "the sum reads slightly above the fused query; ratios are " +
+      "the signal)"
     loadSamples("end") = load1m()
     // the per-section 1-minute load bracket (self-describing window)
     val loadSection = loadSamples.toSeq
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString(""","load_1m":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"pass2_n":$pass2N,"memo_shared":$memoShared,"sf":"$sfDir"$buildsSection$memoRestSection$sf1Section$sf1BuildsSection$sf1MemoRestSection$v20Section$layoutSection$bucketSection$loadSection,"notes":"$notes"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"pass2_n":$pass2N,"memo_shared":$memoShared,"sf":"$sfDir"$buildsSection$memoRestSection$sf1Section$sf1BuildsSection$sf1MemoRestSection$v20Section$v15Section$layoutSection$bucketSection$loadSection,"notes":"$notes"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -912,6 +912,29 @@ object Similarity {
       else None
     val assigned = prebuiltAssigned.getOrElse(
       multiQuantizerCells(owned.get, "id", "vec", nCells, nProbe, tables))
+    val cands = knnCandidates(assigned)
+    // self-build: reuse the persisted projection for the exact re-score
+    // joins (a fresh df.select would not canonicalize to the cached
+    // repartitioned plan and would rescan the source)
+    val corp = owned.getOrElse(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val out = knnRescore(knnRank(cands, topK), corp)
+    owned match {
+      case Some(c) =>
+        val t = graft.Graft.truncate(out, eager = true)
+        c.unpersist(false)
+        t
+      case None => out
+    }
+  }
+
+  /** [[knnGraph]] stage 1 — candidate generation: the per-(table, cell)
+    * self-join scored in place on the codegen'd double cosine, deduped
+    * across tables as a thin (qid, nid, simd) aggregate. Exposed so the
+    * bench's v15_split attribution probe (VERDICT r15 #4) times the
+    * IDENTICAL plan pieces the declared query fuses.
+    */
+  private[graft] def knnCandidates(assigned: DataFrame): DataFrame = {
     val l = assigned.as("l")
     val r = assigned.as("r")
     // Score INSIDE the cell join, where both vectors are already
@@ -923,33 +946,33 @@ object Similarity {
     // split every assignment path uses — in-row folds are
     // order-deterministic on both engines); only the ≤ topK survivors
     // per row re-attach vectors for the exact-decimal re-score.
-    val cands = l.join(r, col("l.table") === col("r.table") &&
+    l.join(r, col("l.table") === col("r.table") &&
         col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("qid"), col("r.id").as("nid"),
         Vectors.cosineFast(col("l.vec"), col("r.vec")).as("simd"))
       .groupBy("qid", "nid").agg(min(col("simd")).as("simd"))
-    // self-build: reuse the persisted projection for the exact re-score
-    // joins (a fresh df.select would not canonicalize to the cached
-    // repartitioned plan and would rescan the source)
-    val corp = owned.getOrElse(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+  }
+
+  /** [[knnGraph]] stage 2 — per-row bounded top-k ranking window over
+    * the thin candidate pairs.
+    */
+  private[graft] def knnRank(cands: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("simd").desc, col("nid").asc)
-    val ranked = cands.withColumn("rn", row_number().over(w).cast("int"))
+    cands.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= topK)
       .select("qid", "nid", "rn")
-    val out = ranked
+  }
+
+  /** [[knnGraph]] stage 3 — exact-decimal re-score of the ≤ topK
+    * survivors per row (the only stage that re-attaches vectors).
+    */
+  private[graft] def knnRescore(ranked: DataFrame, corp: DataFrame)
+      : DataFrame =
+    ranked
       .join(corp.select(col("id").as("qid"), col("vec").as("qv")), "qid")
       .join(corp.select(col("id").as("nid"), col("vec").as("nv")), "nid")
       .select(col("qid"), col("nid"),
         Vectors.cosine(col("qv"), col("nv")).as("sim"), col("rn"))
-    owned match {
-      case Some(c) =>
-        val t = graft.Graft.truncate(out, eager = true)
-        c.unpersist(false)
-        t
-      case None => out
-    }
-  }
 
   /** CROSS-corpus embedding-cosine near-duplicate pairs — the
     * incremental production shape (a batch of new embeddings against

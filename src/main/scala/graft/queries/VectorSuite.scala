@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Graft.table
@@ -241,6 +242,55 @@ object VectorSuite {
     */
   private[graft] val v20Split =
     new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  /** v15 WARM-QUERY stage attribution probe (VERDICT r15 #4): v15 is
+    * the one query that stays bimodal across adopted bench windows
+    * (1.46–2.66 s at sf0.1) after the builds phase was separated —
+    * this names the stage. Runs the declared query's exact pipeline
+    * with a persist() barrier between stages and returns per-stage
+    * seconds: `assign` (the shared multiDyn memo read — warm reload in
+    * a bench run), `candidates` (the per-(table, cell) self-join +
+    * thin-pair dedup), `topk` (the per-qid ranking window), `rescore`
+    * (the ≤ k-survivor exact-decimal re-attach; the final ORDER BY is
+    * count-eliminated in both the query and here). Stage sums run
+    * slightly above the fused query (two persist barriers materialize
+    * what the fused plan streams) — the RATIOS are the signal. Bench
+    * records the map as `v15_split` in the artifact.
+    */
+  private[graft] def v15Split(s: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    import org.apache.spark.storage.StorageLevel
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val v = f
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    val emb = table(s, dir, "embeddings")
+    val nc = Similarity.cellsFor(emb.count())
+    val (assigned, tAssign) = timed {
+      val a = CellsShared.multiDyn(s, dir, nc)
+      a.count()
+      a
+    }
+    val (cands, tCands) = timed {
+      val c = Similarity.knnCandidates(assigned)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+    val (ranked, tTopk) = timed {
+      val r = Similarity.knnRank(cands, topK = 5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    val corp = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (_, tRescore) = timed(Similarity.knnRescore(ranked, corp).count())
+    ranked.unpersist(false)
+    cands.unpersist(false)
+    Seq("assign" -> tAssign, "candidates" -> tCands, "topk" -> tTopk,
+      "rescore" -> tRescore)
+  }
 
   /** Per-(session, dir) memo of v21's AT-REST index assignment — the
     * (id, vec, table, cell) inverted list of the vec_id < 400 index
