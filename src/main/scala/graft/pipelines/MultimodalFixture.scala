@@ -667,12 +667,14 @@ object MultimodalFixture {
     graft.sources.MediaBinary.encodeBmp(w, h, px)
   }
 
-  /** 90°-CW-rotated twin: new (x', y') = old (y', h−1−x'). */
-  def opercRotMedia(i: Long): Array[Byte] = {
-    val (w, h, px) = opercBasePixels(i)
+  /** 90°-CW rotation as a pixel permutation: new (x', y') = old
+    * (y', h−1−x'); rotated dims are h × w. Factored (round 16) so the
+    * operc twins and the rcperc composed-edit twins share one map.
+    */
+  def rot90Pixels(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](w * h * 3)
     var y = 0
-    while (y < w) { // rotated dims are h × w
+    while (y < w) {
       var x = 0
       while (x < h) {
         val s = ((h - 1 - x) * w + y) * 3
@@ -682,12 +684,13 @@ object MultimodalFixture {
       }
       y += 1
     }
-    graft.sources.MediaBinary.encodeBmp(h, w, out)
+    out
   }
 
-  /** Horizontally mirrored twin: new (x', y') = old (w−1−x', y'). */
-  def opercFlipMedia(i: Long): Array[Byte] = {
-    val (w, h, px) = opercBasePixels(i)
+  /** Horizontal mirror as a pixel permutation: new (x', y') = old
+    * (w−1−x', y').
+    */
+  def mirrorPixels(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -700,7 +703,19 @@ object MultimodalFixture {
       }
       y += 1
     }
-    graft.sources.MediaBinary.encodeBmp(w, h, out)
+    out
+  }
+
+  /** 90°-CW-rotated twin. */
+  def opercRotMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = opercBasePixels(i)
+    graft.sources.MediaBinary.encodeBmp(h, w, rot90Pixels(w, h, px))
+  }
+
+  /** Horizontally mirrored twin. */
+  def opercFlipMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = opercBasePixels(i)
+    graft.sources.MediaBinary.encodeBmp(w, h, mirrorPixels(w, h, px))
   }
 
   def buildOPerc(spark: SparkSession): Unit = {
@@ -718,6 +733,75 @@ object MultimodalFixture {
       .repartition(2)
       .write.mode("overwrite").parquet(opercPath)
     new File(s"$opercPath/$opercMarker").createNewFile()
+  }
+
+  // --- rotated-crop composed-edit image asset set (round 16, m24) -------
+  // The m24 corpus: cloud-texture bases planted with COMPOSED edits
+  // that defeat the m17 region family and the m22 orientation family
+  // INDIVIDUALLY — a repost that is rotated/mirrored AND cropped. Twin
+  // 1 is the TL-corner family window (region 3) cut from the 90°-CW
+  // rotation of the base; twin 2 the center-10% family window (region
+  // 1) cut from the horizontal mirror. Both crops use the REGION-GRID
+  // integer arithmetic on the ORIENTED dims, so each twin's full pixel
+  // surface is exactly a dihedral view of one of the base's upright
+  // family windows (family windows map to family windows under D4) and
+  // the composed family pair scores Hamming 0. All raw-pixel BMP — the
+  // m24 oracle replays every hash bit-exactly from hex(media).
+  def rcpercPath: String = s"$root/rcperc.parquet"
+  val RCPercBaseOffset = 95000L
+  val RCPercRotTlOffset = 96000L
+  val RCPercFlipCenterOffset = 97000L
+  val nRCPercs = 10
+
+  def rcpercBasePixels(i: Long): (Int, Int, Array[Byte]) = {
+    val (w, h) = mjpegDims(i)
+    (w, h, cloudPixels(mix(i * 2862933555777941757L + 23L) * 37L, w, h))
+  }
+
+  def rcpercBaseMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = rcpercBasePixels(i)
+    graft.sources.MediaBinary.encodeBmp(w, h, px)
+  }
+
+  /** TL-corner family window (region 3, computed on the ROTATED dims)
+    * of the 90°-CW rotation: crop ∘ rotation, the composition class.
+    */
+  def rcpercRotTlMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = rcpercBasePixels(i)
+    val rp = rot90Pixels(w, h, px) // dims h × w
+    val (w2, h2) = (h, w)
+    val (cw, ch) = (w2 - 2 * (w2 / 10), h2 - 2 * (h2 / 10))
+    graft.sources.MediaBinary.encodeBmp(cw, ch,
+      cropWindow(w2, rp, 0, 0, cw, ch))
+  }
+
+  /** Center-10% family window (region 1) of the horizontal mirror:
+    * crop ∘ mirror, the reflected arm of the composition class.
+    */
+  def rcpercFlipCenterMedia(i: Long): Array[Byte] = {
+    val (w, h, px) = rcpercBasePixels(i)
+    val mp = mirrorPixels(w, h, px)
+    val (x0, y0) = (w / 10, h / 10)
+    val (cw, ch) = (w - 2 * x0, h - 2 * y0)
+    graft.sources.MediaBinary.encodeBmp(cw, ch,
+      cropWindow(w, mp, x0, y0, cw, ch))
+  }
+
+  def buildRCPerc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nRCPercs.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + RCPercBaseOffset, "image",
+          rcpercBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + RCPercRotTlOffset, "image",
+          rcpercRotTlMedia(i)),
+        graft.operators.Multimodal.Asset(i + RCPercFlipCenterOffset, "image",
+          rcpercFlipCenterMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(rcpercPath)
+    new File(s"$rcpercPath/$rcpercMarker").createNewFile()
   }
 
   // --- trimmed-video asset set (round 15, m20) ---------------------------
@@ -784,6 +868,88 @@ object MultimodalFixture {
       .repartition(2)
       .write.mode("overwrite").parquet(vtrimPath)
     new File(s"$vtrimPath/$vtrimMarker").createNewFile()
+  }
+
+  // --- frame-DROP video asset set (round 16, m25) ------------------------
+  // The m18 honest boundary promoted to a content-class lane (VERDICT
+  // r15 #7): a DOWNSAMPLED re-encode (every other frame dropped, frame
+  // duration doubled — same content timeline, half the frames) of
+  // TEMPORALLY-CORRELATED content. Bases are a static per-id cloud
+  // background with a slowly moving rectangle (adjacent frames differ
+  // by a ≤1-px rectangle edge — real footage's frame-to-frame
+  // coherence), nf ≡ 0 (mod 8), so the duration-fraction slot frames
+  // ⌊nf·i/4⌋ of the base are all EVEN and the half-rate twin's slot
+  // frames 2·⌊(nf/2)·i/4⌋ land on the IDENTICAL retained frames: the
+  // planted pairs sit at per-slot distance exactly 0, hex-replayable,
+  // no planted arm. The boundary that REMAINS (measured in
+  // VideoAudioPerceptualSpec): a phase-shifted drop (keep odd frames)
+  // puts every slot one frame off — within the radius on this
+  // correlated class, far beyond it on vtrim's per-frame-independent
+  // textures, which is the m18 scaladoc's content-class claim made a
+  // measured artifact.
+  def vdropPath: String = s"$root/vdrop.parquet"
+  val VDropBaseOffset = 93000L
+  val VDropHalfOffset = 94000L
+  val nVDrops = 10
+
+  def vdropFrameCount(i: Long): Int = 40 + (i % 5).toInt * 8
+
+  /** Per-(id, frame) TEMPORALLY-CORRELATED pixels: a static per-id
+    * cloud background with a w/3 × h/3 rectangle whose top-left
+    * advances ⌊k·(dim − dim/3)/nf⌋ — under 1 px per frame.
+    */
+  def vdropFramePixels(i: Long, k: Int): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    val nf = vdropFrameCount(i)
+    val out = cloudPixels(mix(i * 6364136223846793005L + 11L) * 29L, w, h)
+    val (rw, rh) = (w / 3, h / 3)
+    val rx = k * (w - rw) / nf
+    val ry = k * (h - rh) / nf
+    val fill = (64 + ((mix(i + 97L) >>> 40) & 0x7fL)).toInt
+    var y = ry
+    while (y < ry + rh) {
+      var x = rx
+      while (x < rx + rw) {
+        out((y * w + x) * 3 + 2) = fill.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def vdropBaseMedia(i: Long): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame,
+      Array.tabulate(vdropFrameCount(i))(k => vdropFramePixels(i, k)))
+  }
+
+  /** The half-rate twin: frames `phase, phase+2, …` at doubled frame
+    * duration (same content timeline). The declared lane plants
+    * phase 0 (exact slot alignment at nf ≡ 0 mod 8); the spec measures
+    * phase 1 — every slot one frame off, the content-class envelope.
+    */
+  def vdropHalfMedia(i: Long, phase: Int = 0): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    val nf = vdropFrameCount(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame * 2,
+      Array.tabulate((nf - phase + 1) / 2)(j =>
+        vdropFramePixels(i, phase + 2 * j)))
+  }
+
+  def buildVDrop(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nVDrops.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + VDropBaseOffset, "video",
+          vdropBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + VDropHalfOffset, "video",
+          vdropHalfMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(vdropPath)
+    new File(s"$vdropPath/$vdropMarker").createNewFile()
   }
 
   // --- perceptual AUDIO dedup asset set (round 13) ----------------------
@@ -946,6 +1112,8 @@ object MultimodalFixture {
   private val atrimMarker = "_GRAFT_ATRIM_V1"
   private val vtrimMarker = "_GRAFT_VTRIM_V1"
   private val opercMarker = "_GRAFT_OPERC_V1"
+  private val rcpercMarker = "_GRAFT_RCPERC_V1"
+  private val vdropMarker = "_GRAFT_VDROP_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -975,6 +1143,10 @@ object MultimodalFixture {
         !new File(s"$vtrimPath/$vtrimMarker").exists()) buildVTrim(spark)
     if (!new File(s"$opercPath/_SUCCESS").exists() ||
         !new File(s"$opercPath/$opercMarker").exists()) buildOPerc(spark)
+    if (!new File(s"$rcpercPath/_SUCCESS").exists() ||
+        !new File(s"$rcpercPath/$rcpercMarker").exists()) buildRCPerc(spark)
+    if (!new File(s"$vdropPath/_SUCCESS").exists() ||
+        !new File(s"$vdropPath/$vdropMarker").exists()) buildVDrop(spark)
     ready = true
   }
 

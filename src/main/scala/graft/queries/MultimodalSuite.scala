@@ -102,6 +102,22 @@ object MultimodalSuite {
 
   private def OP = s"read_parquet('${MultimodalFixture.opercPath}/*.parquet')"
 
+  private def rcpercAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.rcpercPath))
+  }
+
+  private def RC = s"read_parquet('${MultimodalFixture.rcpercPath}/*.parquet')"
+
+  private def vdropAssets(s: SparkSession): DataFrame = {
+    MultimodalFixture.ensure(s)
+    Graft.tune(s)
+    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vdropPath))
+  }
+
+  private def VD = s"read_parquet('${MultimodalFixture.vdropPath}/*.parquet')"
+
   private def vtrimAssets(s: SparkSession): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
@@ -206,7 +222,8 @@ object MultimodalSuite {
     "m16_video_dedup_clusters",
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
     "m19_crop_dedup_clusters", "m20_video_trim_neardups",
-    "m22_orient_perceptual_neardups", "m23_orient_dedup_clusters")
+    "m22_orient_perceptual_neardups", "m23_orient_dedup_clusters",
+    "m24_rotcrop_perceptual_neardups", "m25_video_framedrop_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -402,6 +419,45 @@ object MultimodalSuite {
     }
   }
 
+  /** Per-session memo of the FRAME-DROP pair table (m25 — the m18
+    * duration-fraction temporal signature over the temporally-
+    * correlated vdrop corpus, once per session).
+    */
+  private object VDropShared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.vdropPath, "m25-pairs") {
+        import s.implicits._
+        val sigs = Multimodal.videoDHash(
+          vdropAssets(s).as[Multimodal.Asset], 4).toDF()
+          .select(col("asset_id").as("id"), col("slot"),
+            col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.temporalNearDupsSig(sigs,
+          maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
+      }
+    }
+  }
+
+  /** Per-session memo of the COMPOSED-EDIT pair table (m24 — the union
+    * of the m17 region family and the m22 orientation family fed to
+    * the same min-over-cross-product banding, once per session).
+    */
+  private object RCPercShared {
+    import graft.{Graft, RestMemo}
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.rcpercPath, "m24-pairs") {
+        import s.implicits._
+        val sigs = Multimodal.rotCropDHash(
+          rcpercAssets(s).as[Multimodal.Asset]).toDF()
+          .select(col("asset_id").as("id"), col("dhash").as("sig"))
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
+          maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }
+    }
+  }
+
   /** Per-session memo of the TRIM-ROBUSTNESS video pair table (m20 —
     * the span-offset slot family fed to the min-over-span-pairs
     * worst-slot banding, once per session: m15c's geometry composed
@@ -500,7 +556,9 @@ object MultimodalSuite {
       "media_audio_trim_prefix_hist" -> (() => { ATrimFullShared.hist(s); () }),
       "media_video_trim_pairs" -> (() => { VTrimShared.pairs(s); () }),
       "media_orient_pairs" -> (() => { OPercShared.pairs(s); () }),
-      "media_orient_clusters" -> (() => { OPercShared.clusters(s); () }))
+      "media_orient_clusters" -> (() => { OPercShared.clusters(s); () }),
+      "media_rotcrop_pairs" -> (() => { RCPercShared.pairs(s); () }),
+      "media_framedrop_pairs" -> (() => { VDropShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -1382,7 +1440,65 @@ object MultimodalSuite {
       "Orientation dedup clusters: m22 dihedral pairs closed into " +
         "min-id-canonical components (each base/rot/flip triple " +
         "collapses to one picture); oracle embeds the m22 mirror and " +
-        "closes it recursively"))
+        "closes it recursively"),
+
+    // --- m24: composed-edit (crop ∘ rotation) near-dup (round 16) ---------
+    // The one-axis-at-a-time blindness the robustness matrix left open
+    // (VERDICT r15 #2): a repost that is mirrored/rotated AND cropped
+    // defeats m17 (region windows assume upright content) and m22 (the
+    // orientation family hashes the full frame) INDIVIDUALLY — the
+    // same composition class m20 closed for video trim. Closed by
+    // COMPOSING the families: rotCropDHash emits the UNION of the m17
+    // region rows and the m22 orientation rows (≤ 14 rows/image — NOT
+    // the 56-row region×orientation product, because family windows
+    // map to family windows under every dihedral g: crop_r(g(A)) =
+    // g(A|g⁻¹(r)), so the base's UPRIGHT region row and the twin's
+    // full-frame inverse-orientation row hash the identical byte set
+    // and the minimum over the union cross product is EXACTLY 0 — a
+    // pixel permutation on an integer grid, no approximation arm).
+    // The corpus (rcperc.parquet) plants a TL-window crop of the
+    // rot-90 and a center-window crop of the mirror per base; the
+    // oracle replays every family hash bit-exactly from hex(media)
+    // through the SHARED oriented-family walk and demands the complete
+    // radius-7 pair set with exact minima. At 100 TB: ≤ 14 rows of
+    // (id, 8 B) per image shuffle, pixels never leave the scan — the
+    // m17 patch-hash cost shape with R = 14; candidates stay banded
+    // (band, block) bucket collisions, never all-pairs.
+    "m24_rotcrop_perceptual_neardups" -> Q(
+      (s, _) => RCPercShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM24),
+      "Composed-edit perceptual near-dup: union of region and " +
+        "orientation dHash families catches crop-of-rotation reposts " +
+        "at exactly 0 by window-family group closure; complete " +
+        "radius-7 pair set replayed from hex(media)"),
+
+    // --- m25: frame-drop video near-dup (round 16) -------------------------
+    // m18's honest boundary promoted to a content-class lane (VERDICT
+    // r15 #7): a DOWNSAMPLED re-encode — every other frame dropped,
+    // frame duration doubled, same content timeline — was pinned as
+    // caught only where retained frames cover the slot timestamps. On
+    // the vdrop corpus (static-background moving-rectangle clips, the
+    // temporally-correlated class of real footage; nf ≡ 0 mod 8) the
+    // duration-fraction slot frames of base and half-rate twin are the
+    // IDENTICAL retained frames, so the planted drops sit at per-slot
+    // distance exactly 0 — the m18 geometry unchanged, only the
+    // content class named. The oracle replays the complete radius-15
+    // pair set from hex(media) via the factored duration-fraction DIB
+    // mirror (frame offsets are rate-free: nf/w/h only), no planted
+    // arm. The boundary that remains — a PHASE-SHIFTED drop puts every
+    // slot one frame off: within the radius on this correlated class,
+    // far beyond it on per-frame-independent textures — is measured in
+    // VideoAudioPerceptualSpec, the m18 scaladoc claim as an artifact.
+    "m25_video_framedrop_neardups" -> Q(
+      (s, _) => VDropShared.pairs(s).orderBy("id1", "id2"),
+      Some(s"""SELECT id1, id2 FROM (
+        |${sqlTemporalDibPairs(
+          s"SELECT asset_id AS id, hex(media) AS hx FROM $VD")}
+        |) t ORDER BY id1, id2""".stripMargin),
+      "Frame-drop-robust video near-dup: duration-fraction slots land " +
+        "on the retained frames of a half-rate re-encode on " +
+        "temporally-correlated content; complete radius-15 pair set " +
+        "replayed from hex(media)"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
@@ -1522,33 +1638,14 @@ object MultimodalSuite {
     |  FROM (SELECT unnest(range(0, ${MultimodalFixture.nMjpegs})) AS i) p2) u
     |ORDER BY id1, id2""".stripMargin
 
-  /** m17's oracle: every region hash of every cperc asset rebuilt
-    * bit-exactly from hex(media) — BMP header walk (the m7 offsets:
-    * dataOff, dims, 4-byte-aligned stride, bottom-up rows), the
-    * regionWindows integer window family, 9×8 block sums per (asset,
-    * region), cross-multiplied mean bits, Hamming over the REGION
-    * CROSS PRODUCT per asset pair, minimum ≤ 7 — the complete pair
-    * set with exact minima, no planted arm.
+  // --- the shared oriented-region-family pair oracle (round 16,
+  // VERDICT r15 #8: m17/m22/m24 repeated the same BMP hex walk) -------
+
+  /** The regionWindows integer bounds as SQL CASE columns over (w, h)
+    * for a region id column `r` — shared by every family fragment.
     */
-  private def sqlM17: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    // byte value at 0-based offset k
-    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
-    // x, y below are ABSOLUTE surface coordinates (region offsets are
-    // folded into the range bounds), bottom-up BMP rows
-    val pxo = "off0 + (h - 1 - y) * stride + x * 3"
-    s"""WITH m AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $CP),
-    |d AS MATERIALIZED (
-    |  SELECT id, hx, ${le32(19)} AS w, ${le32(23)} AS h, ${le32(11)} AS off0,
-    |    ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
-    |  FROM m),
-    |reg AS (
-    |  SELECT id, hx, off0, stride, w, h, r,
-    |    CASE r WHEN 1 THEN w // 10 WHEN 2 THEN w // 5
+  private def sqlRegionBounds: String =
+    """CASE r WHEN 1 THEN w // 10 WHEN 2 THEN w // 5
     |      WHEN 4 THEN 2 * (w // 10) WHEN 6 THEN 2 * (w // 10)
     |      ELSE 0 END AS rx,
     |    CASE r WHEN 1 THEN h // 10 WHEN 2 THEN h // 5
@@ -1557,38 +1654,94 @@ object MultimodalSuite {
     |    CASE r WHEN 0 THEN w WHEN 2 THEN w - 2 * (w // 5)
     |      ELSE w - 2 * (w // 10) END AS rw,
     |    CASE r WHEN 0 THEN h WHEN 2 THEN h - 2 * (h // 5)
-    |      ELSE h - 2 * (h // 10) END AS rh
-    |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS r) rr),
+    |      ELSE h - 2 * (h // 10) END AS rh""".stripMargin
+
+  /** ONE oracle body for every oriented-region dHash family (m17, m22,
+    * m24): BMP header walk (the m7 offsets: dataOff, dims, 4-byte-
+    * aligned stride, bottom-up rows) into a `d` CTE, a caller-supplied
+    * family fragment selecting FROM d one row per (id, fam) with the
+    * window bounds (rx, ry, rw, rh) and orientation o, then the shared
+    * tail: the 9×8 grid laid over the ORIENTED window dims (wp, hp),
+    * the dHash64Oriented index maps as CASE arithmetic in WINDOW-LOCAL
+    * coordinates offset by (rx, ry), cross-multiplied mean bits,
+    * Hamming over the FAMILY CROSS PRODUCT per asset pair, minimum ≤
+    * `radius` — the complete pair set with exact minima, no planted
+    * arm. m17 instantiates it with the 7 upright region windows
+    * (o = 0), m22 with the 8 full-frame orientations, m24 with the
+    * union family — byte-identical semantics to the three hand-rolled
+    * walks this replaced.
+    */
+  private def sqlOrientedFamilyPairs(src: String, famSql: String,
+      radius: Int): String = {
+    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+    def le32(p: Int): String =
+      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+    // byte value at 0-based offset k
+    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+    // the dHash64Oriented index maps in WINDOW-LOCAL coordinates:
+    // (xp, yp) are oriented-grid coords, (lx, ly) the upright
+    // window-local read, absolute surface = (rx + lx, ry + ly),
+    // bottom-up BMP rows
+    val xf = "(CASE WHEN o >= 4 THEN wp - 1 - xp ELSE xp END)"
+    val lx = s"(CASE (o % 4) WHEN 0 THEN $xf WHEN 1 THEN yp " +
+      s"WHEN 2 THEN rw - 1 - $xf ELSE rw - 1 - yp END)"
+    val ly = s"(CASE (o % 4) WHEN 0 THEN yp WHEN 1 THEN rh - 1 - $xf " +
+      s"WHEN 2 THEN rh - 1 - yp ELSE $xf END)"
+    val pxo = s"off0 + (h - 1 - (ry + $ly)) * stride + (rx + $lx) * 3"
+    s"""WITH m AS MATERIALIZED (
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $src),
+    |d AS MATERIALIZED (
+    |  SELECT id, hx, ${le32(19)} AS w, ${le32(23)} AS h, ${le32(11)} AS off0,
+    |    ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
+    |  FROM m),
+    |fam AS (
+    |$famSql),
+    |fo AS (
+    |  SELECT id, hx, off0, stride, w, h, fam, o, rx, ry, rw, rh,
+    |    CASE WHEN o % 2 = 1 THEN rh ELSE rw END AS wp,
+    |    CASE WHEN o % 2 = 1 THEN rw ELSE rh END AS hp
+    |  FROM fam),
     |cells AS (
-    |  SELECT id, hx, off0, stride, h, r, rx, ry, rw, rh, j, i
-    |  FROM reg
+    |  SELECT id, hx, off0, stride, h, fam, o, rx, ry, rw, rh, wp, hp, j, i
+    |  FROM fo
     |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
     |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
-    |  WHERE rw >= 9 AND rh >= 8),
+    |  WHERE wp >= 9 AND hp >= 8),
     |blocks AS MATERIALIZED (
-    |  SELECT id, r, j, i,
+    |  SELECT id, fam, j, i,
     |    COALESCE(list_sum(list_transform(
-    |        range(ry + (j * rh + 7) // 8, ry + ((j + 1) * rh + 7) // 8), y ->
+    |        range((j * hp + 7) // 8, ((j + 1) * hp + 7) // 8), yp ->
     |      list_sum(list_transform(
-    |          range(rx + (i * rw + 8) // 9, rx + ((i + 1) * rw + 8) // 9), x ->
+    |          range((i * wp + 8) // 9, ((i + 1) * wp + 8) // 9), xp ->
     |        ${bv(pxo)} + ${bv(s"$pxo + 1")} + ${bv(s"$pxo + 2")})))), 0) AS s,
-    |    (((i + 1) * rw + 8) // 9 - (i * rw + 8) // 9) *
-    |      (((j + 1) * rh + 7) // 8 - (j * rh + 7) // 8) AS c
+    |    (((i + 1) * wp + 8) // 9 - (i * wp + 8) // 9) *
+    |      (((j + 1) * hp + 7) // 8 - (j * hp + 7) // 8) AS c
     |  FROM cells),
     |bits AS MATERIALIZED (
-    |  SELECT l.id, l.r, l.j, l.i, (l.s * rr.c < rr.s * l.c) AS bit
+    |  SELECT l.id, l.fam, l.j, l.i, (l.s * rr.c < rr.s * l.c) AS bit
     |  FROM blocks l JOIN blocks rr
-    |    ON l.id = rr.id AND l.r = rr.r AND l.j = rr.j AND rr.i = l.i + 1
+    |    ON l.id = rr.id AND l.fam = rr.fam AND l.j = rr.j AND rr.i = l.i + 1
     |  WHERE l.i < 8),
     |ham AS (
-    |  SELECT a.id AS id1, a.r AS ra, b.id AS id2, b.r AS rb,
+    |  SELECT a.id AS id1, a.fam AS fa, b.id AS id2, b.fam AS fb,
     |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
     |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
-    |  GROUP BY a.id, a.r, b.id, b.r)
+    |  GROUP BY a.id, a.fam, b.id, b.fam)
     |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
-    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
+    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= $radius
     |ORDER BY id1, id2""".stripMargin
   }
+
+  /** m17's oracle: the 7 upright region windows (o = 0) over the cperc
+    * corpus through the shared oriented-family walk — Hamming over the
+    * REGION CROSS PRODUCT, minimum ≤ 7.
+    */
+  private def sqlM17: String = sqlOrientedFamilyPairs(CP,
+    s"""  SELECT id, hx, off0, stride, w, h, r AS fam, 0 AS o,
+    |    $sqlRegionBounds
+    |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS r) rr""".stripMargin,
+    radius = 7)
 
   /** m18's oracle: the complete radius-15 pair set over the ALL-DIB
     * vperc ∪ vperc2 corpus — every lane lossless, so unlike m14 there
@@ -1602,69 +1755,31 @@ object MultimodalSuite {
           s"  UNION ALL SELECT asset_id, hex(media) FROM $V2")}
     |) t ORDER BY id1, id2""".stripMargin
 
-  /** m22's oracle: every dihedral-orientation hash of every operc
-    * asset rebuilt bit-exactly from hex(media) — BMP header walk (the
-    * m7/m17 offsets), the 8 orientation index maps as CASE arithmetic
-    * over (o, xp, yp) with the 9×8 grid laid over the ORIENTED dims,
-    * cross-multiplied mean bits, Hamming over the ORIENTATION CROSS
-    * PRODUCT per asset pair, minimum ≤ 7 — the complete pair set with
-    * exact minima, no planted arm.
+  /** m22's oracle: the 8 full-frame dihedral orientations over the
+    * operc corpus through the shared oriented-family walk — Hamming
+    * over the ORIENTATION CROSS PRODUCT, minimum ≤ 7.
     */
-  private def sqlM22: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
-    // the dHash64Oriented index maps: xp/yp are ORIENTED coordinates,
-    // (sx, sy) the original-surface read; mirror folds into xf first
-    val xf = "(CASE WHEN o >= 4 THEN wp - 1 - xp ELSE xp END)"
-    val sx = s"(CASE (o % 4) WHEN 0 THEN $xf WHEN 1 THEN yp " +
-      s"WHEN 2 THEN w - 1 - $xf ELSE w - 1 - yp END)"
-    val sy = s"(CASE (o % 4) WHEN 0 THEN yp WHEN 1 THEN h - 1 - $xf " +
-      s"WHEN 2 THEN h - 1 - yp ELSE $xf END)"
-    val pxo = s"off0 + (h - 1 - $sy) * stride + $sx * 3"
-    s"""WITH m AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $OP),
-    |d AS MATERIALIZED (
-    |  SELECT id, hx, ${le32(19)} AS w, ${le32(23)} AS h, ${le32(11)} AS off0,
-    |    ((${le32(19)} * 3 + 3) // 4) * 4 AS stride
-    |  FROM m),
-    |ori AS (
-    |  SELECT id, hx, off0, stride, w, h, o,
-    |    CASE WHEN o % 2 = 1 THEN h ELSE w END AS wp,
-    |    CASE WHEN o % 2 = 1 THEN w ELSE h END AS hp
-    |  FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oo),
-    |cells AS (
-    |  SELECT id, hx, off0, stride, w, h, o, wp, hp, j, i
-    |  FROM ori
-    |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
-    |  CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
-    |  WHERE wp >= 9 AND hp >= 8),
-    |blocks AS MATERIALIZED (
-    |  SELECT id, o, j, i,
-    |    COALESCE(list_sum(list_transform(
-    |        range((j * hp + 7) // 8, ((j + 1) * hp + 7) // 8), yp ->
-    |      list_sum(list_transform(
-    |          range((i * wp + 8) // 9, ((i + 1) * wp + 8) // 9), xp ->
-    |        ${bv(pxo)} + ${bv(s"$pxo + 1")} + ${bv(s"$pxo + 2")})))), 0) AS s,
-    |    (((i + 1) * wp + 8) // 9 - (i * wp + 8) // 9) *
-    |      (((j + 1) * hp + 7) // 8 - (j * hp + 7) // 8) AS c
-    |  FROM cells),
-    |bits AS MATERIALIZED (
-    |  SELECT l.id, l.o, l.j, l.i, (l.s * rr.c < rr.s * l.c) AS bit
-    |  FROM blocks l JOIN blocks rr
-    |    ON l.id = rr.id AND l.o = rr.o AND l.j = rr.j AND rr.i = l.i + 1
-    |  WHERE l.i < 8),
-    |ham AS (
-    |  SELECT a.id AS id1, a.o AS oa, b.id AS id2, b.o AS ob,
-    |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
-    |  FROM bits a JOIN bits b ON a.j = b.j AND a.i = b.i AND a.id < b.id
-    |  GROUP BY a.id, a.o, b.id, b.o)
-    |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
-    |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
-    |ORDER BY id1, id2""".stripMargin
-  }
+  private def sqlM22: String = sqlOrientedFamilyPairs(OP,
+    """  SELECT id, hx, off0, stride, w, h, o AS fam, o,
+    |    0 AS rx, 0 AS ry, w AS rw, h AS rh
+    |  FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oo""".stripMargin,
+    radius = 7)
+
+  /** m24's oracle: the UNION family — the 7 upright region windows
+    * (o = 0) plus the 7 non-identity full-frame orientations — over
+    * the rcperc corpus through the shared oriented-family walk,
+    * mirroring [[graft.operators.Multimodal.rotCropDHash]] row for
+    * row; Hamming over the full family cross product, minimum ≤ 7.
+    */
+  private def sqlM24: String = sqlOrientedFamilyPairs(RC,
+    s"""  SELECT id, hx, off0, stride, w, h, r AS fam, 0 AS o,
+    |    $sqlRegionBounds
+    |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS r) rr
+    |  UNION ALL
+    |  SELECT id, hx, off0, stride, w, h, 8 + o AS fam, o,
+    |    0 AS rx, 0 AS ry, w AS rw, h AS rh
+    |  FROM d CROSS JOIN (SELECT unnest(range(1, 8)) AS o) oo""".stripMargin,
+    radius = 7)
 
   /** m20's oracle: every (span, slot) frame hash of every vtrim asset
     * rebuilt bit-exactly from hex(media) — canonical-AVI header walk,

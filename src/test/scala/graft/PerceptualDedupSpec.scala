@@ -345,6 +345,88 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("m24 declared query: rotated-crop compositions at exactly 0 via the union family; m17 and m22 each provably miss every one") {
+    def decode(m: Array[Byte]) =
+      graft.sources.MediaBinary.decodeBmp(m).get
+    def regionHashes(w: Int, h: Int, px: Array[Byte]): Seq[Long] =
+      Multimodal.regionWindows(w, h).collect {
+        case (_, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+          Multimodal.dHash64Region(w, px, rx, ry, rw, rh)
+      }
+    def orientHashes(w: Int, h: Int, px: Array[Byte]): Seq[Long] =
+      (0 until 8).collect {
+        case o if (if ((o & 1) == 0) w >= 9 && h >= 8
+                   else h >= 9 && w >= 8) =>
+          Multimodal.dHash64Oriented(w, h, px, o)
+      }
+    def minCross(a: Seq[Long], b: Seq[Long]): Int =
+      (for (x <- a; y <- b) yield java.lang.Long.bitCount(x ^ y)).min
+    // the one-axis-at-a-time blindness m24 exists to close, MEASURED
+    // per composed twin: the m17 region family assumes UPRIGHT content
+    // (every window of a rotated crop pools a permuted picture) and
+    // the m22 orientation family hashes the FULL frame (every
+    // orientation of a crop pools a shifted grid) — each must leave
+    // every planted composition beyond its radius 7
+    var m17Miss = Int.MaxValue
+    var m22Miss = Int.MaxValue
+    for (i <- 0L until MultimodalFixture.nRCPercs.toLong) {
+      val (w, h, px) = MultimodalFixture.rcpercBasePixels(i)
+      for (tw <- Seq(MultimodalFixture.rcpercRotTlMedia(i),
+          MultimodalFixture.rcpercFlipCenterMedia(i))) {
+        val t = decode(tw)
+        m17Miss = math.min(m17Miss, minCross(
+          regionHashes(w, h, px),
+          regionHashes(t.width, t.height, t.pixels)))
+        m22Miss = math.min(m22Miss, minCross(
+          orientHashes(w, h, px),
+          orientHashes(t.width, t.height, t.pixels)))
+      }
+    }
+    info(s"closest composed twin: m17 region family $m17Miss bits, " +
+      s"m22 orientation family $m22Miss bits")
+    assert(m17Miss > 7, s"the m17 region family caught a composed twin " +
+      s"at $m17Miss - the m24 corpus lost its miss class")
+    assert(m22Miss > 7, s"the m22 orientation family caught a composed " +
+      s"twin at $m22Miss - the m24 corpus lost its miss class")
+    // the union family closes it as an IDENTITY: family windows map to
+    // family windows under every dihedral g, so the base's upright
+    // region row equals the twin's inverse-orientation full-frame row
+    // bit for bit — every planted composition at exactly 0
+    val found = SparkEntry.queries("m24_rotcrop_perceptual_neardups")(spark, "")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (i <- 0L until MultimodalFixture.nRCPercs.toLong) {
+      assert(found.get((MultimodalFixture.RCPercBaseOffset + i,
+        MultimodalFixture.RCPercRotTlOffset + i)).contains(0L),
+        s"rot-TL composition of picture $i not at 0")
+      assert(found.get((MultimodalFixture.RCPercBaseOffset + i,
+        MultimodalFixture.RCPercFlipCenterOffset + i)).contains(0L),
+        s"flip-center composition of picture $i not at 0")
+    }
+    // the complete radius-7 pair table beyond the 20 planted rows,
+    // PINNED: two same-base sibling crop pairs (the two twins of one
+    // base share most of their pre-image and legitimately pair — the
+    // m19 sibling precedent) and ONE cross-base graze at 5 bits
+    // (96004≈96005: two unrelated smooth textures' rot-TL crops — the
+    // measured content-class boundary of a 14×14-sample minimum over
+    // cloud textures, the m22 region-grazing precedent; the oracle
+    // replays it exactly, so both engines agree on the full set)
+    val extras = found.keySet -- (0L until MultimodalFixture.nRCPercs.toLong)
+      .flatMap { i =>
+        Seq((MultimodalFixture.RCPercBaseOffset + i,
+          MultimodalFixture.RCPercRotTlOffset + i),
+          (MultimodalFixture.RCPercBaseOffset + i,
+            MultimodalFixture.RCPercFlipCenterOffset + i))
+      }.toSet
+    assert(extras == Set(
+      (MultimodalFixture.RCPercRotTlOffset + 1,
+        MultimodalFixture.RCPercFlipCenterOffset + 1),
+      (MultimodalFixture.RCPercRotTlOffset + 8,
+        MultimodalFixture.RCPercFlipCenterOffset + 8),
+      (MultimodalFixture.RCPercRotTlOffset + 4,
+        MultimodalFixture.RCPercRotTlOffset + 5)),
+      s"m24 extra-pair envelope moved: $extras")
+  }
+
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {
     val df = SparkEntry.queries("m11_perceptual_neardups")(spark, "")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
