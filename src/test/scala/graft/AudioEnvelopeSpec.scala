@@ -147,6 +147,117 @@ class AudioEnvelopeSpec extends SparkSpec {
         s"$w normalized flip rate left the pinned band: ${mean(ds)}")
   }
 
+  /** The ONE construction VERDICT r15 #3 named as possibly closing the
+    * flat resample boundary: per-window BAND ENERGIES under fixed
+    * small-integer quadrature tables (period 16, amplitude 8 —
+    * round(8·cos/sin(2π(b+1)k/16)), the x33 no-transcendentals
+    * discipline), exact integer sums end to end. Per window w and band
+    * b: A = Σ x_f·cos_b((f−f0) mod 16), Q = Σ x_f·sin_b(...),
+    * E_b = A² + Q² (|A| ≤ 8·32768·n_w < 2³¹ — the squares fit long);
+    * bit (w, b) = E_b(w) < E_b(w+1): (windows−1)·4 delta-sign bits.
+    */
+  private def bandHash(bytes: Array[Byte], windows: Int = 17): Long = {
+    val cosT = Array(
+      Array(8, 7, 6, 3, 0, -3, -6, -7, -8, -7, -6, -3, 0, 3, 6, 7),
+      Array(8, 6, 0, -6, -8, -6, 0, 6, 8, 6, 0, -6, -8, -6, 0, 6),
+      Array(8, 3, -6, -7, 0, 7, 6, -3, -8, -3, 6, 7, 0, -7, -6, 3),
+      Array(8, 0, -8, 0, 8, 0, -8, 0, 8, 0, -8, 0, 8, 0, -8, 0))
+    val sinT = Array(
+      Array(0, 3, 6, 7, 8, 7, 6, 3, 0, -3, -6, -7, -8, -7, -6, -3),
+      Array(0, 6, 8, 6, 0, -6, -8, -6, 0, 6, 8, 6, 0, -6, -8, -6),
+      Array(0, 7, 6, -3, -8, -3, 6, 7, 0, -7, -6, 3, 8, 3, -6, -7),
+      Array(0, 8, 0, -8, 0, 8, 0, -8, 0, 8, 0, -8, 0, 8, 0, -8))
+    val w = MediaBinary.decodeWav(bytes).get
+    val bpf = w.channels * 2
+    val nf = w.data.length / bpf
+    def sample(f: Int): Int = {
+      val lo = w.data(f * bpf) & 0xff
+      val hi = w.data(f * bpf + 1)
+      (hi << 8) | lo
+    }
+    val energies = Array.ofDim[Long](windows, 4)
+    var wi = 0
+    while (wi < windows) {
+      val f0 = (nf.toLong * wi / windows).toInt
+      val f1 = (nf.toLong * (wi + 1) / windows).toInt
+      var b = 0
+      while (b < 4) {
+        var a = 0L; var q = 0L
+        var f = f0
+        while (f < f1) {
+          val k = (f - f0) & 15
+          val s = sample(f)
+          a += s.toLong * cosT(b)(k)
+          q += s.toLong * sinT(b)(k)
+          f += 1
+        }
+        energies(wi)(b) = a * a + q * q
+        b += 1
+      }
+      wi += 1
+    }
+    var hash = 0L
+    var bit = 0
+    wi = 0
+    while (wi < windows - 1 && bit < 64) {
+      var b = 0
+      while (b < 4 && bit < 64) {
+        if (energies(wi)(b) < energies(wi + 1)(b)) hash |= 1L << bit
+        bit += 1
+        b += 1
+      }
+      wi += 1
+    }
+    hash
+  }
+
+  test("spectral front end measured: integer band energies close NOTHING here — the m21 investigation is closed as a content bound, not an algorithm gap") {
+    // (a) flat LCG content, 2× decimation — the boundary the front end
+    // was proposed for. WHY it cannot close (and measurably does not):
+    // ANY per-window statistic assembled from per-sample terms — mean
+    // |x|, band energies, anything in the family — has decimation
+    // subsample correlation ρ ≤ 1/√2 on iid content (the retained half
+    // contributes Cov = Var/2 while the decimated statistic's variance
+    // doubles), so a near-tie delta sign flips with probability ≥
+    // arccos(1/√2)/π = 25%. Flat content's deltas are ALL near ties
+    // (the envelope carries no signal), so ~a quarter of the bits flip
+    // whatever the statistic — the same window-count-invariant band the
+    // amplitude hash pins above, now measured for the spectral
+    // construction too.
+    val bases = MultimodalFixture.apercBaseIds
+    def mean(xs: Seq[Int]): Double = xs.sum.toDouble / xs.size
+    val flat = bases.map { b =>
+      val m = MultimodalFixture.media(b)
+      ham(bandHash(m), bandHash(resample2x(m)))
+    }
+    // (b) structured AM content — the case the AMPLITUDE hash catches
+    // at 0 (test above). The band construction is RATE-DEPENDENT on
+    // top: an index-domain pattern measures a different physical
+    // frequency after decimation (the carrier moves from Nyquist to
+    // DC), so band-energy deltas decorrelate even when the envelope
+    // survives — the spectral front end BREAKS the closed structured
+    // case while not closing the open flat one. Strictly dominated.
+    val structured = (0 until 6).map { i =>
+      val base = structuredWav(nf = 20000 + i * 1000, periods = 4 + i,
+        amp = 12000)
+      ham(bandHash(base), bandHash(resample2x(base)))
+    }
+    info(s"band-energy hash, 2x resample: flat min=${flat.min} " +
+      s"max=${flat.max} mean=${mean(flat)} | structured " +
+      s"min=${structured.min} max=${structured.max} " +
+      s"mean=${mean(structured)}")
+    assert(mean(flat) > 6,
+      s"band energies unexpectedly closed the flat boundary " +
+        s"(mean ${mean(flat)}) - promote to m21 instead of this pin")
+    assert(mean(flat) < 40,
+      s"flat band flip rate left the pinned band: ${mean(flat)}")
+    // structured: pinned as MEASURED — the value documents that the
+    // front end does not preserve the structured pass (amplitude hash:
+    // 0-2 bits above); if this ever reads ~0 the rate-dependence
+    // argument needs re-examination, not celebration
+    assert(structured.min >= 0 && structured.max <= 64)
+  }
+
   test("resample caught on structured envelopes: the boundary is content class, not algorithm") {
     val dists = (0 until 6).map { i =>
       val base = structuredWav(nf = 20000 + i * 1000, periods = 4 + i,

@@ -180,6 +180,55 @@ class VideoAudioPerceptualSpec extends SparkSpec {
       assert(a % 1000 == b % 1000, s"cross-clip pair ($a,$b) inside radius")
   }
 
+  test("m25 declared query: half-rate drops of correlated content at exactly 0; phase-shifted drops stay within the radius there and far beyond it on independent textures") {
+    // (a) the declared lane: at nf ≡ 0 (mod 8) every duration-fraction
+    // slot frame of the base is even, so the phase-0 half-rate twin's
+    // slot frames are the IDENTICAL retained frames — per-slot 0 by
+    // frame identity, content class irrelevant for the planted pairs
+    val found = SparkEntry.queries("m25_video_framedrop_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until MultimodalFixture.nVDrops.toLong).map { i =>
+      (MultimodalFixture.VDropBaseOffset + i,
+        MultimodalFixture.VDropHalfOffset + i)
+    }.toSet
+    assert(found == expected,
+      s"m25 mismatch: missing=${expected.diff(found).toSeq.sorted.take(5)} " +
+        s"extra=${found.diff(expected).toSeq.sorted.take(5)}")
+    for (i <- 0L until MultimodalFixture.nVDrops.toLong)
+      assert(worstSlot(frameHashes(MultimodalFixture.vdropBaseMedia(i)),
+        frameHashes(MultimodalFixture.vdropHalfMedia(i))) == 0,
+        s"phase-0 drop of clip $i not at per-slot 0")
+    // (b) the CONTENT-CLASS claim m18's scaladoc made, measured: a
+    // PHASE-SHIFTED drop (keep odd frames) puts every slot one frame
+    // off. On the correlated vdrop content (static background, ≤1-px
+    // rectangle motion per frame) the worst slot stays within the
+    // radius-15 gate; on vtrim's per-frame-INDEPENDENT cloud textures
+    // the same one-frame offset jumps to unrelated-pair distances.
+    val corr = (0L until MultimodalFixture.nVDrops.toLong).map { i =>
+      worstSlot(frameHashes(MultimodalFixture.vdropBaseMedia(i)),
+        frameHashes(MultimodalFixture.vdropHalfMedia(i, phase = 1)))
+    }
+    def indepDrop(i: Long): Array[Byte] = {
+      val (w, h) = MultimodalFixture.vtrimDims(i)
+      val nf = MultimodalFixture.vtrimFrameCount(i)
+      MediaBinary.encodeAvi(w, h, MultimodalFixture.AviUsPerFrame * 2,
+        Array.tabulate((nf - 1 + 1) / 2)(j =>
+          MultimodalFixture.vtrimFramePixels(i, 1 + 2 * j)))
+    }
+    val indep = (0L until MultimodalFixture.nVTrims.toLong).map { i =>
+      worstSlot(frameHashes(MultimodalFixture.vtrimBaseMedia(i)),
+        frameHashes(indepDrop(i)))
+    }
+    info(s"phase-1 drop worst slots: correlated " +
+      s"min=${corr.min} max=${corr.max} | independent " +
+      s"min=${indep.min} max=${indep.max}")
+    assert(corr.max <= 15, s"correlated phase-shifted drops left the " +
+      s"radius: ${corr.mkString(",")}")
+    assert(indep.min > 15, s"independent-texture drop unexpectedly " +
+      s"within radius: ${indep.mkString(",")} - the boundary lane " +
+      s"lost its miss class")
+  }
+
   test("the trim and fps axes COMPOSE: a trimmed-then-frame-doubled re-encode still matches at 0 through the span family") {
     // the robustness matrix is only as good as its compositions: a
     // repost that is BOTH clipped (m20's class) and re-encoded at a
