@@ -823,6 +823,33 @@ object Multimodal {
     }
   }
 
+  /** [[rotCropDHash]] with the [[regionDHashStatus]] decode-status
+    * sentinel for stream gates: an image that decodes but qualifies
+    * for NO family row (every region window AND every oriented
+    * full-frame arrangement sub-grid) emits one (asset_id, fam = -1,
+    * dhash = 0) row; genuine decode failures emit nothing.
+    */
+  def rotCropDHashStatus(assets: Dataset[Asset]): Dataset[RotCropHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        decodeImageAny(a.media).toSeq.flatMap { case (w, h, px) =>
+          val regions = regionWindows(w, h).collect {
+            case (r, rx, ry, rw, rh) if rw >= 9 && rh >= 8 =>
+              RotCropHash(a.asset_id, r, dHash64Region(w, px, rx, ry, rw, rh))
+          }
+          val orients = (1 until 8).collect {
+            case o if (if ((o & 1) == 0) w >= 9 && h >= 8
+                       else h >= 9 && w >= 8) =>
+              RotCropHash(a.asset_id, 8 + o, dHash64Oriented(w, h, px, o))
+          }
+          val rows = regions ++ orients
+          if (rows.isEmpty) Seq(RotCropHash(a.asset_id, -1, 0L)) else rows
+        }
+      }
+    }
+  }
+
   // --- perceptual video/audio hashing (round 13) ------------------------
 
   case class FrameHash(asset_id: Long, slot: Int, dhash: Long)

@@ -223,7 +223,8 @@ object MultimodalSuite {
     "m17_crop_perceptual_neardups", "m18_video_fps_neardups",
     "m19_crop_dedup_clusters", "m20_video_trim_neardups",
     "m22_orient_perceptual_neardups", "m23_orient_dedup_clusters",
-    "m24_rotcrop_perceptual_neardups", "m25_video_framedrop_neardups")
+    "m24_rotcrop_perceptual_neardups", "m25_video_framedrop_neardups",
+    "m26_rotcrop_dedup_clusters")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -445,15 +446,38 @@ object MultimodalSuite {
     */
   private object RCPercShared {
     import graft.{Graft, RestMemo}
+    private def sigs(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Multimodal.rotCropDHash(rcpercAssets(s).as[Multimodal.Asset]).toDF()
+        .select(col("asset_id").as("id"), col("dhash").as("sig"))
+    }
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
       RestMemo.frame(s, MultimodalFixture.rcpercPath, "m24-pairs") {
-        import s.implicits._
-        val sigs = Multimodal.rotCropDHash(
-          rcpercAssets(s).as[Multimodal.Asset]).toDF()
-          .select(col("asset_id").as("id"), col("dhash").as("sig"))
-        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs,
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs(s),
           maxHamming = 7, maxBucketSize = 256, bands = 8), eager = true)
+      }
+    }
+    /** The PRODUCTION-radius pair table (radius 3 — the m26 APPLY
+      * input): composition matches are exact 0s, so the tighter radius
+      * keeps every planted pair while the demo radius's measured
+      * smooth-content grazes (two same-base sibling crops at 5/7, one
+      * cross-base graze at 5 — pinned in PerceptualDedupSpec) fall
+      * outside, and the closure ships exact per-picture components.
+      */
+    def pairsProd(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.rcpercPath, "m26-pairs-r3") {
+        Graft.truncate(graft.operators.Dedup.regionNearDupsSig(sigs(s),
+          maxHamming = 3, maxBucketSize = 256, bands = 8), eager = true)
+      }
+    }
+    def clusters(s: SparkSession): DataFrame = {
+      // pairs resolved BEFORE the clusters slot computes (the
+      // DedupShared re-entrancy rule)
+      val p = pairsProd(s)
+      RestMemo.frame(s, MultimodalFixture.rcpercPath, "m26-clusters") {
+        Graft.truncate(graft.operators.Dedup.dupClusters(p), eager = true)
       }
     }
   }
@@ -558,6 +582,7 @@ object MultimodalSuite {
       "media_orient_pairs" -> (() => { OPercShared.pairs(s); () }),
       "media_orient_clusters" -> (() => { OPercShared.clusters(s); () }),
       "media_rotcrop_pairs" -> (() => { RCPercShared.pairs(s); () }),
+      "media_rotcrop_clusters" -> (() => { RCPercShared.clusters(s); () }),
       "media_framedrop_pairs" -> (() => { VDropShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
@@ -1498,7 +1523,41 @@ object MultimodalSuite {
       "Frame-drop-robust video near-dup: duration-fraction slots land " +
         "on the retained frames of a half-rate re-encode on " +
         "temporally-correlated content; complete radius-15 pair set " +
-        "replayed from hex(media)"))
+        "replayed from hex(media)"),
+
+    // --- m26: composed-edit dedup APPLY (round 16) -------------------------
+    // The m13/m16/m19/m23 closure for the composed-edit domain, at the
+    // PRODUCTION radius 3 rather than m24's demo radius 7: composition
+    // matches are exact 0s (group closure), so the tighter radius keeps
+    // every planted pair while the demo radius's measured smooth-
+    // content grazes (two same-base sibling crops at 5/7 bits and one
+    // cross-base graze at 5 — pinned in PerceptualDedupSpec) fall
+    // outside, and each base/rot-TL-crop/flip-center-crop triple
+    // collapses to exactly its base id (95000+i is the group minimum
+    // by construction) with no cross-picture merge. The oracle embeds
+    // the consolidated oriented-family walk at radius 3 and closes it
+    // with the recursive CTE.
+    "m26_rotcrop_dedup_clusters" -> Q(
+      (s, _) => RCPercShared.clusters(s)
+        .orderBy("canonical_id", "member_id"),
+      Some(s"""WITH RECURSIVE pairs AS (
+        |${sqlOrientedFamilyPairs(RC, sqlM24Fam, radius = 3)}
+        |),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT LEAST(a, MIN(b)) AS canonical_id, a AS member_id
+        |FROM reach GROUP BY a
+        |ORDER BY canonical_id, member_id""".stripMargin),
+      "Composed-edit dedup clusters: m24 union-family pairs at the " +
+        "production radius closed into min-id-canonical components " +
+        "(each base/rot-crop/flip-crop triple collapses to one " +
+        "picture); oracle embeds the consolidated walk and closes it " +
+        "recursively"))
 
   /** m11's exact dHash mirror: corpus dims parsed from the parquet
     * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
@@ -1771,15 +1830,17 @@ object MultimodalSuite {
     * mirroring [[graft.operators.Multimodal.rotCropDHash]] row for
     * row; Hamming over the full family cross product, minimum ≤ 7.
     */
-  private def sqlM24: String = sqlOrientedFamilyPairs(RC,
+  private def sqlM24Fam: String =
     s"""  SELECT id, hx, off0, stride, w, h, r AS fam, 0 AS o,
     |    $sqlRegionBounds
     |  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS r) rr
     |  UNION ALL
     |  SELECT id, hx, off0, stride, w, h, 8 + o AS fam, o,
     |    0 AS rx, 0 AS ry, w AS rw, h AS rh
-    |  FROM d CROSS JOIN (SELECT unnest(range(1, 8)) AS o) oo""".stripMargin,
-    radius = 7)
+    |  FROM d CROSS JOIN (SELECT unnest(range(1, 8)) AS o) oo""".stripMargin
+
+  private def sqlM24: String =
+    sqlOrientedFamilyPairs(RC, sqlM24Fam, radius = 7)
 
   /** m20's oracle: every (span, slot) frame hash of every vtrim asset
     * rebuilt bit-exactly from hex(media) — canonical-AVI header walk,

@@ -425,6 +425,22 @@ class PerceptualDedupSpec extends SparkSpec {
       (MultimodalFixture.RCPercRotTlOffset + 4,
         MultimodalFixture.RCPercRotTlOffset + 5)),
       s"m24 extra-pair envelope moved: $extras")
+    // m26 — the APPLY at the PRODUCTION radius 3: the grazes above fall
+    // outside the radius (they measure 5-7 bits), the exact-0 planted
+    // compositions remain, so the closure ships exactly one component
+    // per picture with the base id as canonical — no cross-picture
+    // merge (the consequence the radius-7 graze would have had)
+    val clusters = SparkEntry.queries("m26_rotcrop_dedup_clusters")(spark, "")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    val wantClusters = (0L until MultimodalFixture.nRCPercs.toLong)
+      .flatMap { i =>
+        val base = MultimodalFixture.RCPercBaseOffset + i
+        Seq(base -> base,
+          (MultimodalFixture.RCPercRotTlOffset + i) -> base,
+          (MultimodalFixture.RCPercFlipCenterOffset + i) -> base)
+      }.toMap
+    assert(clusters == wantClusters,
+      s"m26 components moved: ${clusters.toSeq.sorted.take(6)}")
   }
 
   test("m11 declared query: every planted cross-format pair found at distance 0; m4's pipeline finds none of them") {

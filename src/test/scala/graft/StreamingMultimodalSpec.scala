@@ -758,6 +758,86 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
   }
 
+  test("RotCropStream.nearDupIngest: composed-edit gate — rotated-crop reposts quarantined at 0, replay idempotent") {
+    import spark.implicits._
+    import graft.pipelines.MultimodalFixture
+    import graft.streaming.RotCropStream
+    val feed = java.nio.file.Files.createTempDirectory("rci_feed")
+    val indexDir = java.nio.file.Files.createTempDirectory("rci_index").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("rci_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rci_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("rci_stage")
+      rows.toDF("asset_id", "media_type", "media")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, feed.resolve(name))
+    }
+    // 100 is the FLIP-CENTER-CROP of 0 — a within-batch composed
+    // relation; 998 a genuine 4x4 BMP (too_small); 999 undecodable
+    stage("a.parquet", Seq(
+      (0L, "image", MultimodalFixture.rcpercBaseMedia(0)),
+      (1L, "image", MultimodalFixture.rcpercBaseMedia(1)),
+      (100L, "image", MultimodalFixture.rcpercFlipCenterMedia(0)),
+      (998L, "image",
+        graft.sources.MediaBinary.encodeBmp(4, 4, new Array[Byte](48))),
+      (999L, "blob", Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte))))
+    // production radius 3 (the m26 config): compositions are exact 0s
+    val q = RotCropStream.nearDupIngest(spark, feed.toString, indexDir,
+      quarDir, ckpt, maxHamming = 3)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(indexDir)
+        .select("asset_id").as[Long].collect().toSet
+      assert(idx1 == Set(0L, 1L), s"batch-0 index: $idx1")
+      // batch 1: 201 is the ROT-90 TL-CROP of INDEXED picture 1 — a
+      // composed repost arriving later, invisible to the byte,
+      // whole-image-dHash, crop, AND orientation gates individually;
+      // 210 carries novel content
+      stage("b.parquet", Seq(
+        (201L, "image", MultimodalFixture.rcpercRotTlMedia(1)),
+        (210L, "image", MultimodalFixture.rcpercBaseMedia(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = (
+      spark.read.parquet(indexDir).select("asset_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      spark.read.parquet(quarDir)
+        .select("asset_id", "matched_id", "reason")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet)
+    val (idx, quar) = snapshot()
+    assert(idx.map(_._1) == Set(0L, 1L, 210L), s"final index: $idx")
+    // 14 union-family rows per indexed image (7 upright regions + 7
+    // non-identity orientations — the m24 family-index shape)
+    val famRows = spark.read.parquet(indexDir)
+      .filter(col("asset_id") === 0L).count()
+    assert(famRows == 14,
+      s"image 0 should index one row per family member, got $famRows")
+    assert(quar == Set(
+      (100L, 0L, "within_batch"), (201L, 1L, "index_near_dup"),
+      (998L, -1L, "too_small"),
+      (999L, -1L, "undecodable")), s"quarantine: $quar")
+    // the composed repost matches its indexed original EXACTLY:
+    // window-family group closure — the index holds the base's upright
+    // region rows, the arrival hashes its inverse orientation
+    val ham = spark.read.parquet(quarDir)
+      .filter(col("asset_id") === 201L).select("hamming")
+      .as[Long].collect()(0)
+    assert(ham == 0L,
+      s"rot-TL crop of picture 1 should match at 0, got $ham")
+    // replay batch 1: dynamic partition overwrite + own-partition
+    // exclusion must leave both sinks unchanged
+    val bBatch = idx.collectFirst { case (210L, p) => p.toLong }.get
+    val replayIn = spark.read.schema(RotCropStream.storedSchema)
+      .parquet(feed.resolve("b.parquet").toString)
+    RotCropStream.ingestBatch(replayIn, bBatch, indexDir, quarDir,
+      maxHamming = 3)
+    assert(snapshot() == ((idx, quar)), "replayed batch changed the sinks")
+  }
+
   test("VideoStream.nearDupIngest: temporal gate — cross-codec/cross-resolution dups quarantined, replay idempotent") {
     import spark.implicits._
     import graft.pipelines.MultimodalFixture
