@@ -19,128 +19,52 @@ import graft.pipelines.MultimodalFixture
   */
 object MultimodalSuite {
 
-  private def assets(s: SparkSession): DataFrame = {
+  /** Every fixture lane reads the same way: ensure the fixture, tune
+    * the session, spread the byte-packed binary scan (parquet packs
+    * 128 MB into few partitions; decode is CPU-dense per row → spread
+    * to the session's cores — at 100 TB the scan is already thousands
+    * of partitions and this is a no-op).
+    */
+  private def lane(s: SparkSession, path: String): DataFrame = {
     MultimodalFixture.ensure(s)
     Graft.tune(s)
-    // binary scans arrive byte-packed (few partitions for 128 MB);
-    // decode is CPU-dense per row → spread to the session's cores.
-    // At 100 TB the scan is already thousands of partitions → no-op.
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.assetsPath))
+    Graft.ensureParallelism(s.read.parquet(path))
   }
 
-  private def A = s"read_parquet('${MultimodalFixture.assetsPath}/*.parquet')"
+  /** The same lane as the DuckDB oracle sees it. */
+  private def rp(path: String): String = s"read_parquet('$path/*.parquet')"
 
-  private def jpegAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.jpegPath))
-  }
+  private def assets(s: SparkSession) = lane(s, MultimodalFixture.assetsPath)
+  private def jpegAssets(s: SparkSession) = lane(s, MultimodalFixture.jpegPath)
+  private def pngAssets(s: SparkSession) = lane(s, MultimodalFixture.pngPath)
+  private def gifAssets(s: SparkSession) = lane(s, MultimodalFixture.gifPath)
+  private def percAssets(s: SparkSession) = lane(s, MultimodalFixture.percPath)
+  private def mjpegAssets(s: SparkSession) = lane(s, MultimodalFixture.mjpegPath)
+  private def vpercAssets(s: SparkSession) = lane(s, MultimodalFixture.vpercPath)
+  private def vperc2Assets(s: SparkSession) = lane(s, MultimodalFixture.vperc2Path)
+  private def cpercAssets(s: SparkSession) = lane(s, MultimodalFixture.cpercPath)
+  private def opercAssets(s: SparkSession) = lane(s, MultimodalFixture.opercPath)
+  private def rcpercAssets(s: SparkSession) = lane(s, MultimodalFixture.rcpercPath)
+  private def vdropAssets(s: SparkSession) = lane(s, MultimodalFixture.vdropPath)
+  private def vtrimAssets(s: SparkSession) = lane(s, MultimodalFixture.vtrimPath)
+  private def atrimAssets(s: SparkSession) = lane(s, MultimodalFixture.atrimPath)
+  private def apercAssets(s: SparkSession) = lane(s, MultimodalFixture.apercPath)
 
-  private def J = s"read_parquet('${MultimodalFixture.jpegPath}/*.parquet')"
-
-  private def pngAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.pngPath))
-  }
-
-  private def P = s"read_parquet('${MultimodalFixture.pngPath}/*.parquet')"
-
-  private def gifAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.gifPath))
-  }
-
-  private def G = s"read_parquet('${MultimodalFixture.gifPath}/*.parquet')"
-
-  private def percAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.percPath))
-  }
-
-  private def PC = s"read_parquet('${MultimodalFixture.percPath}/*.parquet')"
-
-  private def mjpegAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.mjpegPath))
-  }
-
-  private def MJ = s"read_parquet('${MultimodalFixture.mjpegPath}/*.parquet')"
-
-  private def vpercAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vpercPath))
-  }
-
-  private def VP = s"read_parquet('${MultimodalFixture.vpercPath}/*.parquet')"
-
-  private def vperc2Assets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vperc2Path))
-  }
-
-  private def V2 = s"read_parquet('${MultimodalFixture.vperc2Path}/*.parquet')"
-
-  private def cpercAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.cpercPath))
-  }
-
-  private def CP = s"read_parquet('${MultimodalFixture.cpercPath}/*.parquet')"
-
-  private def opercAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.opercPath))
-  }
-
-  private def OP = s"read_parquet('${MultimodalFixture.opercPath}/*.parquet')"
-
-  private def rcpercAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.rcpercPath))
-  }
-
-  private def RC = s"read_parquet('${MultimodalFixture.rcpercPath}/*.parquet')"
-
-  private def vdropAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vdropPath))
-  }
-
-  private def VD = s"read_parquet('${MultimodalFixture.vdropPath}/*.parquet')"
-
-  private def vtrimAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.vtrimPath))
-  }
-
-  private def VT = s"read_parquet('${MultimodalFixture.vtrimPath}/*.parquet')"
-
-  private def atrimAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.atrimPath))
-  }
-
-  private def AT = s"read_parquet('${MultimodalFixture.atrimPath}/*.parquet')"
-
-  private def apercAssets(s: SparkSession): DataFrame = {
-    MultimodalFixture.ensure(s)
-    Graft.tune(s)
-    Graft.ensureParallelism(s.read.parquet(MultimodalFixture.apercPath))
-  }
-
-  private def AP = s"read_parquet('${MultimodalFixture.apercPath}/*.parquet')"
+  private def A = rp(MultimodalFixture.assetsPath)
+  private def J = rp(MultimodalFixture.jpegPath)
+  private def P = rp(MultimodalFixture.pngPath)
+  private def G = rp(MultimodalFixture.gifPath)
+  private def PC = rp(MultimodalFixture.percPath)
+  private def MJ = rp(MultimodalFixture.mjpegPath)
+  private def VP = rp(MultimodalFixture.vpercPath)
+  private def V2 = rp(MultimodalFixture.vperc2Path)
+  private def CP = rp(MultimodalFixture.cpercPath)
+  private def OP = rp(MultimodalFixture.opercPath)
+  private def RC = rp(MultimodalFixture.rcpercPath)
+  private def VD = rp(MultimodalFixture.vdropPath)
+  private def VT = rp(MultimodalFixture.vtrimPath)
+  private def AT = rp(MultimodalFixture.atrimPath)
+  private def AP = rp(MultimodalFixture.apercPath)
 
   /** Per-session memo of m4's chunk-fingerprint table — the ingest-time
     * artifact of media dedup (chunk fingerprints are computed once when
@@ -649,10 +573,6 @@ object MultimodalSuite {
           .orderBy("frame_index")
       },
       Some {
-        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-        def le32(p: Int): String =
-          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
         s"""WITH v AS (
         |  SELECT hex(media) AS hx FROM $A WHERE media_type = 'video'
         |  UNION ALL SELECT hex(media) FROM $MJ),
@@ -748,10 +668,6 @@ object MultimodalSuite {
           .orderBy("media_type")
       },
       Some {
-        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-        def le32(p: Int): String =
-          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
         s"""WITH m AS (
         |  SELECT media_type, hex(media) AS hx, octet_length(media) AS len
         |  FROM $A)
@@ -801,13 +717,7 @@ object MultimodalSuite {
           .orderBy("asset_id", "dim_index")
       },
       Some {
-        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-        def le32(p: Int): String =
-          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-        // byte value at 0-based offset k
-        def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
-        // signed LE 16-bit sample magnitude at 0-based offset k
+        // signed LE 16-bit sample magnitude at 0-based offset k of hx
         def samp(k: String) = {
           val u = s"(${bv(k)} + 256 * ${bv(s"($k) + 1")})"
           s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
@@ -1104,10 +1014,6 @@ object MultimodalSuite {
           .orderBy("asset_id")
       },
       Some {
-        def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-        def le32(p: Int): String =
-          s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-            s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
         s"""WITH v AS (
         |  SELECT asset_id, hex(media) AS hx, octet_length(media) AS bs
         |  FROM $MJ)
@@ -1567,6 +1473,29 @@ object MultimodalSuite {
     * counts. Block x-range [ceil(i·w/9), ceil((i+1)·w/9)) mirrors the
     * Spark side's floor(x·9/w) = i membership exactly.
     */
+  // --- shared hex-walk SQL fragment builders (round 16, VERDICT r15
+  // #8): every container oracle used to redefine these locally --------
+
+  /** Hex pair at 1-based byte position `p` of the `hx` column. */
+  private def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
+
+  /** Little-endian u32 at 1-based byte position `p` of `hx`. */
+  private def le32(p: Int): String =
+    s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
+      s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
+
+  /** Byte value at 0-based offset `k` of `hx`. */
+  private def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
+
+  /** Byte value at 0-based offset `k` WITHIN a window slice column `wh`. */
+  private def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
+
+  /** |signed LE 16-bit sample| at 0-based byte offset `k` within `wh`. */
+  private def sampw(k: String) = {
+    val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
+    s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+  }
+
   private def sqlM11: String = {
     val pixSum =
       "51 * LEAST(5, x * 6 // w + a0 % 2) + 51 * LEAST(5, y * 6 // h + a1 % 2) + " +
@@ -1630,12 +1559,6 @@ object MultimodalSuite {
     * subquery by the m14 / m16 / m18 oracles.
     */
   private def sqlTemporalDibPairs(src: String): String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    // byte value at 0-based offset k
-    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
     val pxo = "foff + (h - 1 - y) * stride + x * 3"
     s"""WITH v AS MATERIALIZED (
     |  $src),
@@ -1732,12 +1655,6 @@ object MultimodalSuite {
     */
   private def sqlOrientedFamilyPairs(src: String, famSql: String,
       radius: Int): String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    // byte value at 0-based offset k
-    def bv(k: String) = s"CAST('0x' || substring(hx, 2 * ($k) + 1, 2) AS BIGINT)"
     // the dHash64Oriented index maps in WINDOW-LOCAL coordinates:
     // (xp, yp) are oriented-grid coords, (lx, ly) the upright
     // window-local read, absolute surface = (rx + lx, ry + ly),
@@ -1854,10 +1771,6 @@ object MultimodalSuite {
     * pair set with exact minima, no planted arm.
     */
   private def sqlM20: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
     // byte value at 0-based offset k WITHIN the frame slice fh
     def bvf(k: String) = s"CAST('0x' || substring(fh, 2 * ($k) + 1, 2) AS BIGINT)"
     val pxo = "(h - 1 - y) * stride + x * 3"
@@ -1915,37 +1828,44 @@ object MultimodalSuite {
     |ORDER BY id1, id2""".stripMargin
   }
 
-  /** m15's oracle: the 65-window amplitude sign hash rebuilt entirely
-    * from hex(media) — WAV data-size header field → frame count, signed
-    * LE 16-bit sample magnitudes (the m7 walk), exact window sums and
-    * counts, cross-multiplied delta-sign bits, complete radius-7 pair
-    * set with exact Hamming distances. Window-SLICED since round 14
-    * (the m15b form): each window cuts its own ~2 KB hex substring once
-    * per (asset, window) row and the per-sample lambda runs inside it —
-    * the original form carried the full 128 KB string per sample row
-    * and cost ~20× more (measured 317 s → ~15 s for this oracle).
+  // --- the shared m15-family audio window walk (round 16, VERDICT r15
+  // #8: m15/m15b/m15c/m15d repeated the same WAV hex walk) ------------
+
+  /** The m15-family WAV corpus: `$A`'s audio lane (optionally only the
+    * first 30 assets) ∪ aperc, plus atrim when the caller's family has
+    * a span dimension.
     */
-  private def sqlM15: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
-    def sampw(k: String) = {
-      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
-      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
-    }
-    s"""WITH au AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
-    |  WHERE media_type = 'audio' AND asset_id < 30
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AP),
-    |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
+  private def sqlAudioCorpus(small: Boolean, withTrim: Boolean): String = {
+    val filt = if (small) " AND asset_id < 30" else ""
+    val trim =
+      if (withTrim) s"\n  UNION ALL SELECT asset_id, hex(media) FROM $AT"
+      else ""
+    s"""  SELECT asset_id AS id, hex(media) AS hx FROM $A
+    |  WHERE media_type = 'audio'$filt
+    |  UNION ALL SELECT asset_id, hex(media) FROM $AP$trim""".stripMargin
+  }
+
+  /** ONE CTE chain for the PREFIX (span-free) audio sign hash (m15,
+    * m15b): corpus → WAV data-size header field → frame count `nfExpr`
+    * → 65 window slices — each window cuts its own ~2 KB hex substring
+    * once per (asset, window) row and the per-sample lambda runs inside
+    * it; the un-sliced form carried the full 128 KB string per sample
+    * row and cost ~20× more (measured 317 s → ~15 s) — → exact integer
+    * window sums → cross-multiplied delta-sign bits. Emits `au` through
+    * `bits (id, wi, bit)` + the pair-Hamming `ham`; the caller appends
+    * its SELECT tail.
+    */
+  private def sqlAudioPrefixHam(corpus: String, nfExpr: String,
+      wWhere: String): String =
+    s"""au AS MATERIALIZED (
+    |$corpus),
+    |p AS (SELECT id, hx, $nfExpr AS nf FROM au),
     |w AS MATERIALIZED (
     |  SELECT id, wi,
     |    ((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65 AS wf,
     |    substring(hx, 2 * (44 + ((wi * nf + 64) // 65) * 4) + 1,
     |      8 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65)) AS wh
-    |  FROM p CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws),
+    |  FROM p CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws$wWhere),
     |sums AS MATERIALIZED (
     |  SELECT id, wi,
     |    COALESCE(list_sum(list_transform(range(0, wf), f ->
@@ -1961,93 +1881,25 @@ object MultimodalSuite {
     |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT)
     |      AS hamming
     |  FROM bits a JOIN bits b ON a.wi = b.wi AND a.id < b.id
-    |  GROUP BY a.id, b.id)
-    |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
-    |ORDER BY id1, id2""".stripMargin
-  }
+    |  GROUP BY a.id, b.id)""".stripMargin
 
-  /** m15b's oracle: the FULL-corpus prefix-hash histogram rebuilt from
-    * hex(media). The walk is window-SLICED: each of the 65 windows
-    * cuts its own hex substring once per (asset, window) row and the
-    * per-sample lambda runs inside that ~2 KB slice — the nested-lambda
-    * form that carries the whole 128 KB string per sample is ~4×
-    * slower and was the real cost of a full-corpus replay. nf is
-    * capped at 4096 (the audioDHash maxFrames prefix); n_hashed
-    * re-derives the hashed-asset count from the WAV data-size header
-    * alone.
+  /** ONE CTE chain for the SPAN-family audio sign hash (m15c, m15d):
+    * the prefix walk with a span dimension — span frames
+    * [nf·a/100, nf·b/100) via `nfsExpr` (m15d caps each span's end at
+    * start + 4096 frames), windows cut inside the span, bits keyed by
+    * (id, spn, wi). Emits `au` through `bits`; the caller appends its
+    * Hamming tail.
     */
-  private def sqlM15b: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    // byte value at 0-based offset k WITHIN the window slice wh
-    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
-    def sampw(k: String) = {
-      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
-      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
-    }
-    s"""WITH au AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
-    |  WHERE media_type = 'audio'
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AP),
-    |p AS (SELECT id, hx, LEAST(${le32(41)} // 4, 4096) AS nf FROM au),
-    |w AS MATERIALIZED (
-    |  SELECT id, wi,
-    |    ((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65 AS wf,
-    |    substring(hx, 2 * (44 + ((wi * nf + 64) // 65) * 4) + 1,
-    |      8 * (((wi + 1) * nf + 64) // 65 - (wi * nf + 64) // 65)) AS wh
-    |  FROM p CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws
-    |  WHERE nf >= 65),
-    |sums AS MATERIALIZED (
-    |  SELECT id, wi,
-    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
-    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
-    |    2 * wf AS c
-    |  FROM w),
-    |bits AS MATERIALIZED (
-    |  SELECT l.id, l.wi, (l.s * r.c < r.s * l.c) AS bit
-    |  FROM sums l JOIN sums r ON l.id = r.id AND r.wi = l.wi + 1
-    |  WHERE l.wi < 64),
-    |ham AS (
-    |  SELECT a.id AS id1, b.id AS id2,
-    |    CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT)
-    |      AS hamming
-    |  FROM bits a JOIN bits b ON a.wi = b.wi AND a.id < b.id
-    |  GROUP BY a.id, b.id)
-    |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-    |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE nf >= 65) AS n_hashed
-    |FROM ham WHERE hamming <= 7
-    |GROUP BY hamming ORDER BY hamming""".stripMargin
-  }
-
-  /** m15c's oracle: every (asset, span) sign hash rebuilt from
-    * hex(media) — the m15b window-sliced walk with a SPAN dimension
-    * (span frames [nf·a/100, nf·b/100), windows cut inside the span),
-    * Hamming over the SPAN CROSS PRODUCT per asset pair, minimum ≤ 7.
-    */
-  private def sqlM15c: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
-    def sampw(k: String) = {
-      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
-      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
-    }
+  private def sqlAudioSpanBits(corpus: String, nfsExpr: String): String = {
     val spanRows = graft.operators.Multimodal.audioSpans
       .map { case (sp, a, b) => s"($sp, $a, $b)" }.mkString(", ")
-    s"""WITH au AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
-    |  WHERE media_type = 'audio' AND asset_id < 30
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AP
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AT),
+    s"""au AS MATERIALIZED (
+    |$corpus),
     |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
-    |sp AS (SELECT id, hx, nf, spn, (nf * b) // 100 - (nf * a) // 100 AS nfs,
+    |sp AS (SELECT id, hx, nf, spn, $nfsExpr AS nfs,
     |    (nf * a) // 100 AS s0
     |  FROM p CROSS JOIN (VALUES $spanRows) spans(spn, a, b)
-    |  WHERE (nf * b) // 100 - (nf * a) // 100 >= 65),
+    |  WHERE $nfsExpr >= 65),
     |w AS MATERIALIZED (
     |  SELECT id, spn, wi,
     |    ((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65 AS wf,
@@ -2064,7 +1916,43 @@ object MultimodalSuite {
     |  SELECT l.id, l.spn, l.wi, (l.s * r.c < r.s * l.c) AS bit
     |  FROM sums l JOIN sums r
     |    ON l.id = r.id AND l.spn = r.spn AND r.wi = l.wi + 1
-    |  WHERE l.wi < 64),
+    |  WHERE l.wi < 64)""".stripMargin
+  }
+
+  /** m15's oracle: the 65-window amplitude sign hash rebuilt entirely
+    * from hex(media) — WAV data-size header field → frame count, signed
+    * LE 16-bit sample magnitudes (the m7 walk), exact window sums and
+    * counts, cross-multiplied delta-sign bits, complete radius-7 pair
+    * set with exact Hamming distances.
+    */
+  private def sqlM15: String =
+    s"""WITH ${sqlAudioPrefixHam(sqlAudioCorpus(small = true,
+        withTrim = false), s"${le32(41)} // 4", "")}
+    |SELECT id1, id2, hamming FROM ham WHERE hamming <= 7
+    |ORDER BY id1, id2""".stripMargin
+
+  /** m15b's oracle: the FULL-corpus prefix-hash histogram rebuilt from
+    * hex(media) through the shared window-sliced walk. nf is capped at
+    * 4096 (the audioDHash maxFrames prefix); n_hashed re-derives the
+    * hashed-asset count from the WAV data-size header alone.
+    */
+  private def sqlM15b: String =
+    s"""WITH ${sqlAudioPrefixHam(sqlAudioCorpus(small = false,
+        withTrim = false), s"LEAST(${le32(41)} // 4, 4096)",
+        "\n  WHERE nf >= 65")}
+    |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE nf >= 65) AS n_hashed
+    |FROM ham WHERE hamming <= 7
+    |GROUP BY hamming ORDER BY hamming""".stripMargin
+
+  /** m15c's oracle: every (asset, span) sign hash rebuilt from
+    * hex(media) — the m15b window-sliced walk with a SPAN dimension
+    * (span frames [nf·a/100, nf·b/100), windows cut inside the span),
+    * Hamming over the SPAN CROSS PRODUCT per asset pair, minimum ≤ 7.
+    */
+  private def sqlM15c: String =
+    s"""WITH ${sqlAudioSpanBits(sqlAudioCorpus(small = true,
+        withTrim = true), "(nf * b) // 100 - (nf * a) // 100")},
     |ham AS (
     |  SELECT a.id AS id1, a.spn AS sp1, b.id AS id2, b.spn AS sp2,
     |    SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hm
@@ -2073,7 +1961,6 @@ object MultimodalSuite {
     |SELECT id1, id2, CAST(MIN(hm) AS BIGINT) AS min_hamming
     |FROM ham GROUP BY id1, id2 HAVING MIN(hm) <= 7
     |ORDER BY id1, id2""".stripMargin
-  }
 
   /** m15d's oracle: the m15c span walk over the FULL audio corpus with
     * each span's end capped at start + 4096 frames (the prefix-capped
@@ -2082,48 +1969,11 @@ object MultimodalSuite {
     * span 0 still holds ≥ 65 frames — derived from the WAV data-size
     * header field alone, proving the scan covered every asset.
     */
-  private def sqlM15d: String = {
-    def hb(p: String) = s"substring(hx, 2 * ($p) - 1, 2)"
-    def le32(p: Int): String =
-      s"CAST('0x' || ${hb(s"${p + 3}")} || ${hb(s"${p + 2}")} || " +
-        s"${hb(s"${p + 1}")} || ${hb(s"$p")} AS BIGINT)"
-    def bvw(k: String) = s"CAST('0x' || substring(wh, 2 * ($k) + 1, 2) AS BIGINT)"
-    def sampw(k: String) = {
-      val u = s"(${bvw(k)} + 256 * ${bvw(s"($k) + 1")})"
-      s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
-    }
-    val spanRows = graft.operators.Multimodal.audioSpans
-      .map { case (sp, a, b) => s"($sp, $a, $b)" }.mkString(", ")
-    s"""WITH au AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $A
-    |  WHERE media_type = 'audio'
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AP
-    |  UNION ALL SELECT asset_id, hex(media) FROM $AT),
-    |p AS (SELECT id, hx, ${le32(41)} // 4 AS nf FROM au),
-    |sp AS (SELECT id, hx, nf, spn,
-    |    LEAST((nf * b) // 100, (nf * a) // 100 + 4096)
-    |      - (nf * a) // 100 AS nfs,
-    |    (nf * a) // 100 AS s0
-    |  FROM p CROSS JOIN (VALUES $spanRows) spans(spn, a, b)
-    |  WHERE LEAST((nf * b) // 100, (nf * a) // 100 + 4096)
-    |      - (nf * a) // 100 >= 65),
-    |w AS MATERIALIZED (
-    |  SELECT id, spn, wi,
-    |    ((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65 AS wf,
-    |    substring(hx, 2 * (44 + (s0 + (wi * nfs + 64) // 65) * 4) + 1,
-    |      8 * (((wi + 1) * nfs + 64) // 65 - (wi * nfs + 64) // 65)) AS wh
-    |  FROM sp CROSS JOIN (SELECT unnest(range(0, 65)) AS wi) ws),
-    |sums AS MATERIALIZED (
-    |  SELECT id, spn, wi,
-    |    COALESCE(list_sum(list_transform(range(0, wf), f ->
-    |      ${sampw("f * 4")} + ${sampw("f * 4 + 2")})), 0) AS s,
-    |    2 * wf AS c
-    |  FROM w),
-    |bits AS MATERIALIZED (
-    |  SELECT l.id, l.spn, l.wi, (l.s * r.c < r.s * l.c) AS bit
-    |  FROM sums l JOIN sums r
-    |    ON l.id = r.id AND l.spn = r.spn AND r.wi = l.wi + 1
-    |  WHERE l.wi < 64),
+  private def sqlM15d: String =
+    s"""WITH ${sqlAudioSpanBits(sqlAudioCorpus(small = false,
+        withTrim = true),
+        "LEAST((nf * b) // 100, (nf * a) // 100 + 4096)\n" +
+          "      - (nf * a) // 100")},
     |hashes AS MATERIALIZED (
     |  -- fold each span's 64 delta bits into two 32-bit halves so the
     |  -- all-pairs stage is ONE row per span pair (bit_count of xor),
@@ -2145,7 +1995,6 @@ object MultimodalSuite {
     |SELECT min_hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
     |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM sp) AS n_hashed
     |FROM mins GROUP BY min_hamming ORDER BY min_hamming""".stripMargin
-  }
 
   /** m4's full exact-Jaccard mirror (embeds whole as m5's pairs CTE). */
   private def sqlM4Pairs: String =
