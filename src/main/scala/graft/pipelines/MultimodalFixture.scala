@@ -952,6 +952,73 @@ object MultimodalFixture {
     new File(s"$vdropPath/$vdropMarker").createNewFile()
   }
 
+  // --- COMPOSED-edit video asset set: trim ∘ frame-drop (round 16, m27) --
+  // The video analogue of m24's composition question, answered the
+  // OTHER way: the span-slot family needs no new construction, because
+  // BOTH edit axes are duration-fraction geometry — the span grid
+  // absorbs the trim and the rate-free slot fractions absorb the drop.
+  // Twins are the (10,90) span of the base downsampled to half rate
+  // (even kept frames, doubled frame duration). With nf ≡ 0 (mod 10)
+  // the span holds nfs = 4nf/5 frames, divisible by 8, so the base's
+  // span-2 slot offsets ⌊nfs·i/4⌋ = nfs·i/4 are even and equal
+  // 2·⌊(nfs/2)·i/4⌋ — the twin's full-span slots land on the
+  // IDENTICAL base frames and the planted compositions sit at per-slot
+  // distance exactly 0 through the (span 2, span 0) pair. Frames are
+  // per-id-and-frame INDEPENDENT cloud textures (the vtrim class), so
+  // the full-duration family's miss is maximal and every non-aligned
+  // span pair is far. All DIB — the m27 oracle replays the complete
+  // pair set from hex(media) via the factored span walk, no planted
+  // arm.
+  def vtdPath: String = s"$root/vtd.parquet"
+  val VTDBaseOffset = 98000L
+  val VTDDropOffset = 99000L
+  val nVTDs = 10
+
+  /** nf ≡ 0 (mod 10): the (10,90) span cut is exact and its length
+    * 4nf/5 is divisible by 8 (the slot-alignment condition above).
+    */
+  def vtdFrameCount(i: Long): Int = 40 + (i % 5).toInt * 10
+
+  /** Per-(id, frame) cloud texture — frames independent by seed. */
+  def vtdFramePixels(i: Long, k: Int): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    cloudPixels(mix(i * 3935559000370003845L + k) * 37L, w, h)
+  }
+
+  def vtdBaseMedia(i: Long): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame,
+      Array.tabulate(vtdFrameCount(i))(k => vtdFramePixels(i, k)))
+  }
+
+  /** The composed twin: even frames of base frames [nf/10, 9nf/10) at
+    * doubled frame duration — a clipped re-upload that was ALSO
+    * re-encoded at half rate.
+    */
+  def vtdDropMedia(i: Long): Array[Byte] = {
+    val (w, h) = vtrimDims(i)
+    val nf = vtdFrameCount(i)
+    val f0 = nf / 10
+    val nfs = nf * 8 / 10
+    graft.sources.MediaBinary.encodeAvi(w, h, AviUsPerFrame * 2,
+      Array.tabulate(nfs / 2)(j => vtdFramePixels(i, f0 + 2 * j)))
+  }
+
+  def buildVTD(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.Graft.tune(spark)
+    spark.range(0, nVTDs.toLong, 1, 4)
+      .flatMap(i => Seq(
+        graft.operators.Multimodal.Asset(i + VTDBaseOffset, "video",
+          vtdBaseMedia(i)),
+        graft.operators.Multimodal.Asset(i + VTDDropOffset, "video",
+          vtdDropMedia(i))))
+      .toDF("asset_id", "media_type", "media")
+      .repartition(2)
+      .write.mode("overwrite").parquet(vtdPath)
+    new File(s"$vtdPath/$vtdMarker").createNewFile()
+  }
+
   // --- perceptual AUDIO dedup asset set (round 13) ----------------------
   // Edited twins of the first nAPercBases audio assets: gain-halved
   // (every sample ÷2, ids +APercGainOffset) and requantized-to-12-bit
@@ -1114,6 +1181,7 @@ object MultimodalFixture {
   private val opercMarker = "_GRAFT_OPERC_V1"
   private val rcpercMarker = "_GRAFT_RCPERC_V1"
   private val vdropMarker = "_GRAFT_VDROP_V1"
+  private val vtdMarker = "_GRAFT_VTD_V1"
 
   def ensure(spark: SparkSession): Unit = if (!ready) synchronized {
     if (ready) return
@@ -1147,6 +1215,8 @@ object MultimodalFixture {
         !new File(s"$rcpercPath/$rcpercMarker").exists()) buildRCPerc(spark)
     if (!new File(s"$vdropPath/_SUCCESS").exists() ||
         !new File(s"$vdropPath/$vdropMarker").exists()) buildVDrop(spark)
+    if (!new File(s"$vtdPath/_SUCCESS").exists() ||
+        !new File(s"$vtdPath/$vtdMarker").exists()) buildVTD(spark)
     ready = true
   }
 

@@ -46,6 +46,7 @@ object MultimodalSuite {
   private def opercAssets(s: SparkSession) = lane(s, MultimodalFixture.opercPath)
   private def rcpercAssets(s: SparkSession) = lane(s, MultimodalFixture.rcpercPath)
   private def vdropAssets(s: SparkSession) = lane(s, MultimodalFixture.vdropPath)
+  private def vtdAssets(s: SparkSession) = lane(s, MultimodalFixture.vtdPath)
   private def vtrimAssets(s: SparkSession) = lane(s, MultimodalFixture.vtrimPath)
   private def atrimAssets(s: SparkSession) = lane(s, MultimodalFixture.atrimPath)
   private def apercAssets(s: SparkSession) = lane(s, MultimodalFixture.apercPath)
@@ -62,6 +63,7 @@ object MultimodalSuite {
   private def OP = rp(MultimodalFixture.opercPath)
   private def RC = rp(MultimodalFixture.rcpercPath)
   private def VD = rp(MultimodalFixture.vdropPath)
+  private def VTD = rp(MultimodalFixture.vtdPath)
   private def VT = rp(MultimodalFixture.vtrimPath)
   private def AT = rp(MultimodalFixture.atrimPath)
   private def AP = rp(MultimodalFixture.apercPath)
@@ -148,7 +150,7 @@ object MultimodalSuite {
     "m19_crop_dedup_clusters", "m20_video_trim_neardups",
     "m22_orient_perceptual_neardups", "m23_orient_dedup_clusters",
     "m24_rotcrop_perceptual_neardups", "m25_video_framedrop_neardups",
-    "m26_rotcrop_dedup_clusters")
+    "m26_rotcrop_dedup_clusters", "m27_video_trimdrop_neardups")
 
   /** Per-session memo of the VIDEO perceptual pair table (m14 — frame
     * seek + per-slot dHash + temporal banding over vperc ∪ mjpeg, once
@@ -416,13 +418,34 @@ object MultimodalSuite {
     def pairs(s: SparkSession): DataFrame = {
       MultimodalFixture.ensure(s)
       RestMemo.frame(s, MultimodalFixture.vtrimPath, "m20-pairs") {
-        import s.implicits._
-        val sigs = Multimodal.videoSpanDHash(
-          vtrimAssets(s).as[Multimodal.Asset], 4).toDF()
-          .select(col("asset_id").as("id"), col("span"), col("slot"),
-            col("dhash").as("sig"))
-        Graft.truncate(graft.operators.Dedup.spanTemporalNearDupsSig(sigs,
-          maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
+        spanPairs(s, vtrimAssets(s))
+      }
+    }
+    /** The span-slot pipeline shared by m20 and m27 — videoSpanDHash
+      * into the min-over-span-pairs worst-slot banding.
+      */
+    def spanPairs(s: SparkSession, corpus: DataFrame): DataFrame = {
+      import s.implicits._
+      val sigs = Multimodal.videoSpanDHash(
+        corpus.as[Multimodal.Asset], 4).toDF()
+        .select(col("asset_id").as("id"), col("span"), col("slot"),
+          col("dhash").as("sig"))
+      Graft.truncate(graft.operators.Dedup.spanTemporalNearDupsSig(sigs,
+        maxHamming = 15, maxBucketSize = 256, bands = 16), eager = true)
+    }
+  }
+
+  /** Per-session memo of the COMPOSED trim∘frame-drop pair table (m27 —
+    * the UNCHANGED m20 span-slot pipeline over the vtd corpus: both
+    * edit axes are duration-fraction geometry, so the composition is
+    * caught with no new construction).
+    */
+  private object VTDShared {
+    import graft.RestMemo
+    def pairs(s: SparkSession): DataFrame = {
+      MultimodalFixture.ensure(s)
+      RestMemo.frame(s, MultimodalFixture.vtdPath, "m27-pairs") {
+        VTrimShared.spanPairs(s, vtdAssets(s))
       }
     }
   }
@@ -507,7 +530,8 @@ object MultimodalSuite {
       "media_orient_clusters" -> (() => { OPercShared.clusters(s); () }),
       "media_rotcrop_pairs" -> (() => { RCPercShared.pairs(s); () }),
       "media_rotcrop_clusters" -> (() => { RCPercShared.clusters(s); () }),
-      "media_framedrop_pairs" -> (() => { VDropShared.pairs(s); () }))
+      "media_framedrop_pairs" -> (() => { VDropShared.pairs(s); () }),
+      "media_trimdrop_pairs" -> (() => { VTDShared.pairs(s); () }))
     graft.Prebuild.timed(items, go)
   }
 
@@ -1463,16 +1487,35 @@ object MultimodalSuite {
         "production radius closed into min-id-canonical components " +
         "(each base/rot-crop/flip-crop triple collapses to one " +
         "picture); oracle embeds the consolidated walk and closes it " +
-        "recursively"))
+        "recursively"),
 
-  /** m11's exact dHash mirror: corpus dims parsed from the parquet
-    * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
-    * replayed from the deterministic web-safe generator (both codecs
-    * lossless), then Multimodal.dHash64 bit for bit — 9×8 integer block
-    * sums, cross-multiplied mean comparisons, per-pair differing-bit
-    * counts. Block x-range [ceil(i·w/9), ceil((i+1)·w/9)) mirrors the
-    * Spark side's floor(x·9/w) = i membership exactly.
-    */
+    // --- m27: composed-edit video near-dup: trim ∘ frame-drop (round 16) --
+    // The video analogue of m24's composition question, answered the
+    // OTHER way: a re-upload that is clipped AND re-encoded at half
+    // rate needs NO new family, because both edit axes are
+    // duration-fraction geometry — the span grid absorbs the trim and
+    // the rate-free slot fractions (slot i = frame s0 + ⌊nfs·i/4⌋,
+    // header nf only, never usPerFrame) absorb the drop. On the vtd
+    // corpus (twins = even frames of the base's (10,90) span at
+    // doubled frame duration; nf ≡ 0 mod 10 makes the span length
+    // 4nf/5 ≡ 0 mod 8, so the base's span-2 slot offsets nfs·i/4 are
+    // even and equal 2·⌊(nfs/2)·i/4⌋), the twin's full-span slots land
+    // on the IDENTICAL base frames: every planted composition sits at
+    // per-slot distance exactly 0 through the (span 2, span 0) pair —
+    // the UNCHANGED m20 pipeline, an integer-alignment closure with no
+    // approximation arm. The spec proves the full-duration family
+    // (m14/m18/m25's videoDHash) misses every planted pair — trim
+    // shifts its anchors, per-frame-independent textures put them far.
+    // Oracle: the complete radius-15 pair set via the factored span
+    // walk over vtd — the same builder as m20, which is the point.
+    "m27_video_trimdrop_neardups" -> Q(
+      (s, _) => VTDShared.pairs(s).orderBy("id1", "id2"),
+      Some(sqlM27),
+      "Composed-edit video near-dup: the span-slot family catches " +
+        "trim AND half-rate re-encode composed — spans absorb the " +
+        "trim, rate-free slot fractions absorb the drop; complete " +
+        "radius-15 pair set replayed from hex(media)"))
+
   // --- shared hex-walk SQL fragment builders (round 16, VERDICT r15
   // #8): every container oracle used to redefine these locally --------
 
@@ -1496,6 +1539,14 @@ object MultimodalSuite {
     s"ABS(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
   }
 
+  /** m11's exact dHash mirror: corpus dims parsed from the parquet
+    * container headers (GIF LE screen descriptor / PNG BE IHDR), pixels
+    * replayed from the deterministic web-safe generator (both codecs
+    * lossless), then Multimodal.dHash64 bit for bit — 9×8 integer block
+    * sums, cross-multiplied mean comparisons, per-pair differing-bit
+    * counts. Block x-range [ceil(i·w/9), ceil((i+1)·w/9)) mirrors the
+    * Spark side's floor(x·9/w) = i membership exactly.
+    */
   private def sqlM11: String = {
     val pixSum =
       "51 * LEAST(5, x * 6 // w + a0 % 2) + 51 * LEAST(5, y * 6 // h + a1 % 2) + " +
@@ -1759,25 +1810,27 @@ object MultimodalSuite {
   private def sqlM24: String =
     sqlOrientedFamilyPairs(RC, sqlM24Fam, radius = 7)
 
-  /** m20's oracle: every (span, slot) frame hash of every vtrim asset
-    * rebuilt bit-exactly from hex(media) — canonical-AVI header walk,
-    * the span family as frame ranges [nf·a/100, nf·b/100), slot i =
-    * frame s0 + ⌊nfs·i/4⌋, FRAME-SLICED (each sampled frame's 2·stride·h
-    * hex substring cut once per (id, span, slot) row — the m15
-    * window-slicing lesson, without which the cells stage would drag
-    * the full clip hex through every pixel lambda), 9×8 integer block
-    * sums, cross-multiplied bits, per-(span-pair, slot) Hamming, worst
-    * slot per span pair, minimum over span pairs ≤ 15 — the complete
-    * pair set with exact minima, no planted arm.
+  /** Complete radius-15 SPAN-family pair set over a LOSSLESS DIB video
+    * corpus `src` (m20 over vtrim, m27 over vtd), rebuilt bit-exactly
+    * from hex(media) — canonical-AVI header walk, the span family as
+    * frame ranges [nf·a/100, nf·b/100), slot i = frame s0 + ⌊nfs·i/4⌋
+    * (rate-free: nf/w/h only, so half-rate twins replay like any other
+    * clip), FRAME-SLICED (each sampled frame's 2·stride·h hex substring
+    * cut once per (id, span, slot) row — the m15 window-slicing lesson,
+    * without which the cells stage would drag the full clip hex through
+    * every pixel lambda), 9×8 integer block sums, cross-multiplied
+    * bits, per-(span-pair, slot) Hamming, worst slot per span pair,
+    * minimum over span pairs ≤ 15 — the complete pair set with exact
+    * minima, no planted arm.
     */
-  private def sqlM20: String = {
+  private def sqlSpanDibPairs(src: String): String = {
     // byte value at 0-based offset k WITHIN the frame slice fh
     def bvf(k: String) = s"CAST('0x' || substring(fh, 2 * ($k) + 1, 2) AS BIGINT)"
     val pxo = "(h - 1 - y) * stride + x * 3"
     val spanRows = graft.operators.Multimodal.audioSpans
       .map { case (sp, a, b) => s"($sp, $a, $b)" }.mkString(", ")
     s"""WITH v AS MATERIALIZED (
-    |  SELECT asset_id AS id, hex(media) AS hx FROM $VT),
+    |  SELECT asset_id AS id, hex(media) AS hx FROM $src),
     |hdr AS MATERIALIZED (
     |  SELECT id, hx, ${le32(49)} AS nf, ${le32(65)} AS w, ${le32(69)} AS h,
     |    ((${le32(65)} * 3 + 3) // 4) * 4 AS stride
@@ -1827,6 +1880,14 @@ object MultimodalSuite {
     |FROM worst GROUP BY id1, id2 HAVING MIN(wo) <= 15
     |ORDER BY id1, id2""".stripMargin
   }
+
+  /** m20's oracle: the span-family walk over the vtrim corpus. */
+  private def sqlM20: String = sqlSpanDibPairs(VT)
+
+  /** m27's oracle: the SAME span-family walk over the vtd corpus — the
+    * composition needs no new oracle geometry, which is the point.
+    */
+  private def sqlM27: String = sqlSpanDibPairs(VTD)
 
   // --- the shared m15-family audio window walk (round 16, VERDICT r15
   // #8: m15/m15b/m15c/m15d repeated the same WAV hex walk) ------------

@@ -55,6 +55,33 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
   }
 
+  /** The round-15 span-slot geometry (videoSpanDHash): k slots within
+    * each span of the fixed family.
+    */
+  private def spanSlotHashes(bytes: Array[Byte], k: Int = 4): Map[(Int, Int), Long] = {
+    val m = MediaBinary.decodeAviMeta(bytes).get
+    (for {
+      (sp, aN, bN) <- Multimodal.audioSpans
+      s0 = (m.nFrames.toLong * aN / 100).toInt
+      nfs = (m.nFrames.toLong * bN / 100).toInt - s0
+      if nfs >= 1
+      i <- 0 until k
+    } yield (sp, i) -> Multimodal.dHash64(m.width, m.height,
+      MediaBinary.aviFramePixels(bytes, m,
+        s0 + (nfs.toLong * i / k).toInt))).toMap
+  }
+
+  /** Minimum over span pairs of the worst aligned slot — the
+    * spanTemporalNearDupsSig pairing rule, locally.
+    */
+  private def minWorst(a: Map[(Int, Int), Long], b: Map[(Int, Int), Long]): Int = {
+    val spansA = a.keys.map(_._1).toSeq.distinct
+    val spansB = b.keys.map(_._1).toSeq.distinct
+    (for (sa <- spansA; sb <- spansB) yield
+      (0 until 4).map(i => java.lang.Long.bitCount(
+        a((sa, i)) ^ b((sb, i)))).max).min
+  }
+
   test("video cross-codec + cross-resolution + cross-fps twins: zero shared byte chunks, tiny temporal distance") {
     for (i <- Seq(0L, 3L, 6L, 11L)) {
       val dib = MultimodalFixture.vpercDibMedia(i)
@@ -236,26 +263,6 @@ class VideoAudioPerceptualSpec extends SparkSpec {
     // does by construction, because videoSpanDHash's slots are
     // duration fractions WITHIN each span (floor(floor(2·nfs·i/k)/2) =
     // floor(nfs·i/k), the m18 identity applied inside the span)
-    import graft.sources.MediaBinary
-    def spanSlotHashes(bytes: Array[Byte], k: Int = 4): Map[(Int, Int), Long] = {
-      val m = MediaBinary.decodeAviMeta(bytes).get
-      (for {
-        (sp, aN, bN) <- Multimodal.audioSpans
-        s0 = (m.nFrames.toLong * aN / 100).toInt
-        nfs = (m.nFrames.toLong * bN / 100).toInt - s0
-        if nfs >= 1
-        i <- 0 until k
-      } yield (sp, i) -> Multimodal.dHash64(m.width, m.height,
-        MediaBinary.aviFramePixels(bytes, m,
-          s0 + (nfs.toLong * i / k).toInt))).toMap
-    }
-    def minWorst(a: Map[(Int, Int), Long], b: Map[(Int, Int), Long]): Int = {
-      val spansA = a.keys.map(_._1).toSeq.distinct
-      val spansB = b.keys.map(_._1).toSeq.distinct
-      (for (sa <- spansA; sb <- spansB) yield
-        (0 until 4).map(i => java.lang.Long.bitCount(
-          a((sa, i)) ^ b((sb, i)))).max).min
-    }
     for (i <- Seq(0L, 3L, 7L)) {
       val base = MultimodalFixture.vtrimBaseMedia(i)
       // the both-5% trim, then every frame doubled at half usPerFrame
@@ -269,6 +276,42 @@ class VideoAudioPerceptualSpec extends SparkSpec {
         MultimodalFixture.AviUsPerFrame / 2, frames)
       assert(minWorst(spanSlotHashes(base), spanSlotHashes(composed)) == 0,
         s"trim+fps composition of clip $i not at 0")
+    }
+  }
+
+  test("m27 declared query: trim-AND-frame-drop compositions at exactly 0 through the span family; the full-duration geometry misses every one") {
+    // The OTHER composition of the matrix: clipped (m20's class) AND
+    // downsampled to half rate (m25's class). No new family — spans
+    // absorb the trim and the rate-free slot fractions absorb the
+    // drop; the vtd lane's alignment arithmetic (nf ≡ 0 mod 10 ⇒ the
+    // (10,90) span length 4nf/5 ≡ 0 mod 8 ⇒ base span-2 slot offsets
+    // nfs·i/4 even and equal 2·⌊(nfs/2)·i/4⌋) makes the twin's
+    // full-span slots the IDENTICAL base frames.
+    val found = SparkEntry.queries("m27_video_trimdrop_neardups")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = MultimodalFixture.nVTDs.toLong
+    val expected = (0L until n).map { i =>
+      (MultimodalFixture.VTDBaseOffset + i, MultimodalFixture.VTDDropOffset + i)
+    }.toSet
+    assert(found.keySet == expected,
+      s"m27 mismatch: missing=${expected.diff(found.keySet).toSeq.sorted.take(5)} " +
+        s"extra=${found.keySet.diff(expected).toSeq.sorted.take(5)}")
+    for (i <- 0L until n) {
+      val pair = (MultimodalFixture.VTDBaseOffset + i,
+        MultimodalFixture.VTDDropOffset + i)
+      // exact 0 — integer alignment, no approximation arm
+      assert(found(pair) == 0L, s"composition pair $pair at ${found(pair)}")
+      // the alignment claim itself, frame for frame
+      assert(minWorst(spanSlotHashes(MultimodalFixture.vtdBaseMedia(i)),
+        spanSlotHashes(MultimodalFixture.vtdDropMedia(i))) == 0,
+        s"span-family alignment of clip $i not at 0")
+      // ...and the full-duration family (m14/m18/m25) lands on
+      // DIFFERENT frames — trim shifts its anchors, independent
+      // textures put them far: the miss class this lane declares
+      val w = worstSlot(frameHashes(MultimodalFixture.vtdBaseMedia(i)),
+        frameHashes(MultimodalFixture.vtdDropMedia(i)))
+      assert(w > 15, s"full-duration geometry caught the trim∘drop of " +
+        s"$i at worst slot $w - the m27 corpus lost its miss class")
     }
   }
 
