@@ -940,17 +940,33 @@ object Similarity {
     // Score INSIDE the cell join, where both vectors are already
     // co-located — the join shuffles only the n·nProbe·tables assignment
     // rows, never a per-pair vector payload — then dedup the multi-table
-    // duplicates as a thin (qid, nid, simd) aggregate (min of identical
-    // values — deterministic). The ranking decision runs on the
-    // codegen'd double cosine (the same double-decides/exact-reports
-    // split every assignment path uses — in-row folds are
-    // order-deterministic on both engines); only the ≤ topK survivors
-    // per row re-attach vectors for the exact-decimal re-score.
-    l.join(r, col("l.table") === col("r.table") &&
-        col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("qid"), col("r.id").as("nid"),
+    // duplicates as a thin (id1, id2, simd) aggregate (min of identical
+    // values — deterministic). The graph is symmetric (cosine(a,b) ==
+    // cosine(b,a) — the identical codegen'd double), so candidates are
+    // generated ONCE per unordered pair (l.id < r.id) and fanned out to
+    // both directed rows only AFTER the dedup aggregate: half the
+    // cosine evaluations and half the rows through the widest exchange
+    // of the pipeline vs the old directed (l.id =!= r.id) join
+    // (optimization round 16, guide §2.3/§1.2 — v15_split pinned this
+    // candidates stage at ~2.4 s of the 3.2 s query). The ranking
+    // decision runs on the codegen'd double cosine (the same
+    // double-decides/exact-reports split every assignment path uses —
+    // in-row folds are order-deterministic on both engines); only the
+    // ≤ topK survivors per row re-attach vectors for the exact-decimal
+    // re-score.
+    val undirected = l.join(r, col("l.table") === col("r.table") &&
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
         Vectors.cosineFast(col("l.vec"), col("r.vec")).as("simd"))
-      .groupBy("qid", "nid").agg(min(col("simd")).as("simd"))
+      .groupBy("id1", "id2").agg(min(col("simd")).as("simd"))
+    undirected
+      .select(explode(array(
+        struct(col("id1").as("qid"), col("id2").as("nid"),
+          col("simd").as("simd")),
+        struct(col("id2").as("qid"), col("id1").as("nid"),
+          col("simd").as("simd")))).as("p"))
+      .select(col("p.qid").as("qid"), col("p.nid").as("nid"),
+        col("p.simd").as("simd"))
   }
 
   /** [[knnGraph]] stage 2 — per-row bounded top-k ranking window over
@@ -1036,12 +1052,21 @@ object Similarity {
     // deterministic. Only the threshold survivors re-attach vectors
     // (two same-key joins) for the exact-decimal re-score — identical
     // output, exchange width ~24 B/candidate instead of ~520 B.
+    // The threshold filter runs BEFORE the dedup exchange (optimization
+    // round 16, guide §2.3 — filter ahead of the shuffle): every
+    // duplicate row of an (index_id, batch_id) group carries the
+    // IDENTICAL simd (same two vectors through the same deterministic
+    // codegen'd double cosine — min() here is pure dedup, never a
+    // choice), so pre-filtering keeps exactly the groups whose min
+    // survives, with identical values. At threshold 0.4 the exchange
+    // carries only the near-dup survivors instead of the full candidate
+    // volume (the cell-join fan-out, ~n·nProbe²·tables rows).
     val cands = l.join(r, col("l.table") === col("r.table") &&
         col("l.cell") === col("r.cell"))
       .select(col("l.id").as("index_id"), col("r.id").as("batch_id"),
         Vectors.cosineFast(col("l.vec"), col("r.vec")).as("simd"))
-      .groupBy("index_id", "batch_id").agg(min(col("simd")).as("simd"))
       .filter(col("simd") >= threshold)
+      .groupBy("index_id", "batch_id").agg(min(col("simd")).as("simd"))
     cands
       .join(ic.select(col("id").as("index_id"), col("vec").as("v1")),
         "index_id")
@@ -1698,14 +1723,27 @@ object Similarity {
     * (candidate id as tiebreak) — the standard diversification pass
     * between ANN retrieval and prompt assembly.
     *
-    * The greedy recurrence is inherently sequential, so this runs k
-    * bounded DataFrame rounds — but every round's state is per-query
-    * bounded (topM candidates, topM² pair sims, k picks), so total cost
-    * is |queries|·topM² + k tiny joins REGARDLESS of corpus size: the
-    * corpus is touched exactly once, by the retrieval stage. Relevance
-    * and pair sims use the exact-decimal cosine, and the score constants
-    * are the same Scala doubles an oracle renders, so picks and scores
-    * are bit-replicable. Returns (qid, step, vec_id, mmr).
+    * The greedy recurrence is inherently sequential, but every step's
+    * state is per-query bounded (topM candidates, topM² pair sims, ≤ k
+    * picks), so the whole recurrence runs as ONE in-row `aggregate()`
+    * fold over the per-query candidate/pair ARRAYS — no per-round
+    * DataFrame job, join, window, or checkpoint (optimization round 16;
+    * guide §1.2/§5: the prior shape ran k-1 eager per-round truncate
+    * jobs whose fixed job-launch latency dominated the query at every
+    * scale — ~1.8 s at sf0.1 AND sf1 for k=5 — while the folded state
+    * is at most topM² structs per query). The corpus is still touched
+    * exactly once, by the retrieval stage; the fold's expression tree
+    * is linear in k (the accumulator is referenced once per step).
+    *
+    * Pick-for-pick equivalence with the round form: each step maximizes
+    * over unselected candidates carrying a non-null penalty (the round
+    * form's inner pen join), the score is the same
+    * `lit(lambda)·sim - lit(1-lambda)·max(psim)` double arithmetic, and
+    * the argmax tiebreak (mmr desc, vec_id asc) is the lexicographic
+    * struct max over (mmr, -vec_id). Relevance and pair sims use the
+    * exact-decimal cosine, and the score constants are the same Scala
+    * doubles an oracle renders, so picks and scores are bit-replicable.
+    * Returns (qid, step, vec_id, mmr).
     */
   def mmrRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, topM: Int, k: Int, lambda: Double): DataFrame = {
@@ -1720,39 +1758,60 @@ object Similarity {
       .select(col("a.qid").as("qid"), col("a.vec_id").as("i"),
         col("b.vec_id").as("j"),
         Vectors.cosine(col("a.cv"), col("b.cv")).as("psim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Lineage is TRUNCATED each round (eager, one tiny job per round —
-    // the dupClusters pattern at Dedup.dupClusters): round t references
-    // sel(t-1) twice (penalty join + anti-join), so an un-truncated plan
-    // re-derives every earlier round's window+joins ~2^k times. Each
-    // checkpoint holds ≤ |queries| rows. Graft.truncate picks local vs
-    // reliable checkpointing by `graft.checkpoint.dir`.
-    val first = cands.filter(col("rn") === 1)
-      .select(col("qid"), lit(1).as("step"), col("vec_id"),
-        (lit(lambda) * col("sim")).as("mmr"))
-    val firstT = graft.Graft.truncate(first, eager = true)
-    var sel = firstT.select("qid", "vec_id")
-    var out = firstT
-    for (t <- 2 to k) {
-      val pen = pairs
-        .join(sel.select(col("qid"), col("vec_id").as("j")), Seq("qid", "j"))
-        .groupBy("qid", "i").agg(max("psim").as("pen"))
-        .withColumnRenamed("i", "vec_id")
-      val picked = graft.Graft.truncate(
-        cands.join(sel, Seq("qid", "vec_id"), "left_anti")
-          .join(pen, Seq("qid", "vec_id"))
-          .select(col("qid"), col("vec_id"),
-            (lit(lambda) * col("sim") - lit(1 - lambda) * col("pen")).as("mmr"))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy("qid").orderBy(col("mmr").desc, col("vec_id").asc)))
-          .filter(col("rn2") === 1)
-          .select(col("qid"), lit(t).as("step"), col("vec_id"), col("mmr")),
-        eager = true)
-      out = out.unionByName(picked)
-      sel = sel.unionByName(picked.select("qid", "vec_id"))
-    }
+    // Per-query bounded arrays: ≤ topM candidate structs and < topM²
+    // pair structs per row. sort_array only pins a deterministic array
+    // order (every consumer below is order-independent: filters,
+    // array_max); rn is unique per qid so the sort is total.
+    val cl = cands.groupBy("qid").agg(sort_array(collect_list(
+      struct(col("rn"), col("vec_id"), col("sim")))).as("cl"))
+    val pl = pairs.groupBy("qid").agg(sort_array(collect_list(
+      struct(col("i"), col("j"), col("psim")))).as("pl"))
+    val lamC = lit(lambda)
+    val muC = lit(1 - lambda)
+    // step 1: the rn == 1 retrieval winner, mmr = lambda·sim
+    val c1 = element_at(filter(col("cl"), c => c("rn") === 1), 1)
+    val pick1 = struct(lit(1).as("step"), c1("vec_id").as("vec_id"),
+      (lamC * c1("sim")).as("mmr"))
+    // steps 2..k: one fold step per t — argmax over unselected
+    // candidates of lambda·sim − (1−lambda)·max_{j∈sel} psim(i,j),
+    // tiebroken by vec_id asc via the (mmr, −vec_id) struct max; a
+    // candidate with no pair against the selected set is skipped (the
+    // round form's inner pen join), and an empty field (best IS NULL)
+    // leaves both accumulators unchanged (the round form emitted no row
+    // for that step).
+    val folded =
+      if (k <= 1) struct(array(pick1).as("picks"))
+      else aggregate(
+        sequence(lit(2), lit(k)),
+        struct(array(pick1).as("picks"), array(c1("vec_id")).as("sel")),
+        (acc, t) => {
+          val scored = filter(
+            transform(
+              filter(col("cl"), c => !array_contains(acc("sel"), c("vec_id"))),
+              c => {
+                val pen = array_max(transform(
+                  filter(col("pl"), p => p("i") === c("vec_id") &&
+                    array_contains(acc("sel"), p("j"))),
+                  p => p("psim")))
+                struct((lamC * c("sim") - muC * pen).as("mmr"),
+                  (-c("vec_id")).as("negid"))
+              }),
+            s => s("mmr").isNotNull)
+          val best = array_max(scored)
+          val bvid = -best("negid")
+          struct(
+            when(best.isNull, acc("picks")).otherwise(concat(acc("picks"),
+              array(struct(t.as("step"), bvid.as("vec_id"),
+                best("mmr").as("mmr"))))).as("picks"),
+            when(best.isNull, acc("sel")).otherwise(
+              concat(acc("sel"), array(bvid))).as("sel"))
+        })
+    val out = cl.join(pl, Seq("qid"), "left")
+      .select(col("qid"), explode(folded("picks")).as("p"))
+      .select(col("qid"), col("p.step").as("step"),
+        col("p.vec_id").as("vec_id"), col("p.mmr").as("mmr"))
+    val t = graft.Graft.truncate(out, eager = true)
     cands.unpersist(false)
-    pairs.unpersist(false)
-    out
+    t
   }
 }
