@@ -9,7 +9,8 @@ import graft.{Graft, SparkEntry}
   * completed stage's wall time, task count, input/shuffle bytes and
   * records, plus max-vs-median task skew.
   *
-  * Usage: runMain graft.tools.ProfileQuery <name[,name...]> [sfDir] [passes]
+  * Usage: runMain graft.tools.ProfileQuery <name[,name...]> [sfDir]
+  *          [passes] [conf=v,conf=v — runtime-settable SQL confs to A/B]
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
@@ -17,6 +18,11 @@ object ProfileQuery {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = Graft.session()
+    args.lift(3).foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[conf] $k=$v")
+    })
     SparkEntry.warm(spark)
     SparkEntry.prebuild(spark, sfDir)
     spark.catalog.clearCache()
@@ -50,6 +56,15 @@ object ProfileQuery {
       // let stage-completed events drain before the total line
       Thread.sleep(300)
       println(f"[total] $n pass$p $dt%8.2f s rows=$rows")
+      if (p == passes) {
+        // driver-side plan cost (analysis+optimization+physical
+        // planning, pre-AQE) measured on a fresh identical frame —
+        // how much of the query is plan work rather than stages
+        val f2 = SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        f2.queryExecution.executedPlan
+        println(f"[plan ] $n ${(System.nanoTime() - t1) / 1e9}%8.2f s (analyze+optimize+plan)")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
